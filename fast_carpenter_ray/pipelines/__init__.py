@@ -1,0 +1,1 @@
+from .config import Sequence, load_pipeline, STAGE_REGISTRY, register_stage  # noqa: F401

@@ -2,3 +2,12 @@ from .define import Define, SystematicWeights  # noqa: F401
 from .selection import CutFlow, SelectPhaseSpace, build_selection  # noqa: F401
 from .binned_dataframe import BinnedDataframe  # noqa: F401
 from .skim import EventByEventDataframe  # noqa: F401
+from .extract import ExtractText, HashCompare, extract_one, sha256_hex  # noqa: F401
+from .cell_encode import CellEncode  # noqa: F401
+from .pip_join import PIPJoiner, pip_join  # noqa: F401
+from .knn_join import KNNJoiner, knn_join, brute_force_knn  # noqa: F401
+from .zonal import ZonalAggregate  # noqa: F401
+from .dedup import ExactDedup, MinHashDedup, SimHashDedup, ngram_jaccard  # noqa: F401
+from .text import TokenCount, QualityScore, LangId, Fingerprint  # noqa: F401
+from .ann import ann_topk, near_dup_cosine, LSHBuckets  # noqa: F401
+from .multimodal import ImageDecode, FrameSample, media_schema  # noqa: F401

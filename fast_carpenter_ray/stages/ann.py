@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two paths, per the project brief:
+
+* :func:`ann_topk` — brute-force cosine top-k as the exact baseline: the
+  query matrix is broadcast (``ray.put``) once, every batch computes a
+  vectorized matmul of its rows against the queries and emits its LOCAL
+  top-k per query; a tiny ``groupby(query_id)`` re-top-k merges the
+  partials.  Shuffle volume: O(n_batches * n_queries * k), never the
+  embeddings.
+
+* :class:`LSHBuckets` + :func:`near_dup_cosine` — the scale path:
+  random-hyperplane signatures bucket vectors so candidate generation is a
+  groupby, with exact cosine verification inside each bucket.  Recall < 1
+  by construction (documented); the brute-force path is the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["ann_topk", "LSHBuckets", "near_dup_cosine"]
+
+
+def _matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray) else batch[col]
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _LocalTopK:
+    """Per-batch local top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str,
+                 exclude_self: bool):
+        import ray
+
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.query_ids = np.asarray(q["id"], dtype=np.int64)
+        self.qm = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_matrix(batch, self.vec_col))
+        sims = self.qm @ m.T  # [n_queries, n_rows]
+        if self.exclude_self:
+            self_mask = self.query_ids[:, None] == ids[None, :]
+            sims = np.where(self_mask, -np.inf, sims)
+        kk = min(self.k, sims.shape[1])
+        # stable partial sort: ties by candidate id (ids ascending within batch
+        # is not guaranteed -> sort by (-sim, id) explicitly)
+        out_q, out_i, out_s = [], [], []
+        order_ids = np.argsort(ids, kind="stable")
+        sims = sims[:, order_ids]
+        sorted_ids = ids[order_ids]
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            top = np.argsort(-row, kind="stable")[:kk]  # stable => id ties
+            out_q.extend([int(self.query_ids[qi])] * len(top))
+            out_i.extend(sorted_ids[top].tolist())
+            out_s.extend(row[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_i, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def ann_topk(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding", exclude_self: bool = True,
+             concurrency=(1, 4), batch_size: int = 4096):
+    """Exact cosine top-k of each query over the dataset.
+
+    ``queries``: {"id": [...], "matrix": 2-D array}.  Returns a Dataset of
+    (query_id, neighbor_id, cosine, rank) with exactly k rows per query.
+    """
+    import ray
+
+    ref = ray.put(queries)
+    local = ds.map_batches(
+        _LocalTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col,
+                               "vec_col": vec_col, "exclude_self": exclude_self},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class LSHBuckets:
+    """Random-hyperplane (SimHash-for-vectors) bucketing stage."""
+
+    def __init__(self, n_planes: int = 12, vec_col: str = "embedding",
+                 dim: int = 64, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, self.vec_col)
+        signs = (m @ self.planes) > 0
+        bucket = (signs @ (1 << np.arange(signs.shape[1]))).astype(np.int64)
+        return batch.append_column("lsh_bucket", pa.array(bucket, type=pa.int64()))
+
+
+def near_dup_cosine(ds, threshold: float = 0.9, id_col: str = "vec_id",
+                    vec_col: str = "embedding", dim: int = 64,
+                    n_planes: int = 12, seed: int = 42):
+    """Embedding near-dup pairs via LSH buckets + exact in-bucket cosine.
+
+    Approximate (bucket recall < 1); exact verification within buckets.
+    """
+    bucketed = ds.map_batches(
+        LSHBuckets,
+        fn_constructor_kwargs={"n_planes": n_planes, "vec_col": vec_col,
+                               "dim": dim, "seed": seed},
+        batch_format="pyarrow", concurrency=(1, 2))
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        hit = sims[iu] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[iu[0][hit]],
+            "id_b": ids[iu[1][hit]],
+            "cosine": sims[iu][hit],
+        })
+
+    cand = bucketed.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas")
+
+    from ray.data.aggregate import Max
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))

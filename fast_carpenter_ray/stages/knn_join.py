@@ -1,0 +1,159 @@
+"""kNN join — k-ring candidate expansion + haversine refinement (actor pool).
+
+North star: "kNN via H3 k-ring expansion with distance refinement".  The
+site table (small side) is broadcast via ``ray.put``; each actor builds a
+``cell -> site indices`` bucket index once in ``__init__`` and probes each
+batch vectorized, grouping points by cell so every point in a cell shares
+one candidate set.
+
+Exactness: after expanding to ring ``r``, the best-k candidates are final
+only if the k-th distance is below a lower bound on the distance to any
+site *outside* ring ``r``.  For the equal-angle grid, any such site differs
+by >= r cells in x or y, giving (conservatively, valid across the globe
+including near poles via the chord inequality sin(x) >= (2/pi) x):
+
+    bound_m = (2/pi) * (r-1) * cell_height_rad * R * min(1, cos(phi_eff))
+
+with phi_eff = |lat| + r * cell_height (clamped < 90 deg).  Points that
+fail to converge by ``max_ring`` fall back to brute force over all sites —
+the k-ring path is a locality optimization, never a correctness tradeoff
+(tests assert ring-based == brute-force haversine kNN).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo.cells import cell_id, k_ring
+from ..geo.distance import EARTH_RADIUS_M, haversine_m
+
+__all__ = ["KNNJoiner", "knn_join", "brute_force_knn"]
+
+
+def brute_force_knn(lat, lng, site_lat, site_lng, site_id, k):
+    """Exact kNN over all sites; ties by site_id.  Returns (ids, dists)
+    arrays of shape [n_points, k]."""
+    order = np.argsort(site_id, kind="stable")
+    slat, slng, sid = site_lat[order], site_lng[order], site_id[order]
+    d = haversine_m(lat[:, None], lng[:, None], slat[None, :], slng[None, :])
+    kk = min(k, len(sid))
+    idx = np.argsort(d, axis=1, kind="stable")[:, :kk]  # stable => site_id ties
+    rows = np.arange(len(lat))[:, None]
+    return sid[idx], d[rows, idx]
+
+
+class KNNJoiner:
+    def __init__(self, sites, k: int = 3, res: int = 6, max_ring: int = 4,
+                 lat: str = "lat", lng: str = "lng", explode: bool = True):
+        import ray
+
+        if isinstance(sites, ray.ObjectRef):
+            sites = ray.get(sites)  # broadcast read: once per actor
+        if isinstance(sites, pa.Table):
+            sites = {c: sites[c].to_numpy(zero_copy_only=False) for c in sites.column_names}
+        self.site_lat = np.asarray(sites["lat"], dtype=np.float64)
+        self.site_lng = np.asarray(sites["lng"], dtype=np.float64)
+        self.site_id = np.asarray(sites["site_id"], dtype=np.int64)
+        self.k = k
+        self.res = res
+        self.max_ring = max_ring
+        self.lat_col = lat
+        self.lng_col = lng
+        self.explode = explode
+        # cell -> site row indices, built once per actor
+        site_cells = cell_id(self.site_lat, self.site_lng, res)
+        self.bucket: Dict[int, np.ndarray] = {}
+        order = np.argsort(site_cells, kind="stable")
+        sc = site_cells[order]
+        uniq, starts = np.unique(sc, return_index=True)
+        bounds = np.append(starts, len(sc))
+        for u, s, t in zip(uniq, bounds[:-1], bounds[1:]):
+            self.bucket[int(u)] = order[s:t]
+        self._cell_h_rad = math.radians(180.0 / (1 << res))
+
+    def _bound_m(self, ring: int, abs_lat_deg: float) -> float:
+        if ring <= 1:
+            return 0.0
+        phi = min(89.99, abs_lat_deg + ring * math.degrees(self._cell_h_rad))
+        cosphi = min(1.0, math.cos(math.radians(phi)))
+        return (2.0 / math.pi) * (ring - 1) * self._cell_h_rad * EARTH_RADIUS_M * cosphi
+
+    def _query_group(self, lat: np.ndarray, lng: np.ndarray, cell: int):
+        """kNN for all points sharing one cell."""
+        k = self.k
+        max_abs_lat = float(np.max(np.abs(lat)))
+        for ring in range(1, self.max_ring + 1):
+            cells = k_ring(cell, self.res, ring)
+            cand_lists = [self.bucket[c] for c in cells.tolist() if int(c) in self.bucket]
+            if not cand_lists:
+                continue
+            cand = np.concatenate(cand_lists)
+            if len(cand) < k:
+                continue
+            ids, dists = brute_force_knn(
+                lat, lng, self.site_lat[cand], self.site_lng[cand],
+                self.site_id[cand], k)
+            if dists.shape[1] >= k and float(dists[:, k - 1].max()) <= self._bound_m(ring, max_abs_lat):
+                return ids, dists
+        # fallback: exact brute force over all sites
+        return brute_force_knn(lat, lng, self.site_lat, self.site_lng, self.site_id, k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        lng = batch[self.lng_col].to_numpy(zero_copy_only=False)
+        cells = cell_id(lat, lng, self.res)
+        n = len(batch)
+        kk = min(self.k, len(self.site_id))
+        out_ids = np.full((n, kk), -1, dtype=np.int64)
+        out_d = np.full((n, kk), np.nan)
+        valid = cells >= 0
+        order = np.argsort(cells, kind="stable")
+        sc = cells[order]
+        uniq, starts = np.unique(sc, return_index=True)
+        bounds = np.append(starts, len(sc))
+        for u, s, t in zip(uniq, bounds[:-1], bounds[1:]):
+            if u < 0:
+                continue
+            idx = order[s:t]
+            ids, dists = self._query_group(lat[idx], lng[idx], int(u))
+            out_ids[idx] = ids
+            out_d[idx] = dists
+
+        if self.explode:
+            rows = np.repeat(np.arange(n)[valid], kk)
+            out = batch.take(pa.array(rows))
+            out = out.append_column("site_id", pa.array(out_ids[valid].ravel(), type=pa.int64()))
+            out = out.append_column("dist_m", pa.array(out_d[valid].ravel()))
+            out = out.append_column(
+                "rank", pa.array(np.tile(np.arange(1, kk + 1), int(valid.sum())),
+                                 type=pa.int32()))
+            return out
+        neighbors = [
+            [{"site_id": int(i), "dist_m": float(d)} for i, d in zip(row_i, row_d)]
+            if ok else None
+            for ok, row_i, row_d in zip(valid, out_ids, out_d)
+        ]
+        typ = pa.list_(pa.struct([("site_id", pa.int64()), ("dist_m", pa.float64())]))
+        return batch.append_column("neighbors", pa.array(neighbors, type=typ))
+
+
+def knn_join(ds, sites: pa.Table, k: int = 3, res: int = 6, max_ring: int = 4,
+             concurrency=(1, 4), batch_size: int = 4096, explode: bool = True,
+             lat: str = "lat", lng: str = "lng"):
+    """Dataset-level wiring: broadcast sites once, probe via actor pool."""
+    import ray
+
+    ref = ray.put(sites)
+    return ds.map_batches(
+        KNNJoiner,
+        fn_constructor_kwargs={"sites": ref, "k": k, "res": res,
+                               "max_ring": max_ring, "explode": explode,
+                               "lat": lat, "lng": lng},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

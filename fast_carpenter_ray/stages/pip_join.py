@@ -1,0 +1,86 @@
+"""Point-in-polygon join — broadcast-small-side lookup join (actor pool).
+
+North star: "an STRtree-backed point-in-polygon join against admin/tile
+polygons held in actor-pool state".  The polygon table is small relative to
+the page stream, so it is broadcast once (``ray.put`` on the driver) and the
+cell-cover + edge-array index (``geo.pip.PolygonIndex``) is built ONCE per
+actor in ``__init__`` — the Ray analogue of the reference's loaded-once
+per-worker stage state (``backends/coffea.py:59-74``).  The probe side
+streams through ``map_batches`` untouched; no shuffle.
+
+Join modes:
+  * ``inner``  — one output row per (page, polygon) containment pair;
+  * ``left``   — pages with no polygon keep a null ``poly_id``;
+  * ``semi``   — pages matched by >=1 polygon, once;
+  * ``anti``   — pages matched by none.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo.pip import Polygon, PolygonIndex
+
+__all__ = ["PIPJoiner", "pip_join"]
+
+_MODES = ("inner", "left", "semi", "anti")
+
+
+class PIPJoiner:
+    def __init__(self, polygons, res: int = 6, mode: str = "inner",
+                 lat: str = "lat", lng: str = "lng"):
+        import ray
+
+        if mode not in _MODES:
+            raise ValueError(f"mode must be one of {_MODES}")
+        if isinstance(polygons, ray.ObjectRef):
+            polygons = ray.get(polygons)  # broadcast read: once per actor
+        self.index = PolygonIndex(polygons, res=res)  # built once per actor
+        self.mode = mode
+        self.lat = lat
+        self.lng = lng
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch[self.lat].to_numpy(zero_copy_only=False)
+        lng = batch[self.lng].to_numpy(zero_copy_only=False)
+        rows, pids = self.index.query(lat, lng)
+
+        if self.mode == "inner":
+            out = batch.take(pa.array(rows))
+            return out.append_column("poly_id", pa.array(pids, type=pa.int64()))
+        if self.mode == "left":
+            matched = np.zeros(len(batch), dtype=bool)
+            matched[rows] = True
+            un = np.nonzero(~matched)[0]
+            all_rows = np.concatenate([rows, un])
+            all_pids = np.concatenate([pids.astype(np.float64), np.full(len(un), np.nan)])
+            order = np.lexsort((all_pids, all_rows))
+            out = batch.take(pa.array(all_rows[order]))
+            pid_col = pa.array(
+                [None if np.isnan(p) else int(p) for p in all_pids[order]],
+                type=pa.int64())
+            return out.append_column("poly_id", pid_col)
+        matched = np.zeros(len(batch), dtype=bool)
+        matched[rows] = True
+        keep = matched if self.mode == "semi" else ~matched
+        return batch.filter(pa.array(keep))
+
+
+def pip_join(ds, polygons: Sequence[Polygon], res: int = 6, mode: str = "inner",
+             concurrency=(1, 4), batch_size: int = 4096,
+             lat: str = "lat", lng: str = "lng"):
+    """Dataset-level wiring: broadcast polygons once, probe via actor pool."""
+    import ray
+
+    ref = ray.put(list(polygons))
+    return ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"polygons": ref, "res": res, "mode": mode,
+                               "lat": lat, "lng": lng},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis stages: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Engine extensions for training-data pipelines (no reference analogue —
+SURVEY.md §2.5); each is a vectorized/actor-pool ``map_batches`` column
+creator in the Define mold.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["TokenCount", "QualityScore", "LangId", "Fingerprint"]
+
+# a small multilingual stopword table for the n-gram/stopword language
+# heuristic (public common-word lists)
+_STOPWORDS: Dict[str, frozenset] = {
+    "en": frozenset("the and of to a in is it you that he was for on are".split()),
+    "de": frozenset("der die das und ist ich nicht sie mit ein auf für den".split()),
+    "fr": frozenset("le la les et de un une est je pas pour dans sur que".split()),
+    "es": frozenset("el la los las y de un una es en no que por para con".split()),
+    "pt": frozenset("o a os as e de um uma é em não que por para com".split()),
+}
+
+
+class TokenCount:
+    """Whitespace tokenization + a BPE-ish sub-word estimate.
+
+    ``n_tokens`` = whitespace tokens; ``n_subwords`` = a deterministic
+    regex-based sub-word count (letters runs split every 4 chars — a cheap
+    stand-in for BPE vocab lookup, stable across runs).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        toks = s.str.split()
+        batch["n_tokens"] = toks.str.len().fillna(0).astype(np.int64)
+        batch["n_chars"] = s.str.len().astype(np.int64)
+        # ceil(len(word)/4) summed ~ subword count, vectorized
+        batch["n_subwords"] = toks.map(
+            lambda ws: int(sum((len(w) + 3) // 4 for w in ws)) if isinstance(ws, list) else 0
+        ).astype(np.int64)
+        return batch
+
+    def apply(self, ds):
+        return ds.map_batches(self, batch_format="pandas")
+
+
+class QualityScore:
+    """Length / punctuation / stopword-ratio quality heuristics.
+
+    Emits ``mean_word_len``, ``stopword_ratio``, ``alpha_ratio`` and a
+    combined ``quality`` in [0, 1].
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.stop_all = frozenset().union(*_STOPWORDS.values())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        toks = s.str.lower().str.split()
+        n_tok = toks.str.len().fillna(0).astype(np.int64)
+        n_chars = s.str.len().astype(np.int64)
+        n_spaces = s.str.count(" ").astype(np.int64)
+        stop = self.stop_all
+        n_stop = toks.map(lambda ws: sum(w in stop for w in ws) if isinstance(ws, list) else 0)
+        n_alpha = s.str.count(r"[A-Za-z]").astype(np.int64)
+        denom_tok = np.maximum(n_tok, 1)
+        batch["mean_word_len"] = (n_chars - n_spaces) / denom_tok
+        batch["stopword_ratio"] = n_stop / denom_tok
+        batch["alpha_ratio"] = n_alpha / np.maximum(n_chars, 1)
+        wl = batch["mean_word_len"]
+        batch["quality"] = (
+            0.4 * np.clip(batch["alpha_ratio"], 0, 1)
+            + 0.3 * np.clip(batch["stopword_ratio"] * 4.0, 0, 1)
+            + 0.3 * np.clip(1.0 - np.abs(wl - 5.0) / 5.0, 0, 1)
+        )
+        return batch
+
+    def apply(self, ds):
+        return ds.map_batches(self, batch_format="pandas")
+
+
+class LangId:
+    """Stopword-overlap language heuristic: argmax over per-language
+    stopword hit-rates, 'und' (undetermined) when nothing scores.
+    Deterministic ties broken by language code order."""
+
+    def __init__(self, text_col: str = "text", out: str = "lang_pred"):
+        self.text_col = text_col
+        self.out = out
+        self.langs = sorted(_STOPWORDS)
+        self.tables = [_STOPWORDS[lang] for lang in self.langs]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[self.text_col].fillna("").str.lower().str.split()
+        langs, tables = self.langs, self.tables
+
+        def best(ws) -> str:
+            if not isinstance(ws, list) or not ws:
+                return "und"
+            scores = [sum(w in t for w in ws) for t in tables]
+            m = max(scores)
+            return langs[scores.index(m)] if m > 0 else "und"
+
+        batch[self.out] = toks.map(best)
+        return batch
+
+    def apply(self, ds, concurrency=(1, 4)):
+        # stateful tables are tiny but compiled once per actor anyway
+        return ds.map_batches(
+            LangId, fn_constructor_kwargs={"text_col": self.text_col, "out": self.out},
+            batch_format="pandas", concurrency=concurrency)
+
+
+class Fingerprint:
+    """Order-sensitive 63-bit rolling-hash document fingerprint
+    (deterministic across processes; int64-positive for SQL friendliness)."""
+
+    MASK = (1 << 63) - 1
+    P = 1099511628211
+
+    def __init__(self, text_col: str = "text", out: str = "fingerprint"):
+        self.text_col = text_col
+        self.out = out
+
+    @classmethod
+    def fingerprint(cls, text: str) -> int:
+        h = 14695981039346656037
+        for tok in text.lower().split():
+            th = int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little")
+            h = (h * cls.P + th) & ((1 << 64) - 1)
+        return h & cls.MASK
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.fingerprint(t or "") for t in batch[self.text_col].to_pylist()]
+        return batch.append_column(self.out, pa.array(fps, type=pa.int64()))
+
+    def apply(self, ds):
+        return ds.map_batches(self, batch_format="pyarrow")

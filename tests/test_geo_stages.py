@@ -1,0 +1,124 @@
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fast_carpenter_ray.fixtures import (
+    extra_polygons, geo_columns, rect_polygons, sites_table, synth_pages_batch)
+from fast_carpenter_ray.geo import cell_id, haversine_m, points_in_polygon
+from fast_carpenter_ray.stages.cell_encode import CellEncode
+from fast_carpenter_ray.stages.knn_join import KNNJoiner, brute_force_knn
+from fast_carpenter_ray.stages.pip_join import PIPJoiner
+from fast_carpenter_ray.stages.zonal import ZonalAggregate
+
+
+def geo_batch(sf_dir, n=200):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").slice(0, n)
+    ids = docs["doc_id"].to_numpy()
+    g = geo_columns(ids)
+    return pa.table({
+        "doc_id": ids,
+        "lat": g["lat"],
+        "lng": g["lng"],
+        "weight": g["weight"],
+    })
+
+
+def test_cell_encode(sf_dir):
+    batch = geo_batch(sf_dir)
+    out = CellEncode(res=6, parent_res=3)(batch)
+    cells = out["cell"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    assert (cells[np.isnan(lat)] == -1).all()
+    expect = cell_id(lat, batch["lng"].to_numpy(zero_copy_only=False), 6)
+    np.testing.assert_array_equal(cells, expect)
+    assert "cell_r3" in out.column_names
+
+
+def test_pip_join_modes(sf_dir):
+    batch = geo_batch(sf_dir)
+    polys = rect_polygons() + extra_polygons()
+    inner = PIPJoiner(polys, mode="inner")(batch)
+    semi = PIPJoiner(polys, mode="semi")(batch)
+    anti = PIPJoiner(polys, mode="anti")(batch)
+    left = PIPJoiner(polys, mode="left")(batch)
+    assert len(semi) + len(anti) == len(batch)
+    assert len(left) >= len(batch)
+    # oracle: brute-force PIP over every polygon
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    lng = batch["lng"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy()
+    expected = set()
+    ok = ~np.isnan(lat)
+    for p in polys:
+        rlat, rlng = p.edge_arrays()
+        hit = np.zeros(len(lat), dtype=bool)
+        hit[ok] = points_in_polygon(lat[ok], lng[ok], rlat, rlng)
+        expected |= {(int(ids[i]), p.poly_id) for i in np.nonzero(hit)[0]}
+    got = set(zip(inner["doc_id"].to_pylist(), inner["poly_id"].to_pylist()))
+    assert got == expected
+
+
+def test_knn_ring_equals_bruteforce(sf_dir):
+    batch = geo_batch(sf_dir, n=300)
+    sites = sites_table()
+    joiner = KNNJoiner(sites, k=3, res=6, max_ring=3)
+    out = joiner(batch)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    lng = batch["lng"].to_numpy(zero_copy_only=False)
+    ok = ~np.isnan(lat)
+    ids, dists = brute_force_knn(
+        lat[ok], lng[ok],
+        sites["lat"].to_numpy(), sites["lng"].to_numpy(),
+        sites["site_id"].to_numpy(), 3)
+    got = out["site_id"].to_numpy(zero_copy_only=False).reshape(-1, 3)
+    np.testing.assert_array_equal(got, ids)
+    np.testing.assert_allclose(
+        out["dist_m"].to_numpy(zero_copy_only=False).reshape(-1, 3), dists)
+
+
+def test_knn_list_mode(sf_dir):
+    batch = geo_batch(sf_dir, n=50)
+    joiner = KNNJoiner(sites_table(), k=2, explode=False)
+    out = joiner(batch)
+    assert "neighbors" in out.column_names
+    assert len(out) == len(batch)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    nb = out["neighbors"].to_pylist()
+    for i, row in enumerate(nb):
+        if np.isnan(lat[i]):
+            assert row is None
+        else:
+            assert len(row) == 2 and row[0]["dist_m"] <= row[1]["dist_m"]
+
+
+def test_zonal_salted_equals_unsalted(ray_session, sf_dir):
+    import ray.data as rd
+
+    batch = geo_batch(sf_dir)
+    cells = CellEncode(res=4)(batch)
+    ds = rd.from_arrow(cells).repartition(5)
+    plain = ZonalAggregate("z", keys=["cell"], weights={"w": "weight"})
+    salted = ZonalAggregate("z", keys=["cell"], weights={"w": "weight"}, salt_buckets=7)
+    a = plain.aggregate(ds).to_pandas()
+    b = salted.aggregate(ds).to_pandas()
+    b = b[a.columns]
+    # dyadic weights => sums are exact in any order
+    assert a.equals(b)
+
+
+def test_zonal_matches_pandas_oracle(ray_session, sf_dir):
+    import pandas as pd
+    import ray.data as rd
+
+    batch = geo_batch(sf_dir)
+    cells = CellEncode(res=4)(batch)
+    ds = rd.from_arrow(cells).repartition(3)
+    z = ZonalAggregate("z", keys=["cell"], weights={"w": "weight"})
+    got = z.aggregate(ds).to_pandas()
+    df = cells.to_pandas()
+    exp = df.groupby("cell").agg(
+        n=("cell", "size"), sumw_w=("weight", "sum")).reset_index()
+    exp["sumw2_w"] = df.assign(w2=df.weight ** 2).groupby("cell")["w2"].sum().values
+    merged = got.merge(exp, on="cell", suffixes=("", "_exp"))
+    assert (merged["n"] == merged["n_exp"]).all()
+    np.testing.assert_array_equal(merged["sumw_w"], merged["sumw_w_exp"])
