@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself BEFORE importing this module:
+nothing here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship spatial-join + tiling pipeline over
+  ``/root/testdata/sf0.001``: synthetic Common-Crawl-style pages ->
+  html->text extraction (+ sha256 invariant) -> selection cut-flow filter
+  -> cell encode -> point-in-polygon join (actor pool) -> kNN join (actor
+  pool) -> zonal groupby(cell) summary.  Returns the (small) zonal table.
+* ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+  the training-data extensions).
+* ``oracle_sql()`` — DuckDB-equivalent SQL per query where the operator is
+  SQL-expressible; approximate/stateful ops (MinHash/SimHash/LSH, the
+  haversine kNN engine path, stubbed multimodal) are rows-only by design.
 """
 
 from __future__ import annotations
@@ -18,27 +20,41 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_ENTRY = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow.compute as pc
+
+    from fast_carpenter_ray.fixtures import pages_dataset, rect_polygons, sites_table
+    from fast_carpenter_ray.pipelines.queries import RES, _pages_geo
+    from fast_carpenter_ray.stages import (
+        CellEncode, CutFlow, ExtractText, HashCompare, ZonalAggregate, pip_join)
+    from fast_carpenter_ray.stages.knn_join import knn_join
+
+    ds = _pages_geo(SF_ENTRY)
+    ds = HashCompare.apply(ds)  # per-row invariant: raises on mismatch
+    cf = CutFlow("flagship_sel",
+                 {"All": ["lat > -80.0", {"Any": ["lng < 150.0", "lng > 170.0"]}]},
+                 weights="weight")
+    ds = cf.apply(ds)
+    ds = CellEncode(res=RES).apply(ds)
+    ds = ds.map_batches(lambda t: t.filter(pc.greater_equal(t["cell"], 0)),
+                        batch_format="pyarrow")
+    ds = pip_join(ds, rect_polygons(), res=RES, mode="left")
+    ds = knn_join(ds, sites_table(), k=3, res=RES, explode=False)
+    z = ZonalAggregate("flagship_zonal", keys=["cell"],
+                       weights={"weight": "weight"}, salt_buckets=8)
+    return z.aggregate(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fast_carpenter_ray.pipelines.queries import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fast_carpenter_ray.pipelines.queries import build_oracles
+
+    return build_oracles()

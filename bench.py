@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline spatial-join + tiling pipeline + key queries.
+
+Prints ONE JSON line:
+  {"metric": "flagship_pipeline", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs": N, "docs_per_sec": N}
+
+Env:
+  GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS ray.init num_cpus (default 32)
+  GRAFT_REPLICATE pages replication factor (default 8 -> 40k pages at sf0.1)
+
+--scaling: runs the plain bench twice in fresh subprocesses at 8 and 32
+CPUs on the same input and reports throughput at both plus the scaling
+efficiency (the sandbox stand-in for the north rule's N vs 4N cluster
+sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "8"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow.compute as pc
+
+    from fast_carpenter_ray.fixtures import pages_dataset, rect_polygons, sites_table
+    from fast_carpenter_ray.pipelines.queries import RES, _pages_geo, build_queries
+    from fast_carpenter_ray.stages import (
+        CellEncode, CutFlow, HashCompare, ZonalAggregate, pip_join)
+    from fast_carpenter_ray.stages.knn_join import knn_join
+
+    # warm the page cache (untimed): one pass over the parquet bytes
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "lineitem", "events", "embeddings"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    # actor pools autoscale; min actors sized so that SEVERAL pools can
+    # coexist without reserving every CPU (two pools of min-4 on an 8-CPU
+    # node deadlock the task stages feeding them)
+    pool = (max(1, NUM_CPUS // 8), NUM_CPUS)
+    timings: dict = {}
+
+    # ---- headline: full spatial-join + tiling pipeline -----------------
+    t0 = time.perf_counter()
+    # block count = 4 tasks per CPU drives parallelism through the fused
+    # map chain (batch_size=None everywhere -> one batch per block)
+    ds = _pages_geo(SF_DIR, replicate=REPLICATE, num_blocks=4 * NUM_CPUS)
+    ds = HashCompare.apply(ds)
+    cf = CutFlow("bench_sel",
+                 {"All": ["lat > -80.0", {"Any": ["lng < 150.0", "lng > 170.0"]}]},
+                 weights="weight")
+    ds = cf.apply(ds)
+    ds = CellEncode(res=RES).apply(ds)
+    ds = ds.map_batches(lambda t: t.filter(pc.greater_equal(t["cell"], 0)),
+                        batch_format="pyarrow")
+    ds = pip_join(ds, rect_polygons(), res=RES, mode="left", concurrency=pool)
+    ds = knn_join(ds, sites_table(), k=3, res=RES, explode=False, concurrency=pool)
+    z = ZonalAggregate("bench_zonal", keys=["cell"],
+                       weights={"weight": "weight"}, salt_buckets=16)
+    zonal = z.aggregate(ds).to_pandas()
+    flagship_sec = time.perf_counter() - t0
+    n_docs = int(zonal["n"].sum())
+    timings["flagship"] = round(flagship_sec, 3)
+
+    # ---- representative queries ---------------------------------------
+    queries = build_queries()
+    for name in ("zonal", "cutflow", "binned_lineitem", "dedup_exact",
+                 "token_count", "ann_cosine", "window_agg"):
+        t0 = time.perf_counter()
+        result = queries[name](SF_DIR)
+        if hasattr(result, "to_pandas"):
+            result = result.to_pandas()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship_pipeline",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicate": REPLICATE,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / flagship_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes (stand-in for
+    two cluster sizes; north rule scaling criterion)."""
+    results = {}
+    # scaling runs use a larger input so per-doc work dominates the fixed
+    # scheduling/pool-startup overhead (~4s) — the quantity the criterion
+    # measures is throughput scaling, not constant-cost amortization
+    replicate = os.environ.get("GRAFT_SCALING_REPLICATE", "40")
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_REPLICATE=replicate)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = results[8]["value"], results[32]["value"]
+    thr_lo = results[8]["docs_per_sec"]
+    thr_hi = results[32]["docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": thr_lo,
+        "docs_per_sec_32": thr_hi,
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -23,7 +23,7 @@ sums — float-order-independent aggregate goldens.
 from __future__ import annotations
 
 import html as _htmlmod
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -129,6 +129,9 @@ def synth_pages_batch(batch: pa.Table, id_offset: int = 0) -> pa.Table:
         )
     ]
     ts = WARC_EPOCH_US + doc_id * (WARC_STEP_S * 1_000_000)
+    import hashlib
+
+    expected = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in text]
     return pa.table(
         {
             "doc_id": pa.array(doc_id, type=pa.int64()),
@@ -137,34 +140,33 @@ def synth_pages_batch(batch: pa.Table, id_offset: int = 0) -> pa.Table:
             "html": pa.array(htmls, type=pa.binary()),
             "text": pa.array([""] * len(urls), type=pa.string()),
             "lang": pa.array(lang, type=pa.string()),
+            # provenance sidecar: sha256 of the source text, used by the
+            # HashCompare invariant stage to verify re-extraction
+            "expected_sha256": pa.array(expected, type=pa.string()),
         }
     )
 
 
-def pages_dataset(sf_dir: str, replicate: int = 1):
+def pages_dataset(sf_dir: str, replicate: int = 1, num_blocks: Optional[int] = None):
     """Lazy Ray Dataset of synthetic pages derived from sf_dir/documents.
 
-    ``replicate`` unions shifted copies (doc_id += r*10_000_000) to scale the
+    ``replicate`` emits shifted copies (doc_id += r*10_000_000) to scale the
     input up for benchmarking without new data (FIXTURES.md §1 "scaled up on
-    the fly by repeating the generator with shifted indices").
+    the fly by repeating the generator with shifted indices") — generated in
+    ONE pass inside the same map task (an 8-way ``union`` of re-reads made
+    the physical plan 24 operators deep for no benefit).
     """
     import ray.data as rd
 
-    parts = []
-    for r in range(replicate):
-        offset = r * 10_000_000
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
-        parts.append(
-            ds.map_batches(
-                synth_pages_batch,
-                batch_format="pyarrow",
-                fn_kwargs={"id_offset": offset},
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         override_num_blocks=num_blocks)
+
+    def synth_replicated(batch: pa.Table) -> pa.Table:
+        tables = [synth_pages_batch(batch, id_offset=r * 10_000_000)
+                  for r in range(replicate)]
+        return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+
+    return ds.map_batches(synth_replicated, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------

@@ -1,0 +1,633 @@
+"""Driver-contract queries: one Ray pipeline per operator + DuckDB oracles.
+
+Each ``QUERIES[name](sf_dir)`` runs a real engine pipeline over the
+driver-generated parquet at ``sf_dir`` and returns a small result
+(Dataset / pandas / Arrow).  ``ORACLES[name]`` is the ANSI-SQL equivalent
+DuckDB runs on the same tables (views ``documents``, ``lineitem``,
+``events``, ``embeddings``, ... pre-registered by the driver).  Column
+names and types match pairwise by construction; float aggregates of
+non-dyadic inputs are rounded identically on both sides (see comments).
+
+Geo queries operate on the deterministic synthetic pages derived from
+``documents`` (fixtures.py): lat/lng/weight are pure integer-arithmetic
+functions of doc_id mirrored bit-for-bit by ``sql_geo_exprs``, and the
+engine recovers them by actually parsing the synthesized html (%.17g
+round-trip), so the comparison exercises the full extract path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..fixtures import (
+    RECT_ZONES, geo_columns, pages_dataset, rect_polygons, rect_zones_sql_values,
+    sites_table, sites_sql_values, sql_geo_exprs)
+from ..geo.cells import RESOLUTION_DEFAULT
+from ..stages import (
+    BinnedDataframe, CellEncode, CutFlow, Define, EventByEventDataframe,
+    ExactDedup, ExtractText, Fingerprint, HashCompare, LangId, MinHashDedup,
+    QualityScore, SelectPhaseSpace, SimHashDedup, SystematicWeights,
+    TokenCount, ann_topk, near_dup_cosine, pip_join)
+from ..stages.knn_join import KNNJoiner, knn_join
+
+RES = RESOLUTION_DEFAULT  # 6 -> 64x64 grid
+_N = 1 << RES
+
+# ----------------------------------------------------------------------
+# shared pipeline fragments
+
+
+def _pages_geo(sf_dir: str, replicate: int = 1, concurrency=None,
+               num_blocks=None):
+    """documents -> synthetic pages -> extracted text + lat/lng (+ weight).
+
+    The weight column is part of the synthetic spec (dyadic k/1024 so sums
+    are order-independent-exact; fixtures.py docstring).  ``num_blocks``
+    sets the read's block count — the parallelism driver for the whole
+    fused map chain.
+    """
+    ds = pages_dataset(sf_dir, replicate=replicate, num_blocks=num_blocks)
+    ds = ExtractText.apply(ds, concurrency=concurrency)
+
+    def add_weight(batch: pa.Table) -> pa.Table:
+        g = geo_columns(batch["doc_id"].to_numpy(zero_copy_only=False))
+        return batch.append_column("weight", pa.array(g["weight"]))
+
+    return ds.map_batches(add_weight, batch_format="pyarrow")
+
+
+def _geo_sql_base() -> str:
+    e = sql_geo_exprs("doc_id")
+    return (
+        f"SELECT doc_id, lang, text, {e['lat']} AS lat, {e['lng']} AS lng, "
+        f"{e['weight']} AS weight FROM documents"
+    )
+
+
+def _cell_sql(lat: str = "lat", lng: str = "lng") -> str:
+    return (
+        f"(CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {_N}), 0), {_N - 1}) AS BIGINT) * {_N} "
+        f"+ CAST(least(greatest(floor(({lng} + 180.0) / 360.0 * {_N}), 0), {_N - 1}) AS BIGINT))"
+    )
+
+
+# ----------------------------------------------------------------------
+# individual queries (Ray side)
+
+
+def q_hash_invariant(sf_dir: str):
+    """Per-row invariant: sha256(extracted text) per doc — oracle recomputes
+    from the source text with DuckDB's independent sha256."""
+    ds = pages_dataset(sf_dir)
+    ds = ExtractText.apply(ds)
+    ds = HashCompare.apply(ds)  # raises on any mismatch (strict)
+    return ds.select_columns(["doc_id", "text_sha256"])
+
+
+def q_cell_encode(sf_dir: str):
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["cell"], 0)),
+        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "lat", "lng", "cell"])
+
+
+def q_pip_join(sf_dir: str):
+    ds = _pages_geo(sf_dir)
+    ds = pip_join(ds, rect_polygons(), res=RES, mode="inner")
+    return ds.select_columns(["doc_id", "poly_id"])
+
+
+def q_knn_euclid(sf_dir: str):
+    """kNN with squared-euclidean-in-degrees metric: pure-arithmetic
+    distances are bit-identical in SQL, so rankings match exactly."""
+    sites = sites_table()
+    slat = sites["lat"].to_numpy()
+    slng = sites["lng"].to_numpy()
+    sid = sites["site_id"].to_numpy()
+    order = np.argsort(sid, kind="stable")
+    slat, slng, sid = slat[order], slng[order], sid[order]
+    k = 3
+
+    def knn_batch(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(lat)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[ok]
+        dx = lat[ok][:, None] - slat[None, :]
+        dy = lng[ok][:, None] - slng[None, :]
+        d2 = dx * dx + dy * dy
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :k]  # stable -> site_id ties
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, k), type=pa.int64()),
+            "site_id": pa.array(sid[idx].ravel(), type=pa.int64()),
+            "rank": pa.array(np.tile(np.arange(1, k + 1), len(ids)), type=pa.int64()),
+        })
+
+    return _pages_geo(sf_dir).map_batches(knn_batch, batch_format="pyarrow")
+
+
+def q_knn_haversine(sf_dir: str):
+    """The real engine kNN join (k-ring + haversine refinement); rows-only
+    driver check, exactness proven in pytest against brute force."""
+    ds = _pages_geo(sf_dir)
+    ds = knn_join(ds, sites_table(), k=3, res=RES)
+    out = ds.select_columns(["doc_id", "site_id", "rank", "dist_m"])
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("dist_m"), "dist_m",
+            pa.compute.round(t["dist_m"], 3)),
+        batch_format="pyarrow")
+
+
+def q_zonal(sf_dir: str):
+    from ..stages import ZonalAggregate
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["cell"], 0)),
+        batch_format="pyarrow")
+    z = ZonalAggregate("zonal", keys=["cell"], weights={"weight": "weight"},
+                       salt_buckets=8)
+    out = z.aggregate(ds).to_pandas()
+    out = out.rename(columns={"sumw_weight": "sumw", "sumw2_weight": "sumw2"})
+    out["n"] = out["n"].astype(np.int64)
+    return out[["cell", "n", "sumw", "sumw2"]]
+
+
+def q_topk_cells(sf_dir: str):
+    df = q_zonal(sf_dir)
+    out = df.sort_values(["n", "cell"], ascending=[False, True]).head(10)
+    return out[["cell", "n"]].reset_index(drop=True)
+
+
+CUTFLOW_SELECTION = {"All": ["lang == 'en'", {"Any": ["lat > 0.0", "lng < 0.0"]}]}
+
+
+def q_cutflow(sf_dir: str):
+    ds = _pages_geo(sf_dir)
+    cf = CutFlow("cutflow", CUTFLOW_SELECTION, weights="weight", is_mc=True)
+    out = cf.cutflow(ds).to_pandas()
+    for c in ("passed_only_cut", "passed_incl", "totals_incl"):
+        out[c] = out[c].astype(np.int64)
+    out["depth"] = out["depth"].astype(np.int64)
+    cols = ["unique_id", "depth", "cut", "passed_only_cut", "passed_only_cut_weight",
+            "passed_incl", "passed_incl_weight", "totals_incl", "totals_incl_weight"]
+    return out[cols].sort_values("unique_id").reset_index(drop=True)
+
+
+def q_select_phasespace(sf_dir: str):
+    ds = _pages_geo(sf_dir)
+    sps = SelectPhaseSpace("region", "(lang == 'en') & (lat > 0.0)",
+                           region_name="region_en_north", weights=None)
+    out = ds.map_batches(sps, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "region_en_north"])
+
+
+def q_define_events(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    d = Define("derive", [
+        {"v2": "value * 2.0 + 1.0"},
+        {"rv": "sqrt(value * value)"},
+    ])
+    ds = d.apply(ds)
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["event_type"], "click")),
+        batch_format="pyarrow")
+    return ds.select_columns(["event_id", "v2", "rv"])
+
+
+def q_systematic_weights(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_discount", "l_tax"])
+    sw = SystematicWeights("sysw", {
+        "disc": {"nominal": "1.0 - l_discount", "up": "1.0 - l_discount * 0.5"},
+        "tax": "1.0 + l_tax",
+    }, is_mc=True)
+    ds = sw.apply(ds)
+    return ds.select_columns(
+        ["l_orderkey", "l_linenumber", "weight_nominal", "weight_disc_up"])
+
+
+def q_binned_lineitem(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"])
+    hist = BinnedDataframe("hist", [
+        {"in": "l_returnflag"},
+        {"in": "l_quantity", "out": "qty_bin",
+         "bins": {"edges": [0.0, 10.0, 20.0, 30.0, 40.0, 50.0]}},
+    ], weights={"w": "l_discount"})
+    out = hist.aggregate(ds).to_pandas()
+    out = out.rename(columns={"sumw_w": "sumw", "sumw2_w": "sumw2"})
+    out["n"] = out["n"].astype(np.int64)
+    out["qty_bin"] = out["qty_bin"].astype(np.int64)
+    # non-dyadic float sums: round identically on both sides (1e-6)
+    out["sumw"] = out["sumw"].round(6)
+    out["sumw2"] = out["sumw2"].round(6)
+    return out[["l_returnflag", "qty_bin", "n", "sumw", "sumw2"]]
+
+
+def q_skim(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+    skim = EventByEventDataframe(
+        "skim", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+        mask="l_quantity > 45.0")
+    return skim.apply(ds)
+
+
+def q_window_agg(sf_dir: str):
+    """Stream-shaped tumbling-window aggregate over the events table:
+    (user_id, hour window) -> count + sum(value).  Integer microsecond
+    floor-division keeps the window id exact on both sides."""
+    import ray.data as rd
+
+    from ..agg import combine_partials
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "win": us // 3_600_000_000,
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+        })
+        out = df.groupby(["user_id", "win"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = combine_partials(parts, ["user_id", "win"], ["n", "sum_value"],
+                           mode="tree").to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(6)
+    return out[["user_id", "win", "n", "sum_value"]]
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # num_partitions bounds shuffle task count (per-block scheduling
+    # overhead dominates at this input size; at 100 TB it scales with data)
+    out = ExactDedup("dedup", key="text", id_col="doc_id").survivors(
+        ds, num_partitions=8)
+    return out.select_columns(["doc_id"])
+
+
+def q_distinct_lang(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    out = ds.groupby("lang").aggregate(
+        Min("doc_id", alias_name="first_doc"), Count(alias_name="n")).to_pandas()
+    out["first_doc"] = out["first_doc"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["lang", "first_doc", "n"]]
+
+
+def q_token_count(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = TokenCount().apply(ds)
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+def q_quality(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = QualityScore().apply(ds).to_pandas()
+    # half-away-from-zero rounding to mirror DuckDB's round() exactly
+    # (numpy's round is half-to-even; ratios here are often dyadic, landing
+    # exactly on the .5 boundary)
+    for c in ("mean_word_len", "alpha_ratio"):
+        out[c] = np.floor(out[c] * 1e6 + 0.5) / 1e6
+    return out[["doc_id", "mean_word_len", "alpha_ratio"]]
+
+
+def q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = LangId().apply(ds)
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def q_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return Fingerprint().apply(ds).select_columns(["doc_id", "fingerprint"])
+
+
+def _neardup_corpus(sf_dir: str):
+    """documents plus deterministic perturbed copies of every 10th doc
+    (planted near-duplicates for the MinHash/SimHash pipelines)."""
+    import ray.data as rd
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 10 == 0
+        texts = [t + " near duplicate suffix tokens"
+                 for t, k in zip(batch["text"].to_pylist(), keep) if k]
+        return pa.table({
+            "doc_id": pa.array(ids[keep] + 10_000_000, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    return base.union(base.map_batches(perturb, batch_format="pyarrow"))
+
+
+def q_minhash_pairs(sf_dir: str):
+    ds = _neardup_corpus(sf_dir)
+    mh = MinHashDedup("minhash", threshold=0.5)
+    out = mh.candidate_pairs(ds).to_pandas()
+    out["est_jaccard"] = out["est_jaccard"].round(4)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_simhash_pairs(sf_dir: str):
+    ds = _neardup_corpus(sf_dir)
+    out = SimHashDedup("simhash").candidate_pairs(ds).to_pandas()
+    out["hamming"] = out["hamming"].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_ann_cosine(sf_dir: str):
+    """Top-5 cosine neighbours of the first 10 vectors; ranking by
+    (round(cos, 4) DESC, vec_id) — rounding makes the f64-summation-order
+    difference between numpy and DuckDB irrelevant."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmask = pa.compute.less(emb["vec_id"], 10)
+    qtab = emb.filter(qmask)
+    queries = {
+        "id": qtab["vec_id"].to_numpy(zero_copy_only=False),
+        "matrix": np.stack([np.asarray(v, dtype=np.float64)
+                            for v in qtab["embedding"].to_pylist()]),
+    }
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    got = ann_topk(ds, queries, k=10, exclude_self=True).to_pandas()
+    got["r4"] = got["cosine"].round(4)
+    got = got.sort_values(["query_id", "r4", "neighbor_id"],
+                          ascending=[True, False, True])
+    got = got.groupby("query_id", group_keys=False).head(5)
+    got["rank"] = got.groupby("query_id").cumcount() + 1
+    out = got[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding near-dup via LSH buckets + exact cosine verification.
+    The base table has no natural near-dups (max pairwise cosine ~0.48),
+    so perturbed copies of every 20th vector are planted deterministically
+    (id + 10M) — found pairs must link originals to their copies."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 20 == 0
+        vecs = [np.asarray(v, dtype=np.float32) for v, k in
+                zip(batch["embedding"].to_pylist(), keep) if k]
+        out_ids = ids[keep] + 10_000_000
+        # deterministic tiny rotation: flip sign of a small epsilon component
+        pert = [(v + np.float32(0.01) * np.sign(v)).tolist() for v in vecs]
+        return pa.table({
+            "vec_id": pa.array(out_ids, type=pa.int64()),
+            "embedding": pa.array(pert, type=pa.list_(pa.float32())),
+        })
+
+    corpus = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+    out = near_dup_cosine(corpus, threshold=0.95, dim=64).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    out["cosine"] = out["cosine"].round(4)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_image_features(sf_dir: str):
+    """Multimodal plumbing demo: binary payloads through the (fake) decode
+    actor pool -> feature summary (rows-only check; decode is stubbed)."""
+    import ray.data as rd
+
+    from ..stages import ImageDecode
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode("utf-8")[:64] for t in batch["text"].to_pylist()]
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    feats = ImageDecode.apply(media, fake=True)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(f) for f in batch["features"].to_pylist()])
+        return pa.table({
+            "media_id": batch["media_id"],
+            "feat_mean": pa.array(np.round(m.mean(axis=1), 6)),
+        })
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# oracle SQL
+
+
+def _cutflow_sql() -> str:
+    base = _geo_sql_base()
+    c1 = "(lang = 'en')"
+    g0 = "(lat > 0.0)"
+    g1 = "(lng < 0.0)"
+    anym = f"({g0} OR {g1})"
+    final = f"({c1} AND {anym})"
+
+    def row(uid, depth, cut, excl, incl, tot):
+        def cnt(cond):
+            if cond is None:
+                return "CAST(count(*) AS BIGINT)"
+            return f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+
+        def wsum(cond):
+            if cond is None:
+                return "sum(weight)"
+            return f"sum(CASE WHEN {cond} THEN weight ELSE 0.0 END)"
+
+        cut_sql = cut.replace("'", "''")
+        return (
+            f"SELECT '{uid}' AS unique_id, CAST({depth} AS BIGINT) AS depth, "
+            f"'{cut_sql}' AS cut, "
+            f"{cnt(excl)} AS passed_only_cut, {wsum(excl)} AS passed_only_cut_weight, "
+            f"{cnt(incl)} AS passed_incl, {wsum(incl)} AS passed_incl_weight, "
+            f"{cnt(tot)} AS totals_incl, {wsum(tot)} AS totals_incl_weight "
+            f"FROM base"
+        )
+
+    rows = [
+        row("0", 0, "All", final, final, None),
+        row("0,0", 1, "lang == 'en'", c1, c1, None),
+        row("0,1", 1, "Any", anym, final, c1),
+        row("0,1,0", 2, "lat > 0.0", g0, f"({g0} AND {c1})", c1),
+        row("0,1,1", 2, "lng < 0.0", g1, f"({anym} AND {c1})", c1),
+    ]
+    return f"WITH base AS ({base}) " + " UNION ALL ".join(rows)
+
+
+def build_oracles() -> Dict[str, str]:
+    geo = _geo_sql_base()
+    cell = _cell_sql()
+    zones = rect_zones_sql_values()
+    sites = sites_sql_values()
+    return {
+        "hash_invariant": "SELECT doc_id, sha256(text) AS text_sha256 FROM documents",
+        "cell_encode": (
+            f"WITH base AS ({geo}) SELECT doc_id, lat, lng, {cell} AS cell "
+            f"FROM base WHERE lat IS NOT NULL"),
+        "pip_join": (
+            f"WITH base AS ({geo}) "
+            f"SELECT doc_id, CAST(poly_id AS BIGINT) AS poly_id FROM base, {zones} "
+            f"WHERE lat >= lat0 AND lat < lat1 AND lng >= lng0 AND lng < lng1"),
+        "knn_euclid": (
+            f"WITH base AS ({geo}), "
+            f"d AS (SELECT doc_id, site_id, "
+            f"(lat - site_lat)*(lat - site_lat) + (lng - site_lng)*(lng - site_lng) AS d2 "
+            f"FROM base, {sites} WHERE lat IS NOT NULL) "
+            f"SELECT doc_id, CAST(site_id AS BIGINT) AS site_id, rank FROM ("
+            f"SELECT doc_id, site_id, "
+            f"row_number() OVER (PARTITION BY doc_id ORDER BY d2, site_id) AS rank "
+            f"FROM d) WHERE rank <= 3"),
+        "zonal": (
+            f"WITH base AS ({geo}) SELECT {cell} AS cell, "
+            f"CAST(count(*) AS BIGINT) AS n, sum(weight) AS sumw, "
+            f"sum(weight*weight) AS sumw2 "
+            f"FROM base WHERE lat IS NOT NULL GROUP BY cell"),
+        "topk_cells": (
+            f"WITH base AS ({geo}), z AS (SELECT {cell} AS cell, "
+            f"CAST(count(*) AS BIGINT) AS n FROM base WHERE lat IS NOT NULL "
+            f"GROUP BY cell) SELECT cell, n FROM z ORDER BY n DESC, cell LIMIT 10"),
+        "cutflow": _cutflow_sql(),
+        "select_phasespace": (
+            f"WITH base AS ({geo}) SELECT doc_id, "
+            f"(lang = 'en' AND coalesce(lat > 0.0, FALSE)) AS region_en_north "
+            f"FROM base"),
+        "define_events": (
+            "SELECT event_id, value * 2.0 + 1.0 AS v2, sqrt(value * value) AS rv "
+            "FROM events WHERE event_type = 'click'"),
+        "systematic_weights": (
+            "SELECT l_orderkey, l_linenumber, "
+            "(1.0 - l_discount)*(1.0 + l_tax) AS weight_nominal, "
+            "(1.0 - l_discount * 0.5)*(1.0 + l_tax) AS weight_disc_up "
+            "FROM lineitem"),
+        "binned_lineitem": (
+            "WITH b AS (SELECT l_returnflag, l_discount, "
+            "CAST(CASE WHEN l_quantity < 0 THEN 0 WHEN l_quantity < 10 THEN 1 "
+            "WHEN l_quantity < 20 THEN 2 WHEN l_quantity < 30 THEN 3 "
+            "WHEN l_quantity < 40 THEN 4 WHEN l_quantity < 50 THEN 5 "
+            "ELSE 6 END AS BIGINT) AS qty_bin FROM lineitem) "
+            "SELECT l_returnflag, qty_bin, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(l_discount), 6) AS sumw, "
+            "round(sum(l_discount*l_discount), 6) AS sumw2 "
+            "FROM b GROUP BY l_returnflag, qty_bin"),
+        "skim": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+            "FROM lineitem WHERE l_quantity > 45.0"),
+        "window_agg": (
+            "SELECT user_id, epoch_us(ts) // 3600000000 AS win, "
+            "CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value "
+            "FROM events GROUP BY user_id, win"),
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "distinct_lang": (
+            "SELECT lang, CAST(min(doc_id) AS BIGINT) AS first_doc, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"),
+        "token_count": (
+            "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens "
+            "FROM documents"),
+        "quality": (
+            "SELECT doc_id, "
+            "floor((length(replace(text, ' ', '')) "
+            "/ greatest(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END, 1)) * 1000000 + 0.5) "
+            "/ 1000000 AS mean_word_len, "
+            "floor((length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+            "/ greatest(length(text), 1)) * 1000000 + 0.5) / 1000000 AS alpha_ratio "
+            "FROM documents"),
+        "ann_cosine": (
+            "WITH q AS (SELECT vec_id AS query_id, "
+            "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10), "
+            "p AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 4) AS r4 "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "SELECT query_id, neighbor_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY r4 DESC, neighbor_id) AS rank "
+            "FROM p) WHERE rank <= 5"),
+    }
+
+
+def build_queries() -> Dict[str, Callable]:
+    return {
+        "hash_invariant": q_hash_invariant,
+        "cell_encode": q_cell_encode,
+        "pip_join": q_pip_join,
+        "knn_euclid": q_knn_euclid,
+        "knn_haversine": q_knn_haversine,
+        "zonal": q_zonal,
+        "topk_cells": q_topk_cells,
+        "cutflow": q_cutflow,
+        "select_phasespace": q_select_phasespace,
+        "define_events": q_define_events,
+        "systematic_weights": q_systematic_weights,
+        "binned_lineitem": q_binned_lineitem,
+        "skim": q_skim,
+        "window_agg": q_window_agg,
+        "dedup_exact": q_dedup_exact,
+        "distinct_lang": q_distinct_lang,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_cosine": q_ann_cosine,
+        "embed_neardup": q_embed_neardup,
+        "image_features": q_image_features,
+    }

@@ -101,13 +101,20 @@ def ann_topk(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
         concurrency=concurrency,
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g
+    # merge partial top-ks: output is O(n_batches * n_queries * k) rows —
+    # tiny by construction, so a single merge task beats a hash shuffle
+    # (same tree-combine rationale as agg.py)
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, g in batch.groupby("query_id", sort=True):
+            g = g.sort_values(["cosine", "neighbor_id"],
+                              ascending=[False, True]).head(k).copy()
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+            out.append(g)
+        return pd.concat(out, ignore_index=True)
 
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return local.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None)
 
 
 class LSHBuckets:
@@ -139,19 +146,26 @@ def near_dup_cosine(ds, threshold: float = 0.9, id_col: str = "vec_id",
                                "dim": dim, "seed": seed},
         batch_format="pyarrow", concurrency=(1, 2))
 
+    def empty():
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return empty()
         g = group.sort_values(id_col)
         ids = g[id_col].to_numpy()
         m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
         sims = m @ m.T
         iu = np.triu_indices(len(ids), k=1)
         hit = sims[iu] >= threshold
+        if not hit.any():
+            return empty()
         return pd.DataFrame({
-            "id_a": ids[iu[0][hit]],
-            "id_b": ids[iu[1][hit]],
-            "cosine": sims[iu][hit],
+            "id_a": ids[iu[0][hit]].astype(np.int64),
+            "id_b": ids[iu[1][hit]].astype(np.int64),
+            "cosine": sims[iu][hit].astype(np.float64),
         })
 
     cand = bucketed.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas")

@@ -195,13 +195,15 @@ class BinnedDataframe:
         return pa.Table.from_pandas(out, preserve_index=False)
 
     # -- dataset-level aggregate ---------------------------------------
-    def aggregate(self, ds):
-        """partials -> groupby(dims).sum -> sorted summary Dataset."""
-        from ray.data.aggregate import Sum
+    def aggregate(self, ds, mode: str = "tree"):
+        """partials -> combine (tree by default: histogram key spaces are
+        summary-sized, so a hash shuffle is pure overhead — agg.py) ->
+        sorted summary Dataset."""
+        from ..agg import combine_partials
 
         parts = ds.map_batches(self.partial, batch_format="pyarrow")
-        aggs = [Sum(c, alias_name=c) for c in self.value_columns]
-        return parts.groupby(self.out_dims).aggregate(*aggs).sort(self.out_dims)
+        out = combine_partials(parts, self.out_dims, self.value_columns, mode=mode)
+        return out.sort(self.out_dims)
 
     # -- driver-side rendering -----------------------------------------
     def collect(self, result, dataset_name: Optional[str] = None) -> pd.DataFrame:

@@ -101,12 +101,27 @@ class ExactDedup:
 
         return hashed.groupby("_content_hash").map_groups(first, batch_format="pandas")
 
-    def survivors(self, ds):
-        """Lighter variant: just the surviving ids (min id per hash)."""
+    def survivors(self, ds, num_partitions: Optional[int] = None):
+        """Lighter variant: just the surviving ids (min id per hash).
+
+        Per-batch partial min first (shrinks the shuffle to one row per
+        distinct hash per batch), then a hash groupby.  ``num_partitions``
+        bounds the shuffle task count (Ray's per-block scheduling overhead
+        dominates for small inputs)."""
         from ray.data.aggregate import Min
+
+        id_col = self.id_col
+
+        def partial_min(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            out = df.groupby("_content_hash", sort=False)[id_col].min().reset_index()
+            return pa.Table.from_pandas(out, preserve_index=False)
 
         hashed = ds.map_batches(self.hash_batch, batch_format="pyarrow")
         keep = hashed.select_columns(["_content_hash", self.id_col])
+        keep = keep.map_batches(partial_min, batch_format="pyarrow")
+        if num_partitions:
+            keep = keep.repartition(num_partitions)
         return keep.groupby("_content_hash").aggregate(
             Min(self.id_col, alias_name=self.id_col))
 
@@ -176,7 +191,9 @@ class MinHashDedup:
 
         def pairs(group: pd.DataFrame) -> pd.DataFrame:
             if len(group) < 2:
-                return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+                return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                     "id_b": pd.Series([], dtype="int64"),
+                                     "est_jaccard": pd.Series([], dtype="float64")})
             g = group.sort_values(id_col)
             ids = g[id_col].to_numpy()
             sigs = np.stack(g["sig"].to_numpy())
@@ -263,7 +280,9 @@ class SimHashDedup:
 
         def pairs(group: pd.DataFrame) -> pd.DataFrame:
             if len(group) < 2:
-                return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+                return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                     "id_b": pd.Series([], dtype="int64"),
+                                     "hamming": pd.Series([], dtype="int64")})
             g = group.drop_duplicates(id_col).sort_values(id_col)
             ids = g[id_col].to_numpy()
             sh = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)

@@ -38,9 +38,17 @@ def extract_one(html: bytes) -> Tuple[str, float, float]:
 
     Text is the html-unescaped <article> body — byte-identical to the
     original document text by construction of the fixture generator.
+    (``unescape`` is skipped when no entity marker is present — pure
+    fast-path, same output.)
     """
     m = _ARTICLE_RE.search(html)
-    text = _htmlmod.unescape(m.group(1).decode("utf-8")) if m else ""
+    if m:
+        raw = m.group(1)
+        text = raw.decode("utf-8")
+        if "&" in text:
+            text = _htmlmod.unescape(text)
+    else:
+        text = ""
     g = _GEO_RE.search(html)
     if g:
         lat, lng = float(g.group(1)), float(g.group(2))
@@ -92,7 +100,16 @@ class ExtractText:
         return batch
 
     @classmethod
-    def apply(cls, ds, concurrency=(1, 4), batch_size: int = 1024, drop_html: bool = True):
+    def apply(cls, ds, concurrency=None, batch_size=None, drop_html: bool = True):
+        """Default: stateless task pool (the compiled patterns are
+        module-level, so there is no per-actor state to amortize and tasks
+        scale elastically with zero pool-startup lag).  Pass
+        ``concurrency=(min,max)`` to run as an actor pool instead — the
+        right shape once a real model/codec loads in ``__init__``."""
+        if concurrency is None:
+            return ds.map_batches(
+                cls(drop_html=drop_html), batch_format="pyarrow",
+                batch_size=batch_size)
         return ds.map_batches(
             cls,
             fn_constructor_kwargs={"drop_html": drop_html},
@@ -135,7 +152,10 @@ class HashCompare:
         return batch
 
     @classmethod
-    def apply(cls, ds, concurrency=(1, 4), batch_size: int = 2048, **kwargs):
+    def apply(cls, ds, concurrency=None, batch_size=None, **kwargs):
+        if concurrency is None:
+            return ds.map_batches(cls(**kwargs), batch_format="pyarrow",
+                                  batch_size=batch_size)
         return ds.map_batches(
             cls,
             fn_constructor_kwargs=kwargs,

@@ -142,7 +142,7 @@ class KNNJoiner:
 
 
 def knn_join(ds, sites: pa.Table, k: int = 3, res: int = 6, max_ring: int = 4,
-             concurrency=(1, 4), batch_size: int = 4096, explode: bool = True,
+             concurrency=(1, 4), batch_size=None, explode: bool = True,
              lat: str = "lat", lng: str = "lng"):
     """Dataset-level wiring: broadcast sites once, probe via actor pool."""
     import ray

@@ -70,7 +70,7 @@ class PIPJoiner:
 
 
 def pip_join(ds, polygons: Sequence[Polygon], res: int = 6, mode: str = "inner",
-             concurrency=(1, 4), batch_size: int = 4096,
+             concurrency=(1, 4), batch_size=None,
              lat: str = "lat", lng: str = "lng"):
     """Dataset-level wiring: broadcast polygons once, probe via actor pool."""
     import ray

@@ -308,15 +308,15 @@ class CutFlow:
     def cutflow(self, ds):
         """Dataset of summed counter rows: one row per cut node.
 
-        A pure two-phase aggregate: per-batch counter partials ->
-        ``groupby(unique_id, depth, cut).sum()`` — tiny shuffle (n_nodes
-        rows per batch).
+        A pure two-phase aggregate: per-batch counter partials combined by
+        the tree reducer (n_nodes rows per batch — summary-sized, no
+        shuffle needed; agg.py).
         """
-        from ray.data.aggregate import Sum
+        from ..agg import combine_partials
 
         parts = ds.map_batches(self.counter_table, batch_format="pyarrow")
-        aggs = [Sum(c, alias_name=c) for c in self.selection.counter_columns()]
-        return parts.groupby(["unique_id", "depth", "cut"]).aggregate(*aggs)
+        return combine_partials(parts, ["unique_id", "depth", "cut"],
+                                self.selection.counter_columns(), mode="tree")
 
     def collect(self, cutflow_result, dataset_name: str = "pages") -> pd.DataFrame:
         """Reference-shaped cut-flow table (``filters.py:93-105``):

@@ -72,15 +72,31 @@ class ZonalAggregate:
         out = grouped.agg(**agg).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def aggregate(self, ds):
-        """partials -> (salted) groupby.sum [-> merge salts] -> sort."""
-        from ray.data.aggregate import Sum
+    def aggregate(self, ds, mode: str = "tree"):
+        """partials -> combine -> sort.
+
+        ``mode="tree"`` (default): coarse cell key spaces are summary-sized,
+        so the combine tree (agg.py) beats a hash shuffle by orders of
+        magnitude in scheduling overhead.  ``mode="hash"``: the true
+        shuffle path for fine-resolution cell spaces; with
+        ``salt_buckets>1`` the shuffle key is (cell, salt) first, splitting
+        any hot cell's partials across reducers, then salts merge in a
+        second (tiny) aggregate — exact because count/sumw/sumw2 are
+        associative+commutative (tested salted == unsalted).
+        """
+        from ..agg import combine_partials
 
         parts = ds.map_batches(self.partial, batch_format="pyarrow")
-        aggs = [Sum(c, alias_name=c) for c in self.value_columns]
-        if self.salt_buckets > 1:
-            salted = parts.groupby(self.keys + ["_salt"]).aggregate(*aggs)
-            merged = salted.groupby(self.keys).aggregate(*aggs)
+        if mode == "hash":
+            if self.salt_buckets > 1:
+                salted = combine_partials(parts, self.keys + ["_salt"],
+                                          self.value_columns, mode="hash")
+                merged = combine_partials(salted, self.keys,
+                                          self.value_columns, mode="hash")
+            else:
+                merged = combine_partials(parts, self.keys,
+                                          self.value_columns, mode="hash")
         else:
-            merged = parts.groupby(self.keys).aggregate(*aggs)
+            merged = combine_partials(parts, self.keys, self.value_columns,
+                                      mode="tree")
         return merged.sort(self.keys)
