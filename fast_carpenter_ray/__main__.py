@@ -1,0 +1,93 @@
+"""CLI: run a YAML-declared pipeline over Parquet input.
+
+Reference analogue: ``fast_carpenter dataset_cfg.yml sequence_cfg.yml
+--outdir out`` (``fast_carpenter/__main__.py:66-83``).  Ours takes the
+input parquet path(s) directly (Ray Data handles sharding natively —
+no --blocksize / --ncores: ``override_num_blocks`` and ``ray.init``
+num_cpus cover them) and writes each terminal stage's summary plus the
+run manifest into --outdir.
+
+    python -m fast_carpenter_ray pipeline.yml --input /data/pages.parquet \
+        --outdir /tmp/out [--num-blocks 256] [--help-stages]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="fast_carpenter_ray")
+    parser.add_argument("pipeline", nargs="?", help="processing config YAML")
+    parser.add_argument("--input", help="input parquet path/glob")
+    parser.add_argument("--source", default="parquet",
+                        help="registered source name (parquet/csv/json/pages)")
+    parser.add_argument("--outdir", default="output")
+    parser.add_argument("--num-blocks", type=int, default=None)
+    parser.add_argument("--columns", nargs="*", default=None,
+                        help="projection pushdown at the read")
+    parser.add_argument("--help-stages", action="store_true",
+                        help="list known stage names and exit")
+    args = parser.parse_args(argv)
+
+    if args.help_stages:
+        from .pipelines.config import STAGE_REGISTRY
+
+        for name, path in sorted(STAGE_REGISTRY.items()):
+            print(f"{name:24s} {path}")
+        return 0
+
+    if not args.pipeline or not args.input:
+        parser.error("pipeline YAML and --input are required")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+
+    from .pipelines.config import load_pipeline
+    from .sources import get_source
+    from .state.bookkeeping import write_manifest
+    from .state.checkpoint import checkpoint_write
+
+    seq = load_pipeline(args.pipeline)
+    read_kwargs = {}
+    if args.num_blocks:
+        read_kwargs["override_num_blocks"] = args.num_blocks
+    ds = get_source(args.source)(args.input, columns=args.columns, **read_kwargs)
+    out = seq.apply(ds)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    write_manifest(args.outdir, config={"pipeline": args.pipeline},
+                   input=args.input, source=args.source)
+
+    wrote_rows = False
+    for name, stage in seq:
+        if hasattr(stage, "cutflow"):
+            table = stage.collect(stage.cutflow(ds), dataset_name="input")
+            path = os.path.join(args.outdir, f"cuts_{name}.csv")
+            stage.write_csv(table, path)
+            print(f"wrote {path}")
+        if hasattr(stage, "aggregate"):
+            table = stage.collect(stage.aggregate(out)) \
+                if hasattr(stage, "collect") else stage.aggregate(out).to_pandas()
+            path = os.path.join(args.outdir, f"tbl_{name}.csv")
+            table.to_csv(path, float_format="%.17g")
+            print(f"wrote {path}")
+    # row-level output (resumable partitioned parquet) when the pipeline
+    # transforms rows; use the first column as the partition id column
+    schema_names = out.schema().names
+    id_col = schema_names[0]
+    lineage = checkpoint_write(out, os.path.join(args.outdir, "rows"), id_col)
+    print(f"wrote {len(lineage)} row partitions "
+          f"({int(lineage['rows'].sum())} rows, "
+          f"{int(lineage['skipped'].sum())} skipped)")
+    wrote_rows = True
+    return 0 if wrote_rows else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -64,10 +64,20 @@ def combine_partials(parts, keys: Sequence[str], value_cols: Sequence[str],
         return parts.groupby(list(keys)).aggregate(*aggs)
     if mode != "tree":
         raise ValueError(f"unknown combine mode {mode!r}")
-    # one intermediate level bounds any single task's input at
-    # (#partial rows / fan_in); a second level merges the fan_in results
-    ds = parts.repartition(fan_in).map_batches(
-        combine, batch_format="pyarrow", batch_size=None)
-    ds = ds.repartition(1).map_batches(
-        combine, batch_format="pyarrow", batch_size=None)
-    return ds
+    # Per-block shrink (stays fused with the producing pipeline), then the
+    # final merge of the tiny shrunken partials happens ON THE DRIVER —
+    # the reference's Collector architecture (selection/stage.py:61-75).
+    # Deliberately NOT a Repartition/Sort AllToAll: Ray 2.49's
+    # reservation-based resource allocator strangles an upstream map
+    # operator's task budget when AllToAll ops sit downstream (measured:
+    # the same 8-CPU pipeline ran 194s with a repartition tail vs 22s
+    # consumed directly), and a summary-sized result never needs one.
+    import pandas as pd
+    import ray.data as rd
+
+    shrunk = parts.map_batches(combine, batch_format="pyarrow", batch_size=None)
+    local = shrunk.to_pandas()  # bounded: (#blocks x #keys) rows
+    final = (local.groupby(list(keys), observed=True, sort=False)[list(value_cols)]
+             .agg(agg).reset_index())
+    final = final.sort_values(list(keys)).reset_index(drop=True)
+    return rd.from_pandas(final)

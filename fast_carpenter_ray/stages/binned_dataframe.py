@@ -85,11 +85,11 @@ class _Dimension:
         idx = np.where(np.isnan(values), -1, idx)
         return idx.astype(np.int64)
 
-    def interval(self, codes: np.ndarray) -> pd.Categorical:
-        """Bin codes -> pandas IntervalIndex labels (closed='left')."""
+    def interval(self, codes: np.ndarray):
+        """Bin codes -> pandas Interval labels (closed='left'), index-
+        compatible with the IntervalIndex used by pad_missing densify."""
         iv = pd.IntervalIndex.from_breaks(self.edges, closed="left")
-        return pd.Categorical.from_codes(
-            np.asarray(codes, dtype=np.int64), categories=iv.astype("category").categories)
+        return iv[np.asarray(codes, dtype=np.int64)]
 
 
 def _explode(arrays: Dict[str, object], n_rows: int) -> Dict[str, np.ndarray]:
@@ -203,7 +203,8 @@ class BinnedDataframe:
 
         parts = ds.map_batches(self.partial, batch_format="pyarrow")
         out = combine_partials(parts, self.out_dims, self.value_columns, mode=mode)
-        return out.sort(self.out_dims)
+        # tree mode returns already sorted; hash mode sorts the (small) summary
+        return out.sort(self.out_dims) if mode == "hash" else out
 
     # -- driver-side rendering -----------------------------------------
     def collect(self, result, dataset_name: Optional[str] = None) -> pd.DataFrame:
@@ -229,7 +230,10 @@ class BinnedDataframe:
                     index_values.append(pd.IntervalIndex.from_breaks(d.edges, closed="left"))
                 else:
                     index_values.append(df.index.get_level_values(d.out).unique())
-            full = pd.MultiIndex.from_product(index_values, names=self.out_dims)
+            if len(index_values) == 1:
+                full = index_values[0].rename(self.out_dims[0])
+            else:
+                full = pd.MultiIndex.from_product(index_values, names=self.out_dims)
             df = df.reindex(index=full)
         if dataset_name is not None:
             df = pd.concat([df], keys=[dataset_name], names=["dataset"])

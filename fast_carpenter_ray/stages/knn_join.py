@@ -142,11 +142,22 @@ class KNNJoiner:
 
 
 def knn_join(ds, sites: pa.Table, k: int = 3, res: int = 6, max_ring: int = 4,
-             concurrency=(1, 4), batch_size=None, explode: bool = True,
+             concurrency=None, batch_size=None, explode: bool = True,
              lat: str = "lat", lng: str = "lng"):
-    """Dataset-level wiring: broadcast sites once, probe via actor pool."""
+    """Dataset-level wiring for the kNN join.
+
+    ``concurrency=None`` (default): driver-built site index shipped in the
+    task closure — elastic stateless tasks (see pip_join rationale).
+    ``concurrency=(min,max)``: actor pool reading a ``ray.put`` broadcast
+    once per actor — for site tables too large to ship per task.
+    """
     import ray
 
+    if concurrency is None:
+        joiner = KNNJoiner(sites, k=k, res=res, max_ring=max_ring,
+                           explode=explode, lat=lat, lng=lng)
+        return ds.map_batches(joiner, batch_format="pyarrow",
+                              batch_size=batch_size)
     ref = ray.put(sites)
     return ds.map_batches(
         KNNJoiner,

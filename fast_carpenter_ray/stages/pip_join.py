@@ -70,11 +70,24 @@ class PIPJoiner:
 
 
 def pip_join(ds, polygons: Sequence[Polygon], res: int = 6, mode: str = "inner",
-             concurrency=(1, 4), batch_size=None,
+             concurrency=None, batch_size=None,
              lat: str = "lat", lng: str = "lng"):
-    """Dataset-level wiring: broadcast polygons once, probe via actor pool."""
+    """Dataset-level wiring for the PIP join.
+
+    ``concurrency=None`` (default): the index is built ONCE on the driver
+    and shipped inside the task closure — stateless tasks scale elastically
+    with zero pool-startup or pool-allocation lag (measured: actor pools
+    competing for CPUs at low core counts starve and serialize the stage).
+    ``concurrency=(min,max)``: actor pool with the index built per actor
+    from a ``ray.put`` broadcast — the right shape when the index is too
+    big to ship per task (e.g. millions of polygon vertices).
+    """
     import ray
 
+    if concurrency is None:
+        joiner = PIPJoiner(list(polygons), res=res, mode=mode, lat=lat, lng=lng)
+        return ds.map_batches(joiner, batch_format="pyarrow",
+                              batch_size=batch_size)
     ref = ray.put(list(polygons))
     return ds.map_batches(
         PIPJoiner,

@@ -96,7 +96,7 @@ class ZonalAggregate:
             else:
                 merged = combine_partials(parts, self.keys,
                                           self.value_columns, mode="hash")
-        else:
-            merged = combine_partials(parts, self.keys, self.value_columns,
-                                      mode="tree")
-        return merged.sort(self.keys)
+            return merged.sort(self.keys)
+        # tree mode returns already sorted (driver-side final merge)
+        return combine_partials(parts, self.keys, self.value_columns,
+                                mode="tree")
