@@ -34,6 +34,8 @@ def entry() -> Any:
 
     ds = _pages_geo(SF_ENTRY)
     ds = HashCompare.apply(ds)  # per-row invariant: raises on mismatch
+    # drop wide text/url/hash columns once the invariant has been checked
+    ds = ds.select_columns(["doc_id", "lat", "lng", "weight"])
     cf = CutFlow("flagship_sel",
                  {"All": ["lat > -80.0", {"Any": ["lng < 150.0", "lng > 170.0"]}]},
                  weights="weight")

@@ -27,7 +27,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "8"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "200"))
 NUM_BLOCKS = int(os.environ.get("GRAFT_NUM_BLOCKS", str(4 * NUM_CPUS)))
 
 

@@ -58,35 +58,44 @@ def main(argv=None) -> int:
     if args.num_blocks:
         read_kwargs["override_num_blocks"] = args.num_blocks
     ds = get_source(args.source)(args.input, columns=args.columns, **read_kwargs)
-    out = seq.apply(ds)
 
     os.makedirs(args.outdir, exist_ok=True)
     write_manifest(args.outdir, config={"pipeline": args.pipeline},
                    input=args.input, source=args.source)
 
-    wrote_rows = False
+    # walk the sequence cumulatively: each terminal sees the dataset as it
+    # exists AT ITS POSITION in the pipeline (a CutFlow both counts its
+    # input and filters the stream for downstream stages)
+    out = ds
+    summaries = []
     for name, stage in seq:
         if hasattr(stage, "cutflow"):
-            table = stage.collect(stage.cutflow(ds), dataset_name="input")
-            path = os.path.join(args.outdir, f"cuts_{name}.csv")
-            stage.write_csv(table, path)
-            print(f"wrote {path}")
+            summaries.append(("cuts", name, stage,
+                              stage.collect(stage.cutflow(out), dataset_name="input")))
+        if hasattr(stage, "apply"):
+            out = stage.apply(out)
         if hasattr(stage, "aggregate"):
-            table = stage.collect(stage.aggregate(out)) \
-                if hasattr(stage, "collect") else stage.aggregate(out).to_pandas()
-            path = os.path.join(args.outdir, f"tbl_{name}.csv")
+            result = stage.aggregate(out)
+            table = stage.collect(result) if hasattr(stage, "collect") \
+                else result.to_pandas()
+            summaries.append(("tbl", name, stage, table))
+
+    for kind, name, stage, table in summaries:
+        path = os.path.join(args.outdir, f"{kind}_{name}.csv")
+        if hasattr(stage, "write_csv"):
+            stage.write_csv(table, path)
+        else:
             table.to_csv(path, float_format="%.17g")
-            print(f"wrote {path}")
-    # row-level output (resumable partitioned parquet) when the pipeline
-    # transforms rows; use the first column as the partition id column
-    schema_names = out.schema().names
-    id_col = schema_names[0]
+        print(f"wrote {path}")
+
+    # row-level output: resumable partitioned parquet keyed by the first
+    # column of the final schema
+    id_col = out.schema().names[0]
     lineage = checkpoint_write(out, os.path.join(args.outdir, "rows"), id_col)
     print(f"wrote {len(lineage)} row partitions "
           f"({int(lineage['rows'].sum())} rows, "
           f"{int(lineage['skipped'].sum())} skipped)")
-    wrote_rows = True
-    return 0 if wrote_rows else 1
+    return 0
 
 
 if __name__ == "__main__":

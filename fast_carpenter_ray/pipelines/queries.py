@@ -103,6 +103,44 @@ def q_pip_join(sf_dir: str):
     return ds.select_columns(["doc_id", "poly_id"])
 
 
+def q_pip_semi(sf_dir: str):
+    """Semi join: pages matched by >=1 rectangle zone, once."""
+    ds = _pages_geo(sf_dir)
+    ds = pip_join(ds, rect_polygons(), res=RES, mode="semi")
+    return ds.select_columns(["doc_id"])
+
+
+def q_pip_anti(sf_dir: str):
+    """Anti join: pages matched by no rectangle zone (incl. no-geo rows)."""
+    ds = _pages_geo(sf_dir)
+    ds = pip_join(ds, rect_polygons(), res=RES, mode="anti")
+    return ds.select_columns(["doc_id"])
+
+
+def q_cell_parent(sf_dir: str):
+    """Hierarchical cell rollup: res-6 cells coarsened to res-4 parents,
+    counted — the h3 cell_to_parent aggregation path."""
+    from ..geo.cells import parent as cell_parent
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES, parent_res=4).apply(ds)
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["cell"], 0)),
+        batch_format="pyarrow")
+
+    from ..agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"parent_cell": batch["cell_r4"].to_numpy(zero_copy_only=False)})
+        out = df.groupby("parent_cell", sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = combine_partials(parts, ["parent_cell"], ["n"], mode="tree").to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def q_knn_euclid(sf_dir: str):
     """kNN with squared-euclidean-in-degrees metric: pure-arithmetic
     distances are bit-identical in SQL, so rankings match exactly."""
@@ -525,6 +563,23 @@ def build_oracles() -> Dict[str, str]:
             f"WITH base AS ({geo}) "
             f"SELECT doc_id, CAST(poly_id AS BIGINT) AS poly_id FROM base, {zones} "
             f"WHERE lat >= lat0 AND lat < lat1 AND lng >= lng0 AND lng < lng1"),
+        "pip_semi": (
+            f"WITH base AS ({geo}) "
+            f"SELECT doc_id FROM base b WHERE EXISTS ("
+            f"SELECT 1 FROM {zones} "
+            f"WHERE b.lat >= lat0 AND b.lat < lat1 "
+            f"AND b.lng >= lng0 AND b.lng < lng1)"),
+        "pip_anti": (
+            f"WITH base AS ({geo}) "
+            f"SELECT doc_id FROM base b WHERE NOT EXISTS ("
+            f"SELECT 1 FROM {zones} "
+            f"WHERE b.lat >= lat0 AND b.lat < lat1 "
+            f"AND b.lng >= lng0 AND b.lng < lng1)"),
+        "cell_parent": (
+            f"WITH base AS ({geo}), z AS (SELECT {cell} AS cell FROM base "
+            f"WHERE lat IS NOT NULL) "
+            f"SELECT ((cell // {_N}) // 4) * 16 + ((cell % {_N}) // 4) AS parent_cell, "
+            f"CAST(count(*) AS BIGINT) AS n FROM z GROUP BY parent_cell"),
         "knn_euclid": (
             f"WITH base AS ({geo}), "
             f"d AS (SELECT doc_id, site_id, "
@@ -607,7 +662,10 @@ def build_queries() -> Dict[str, Callable]:
     return {
         "hash_invariant": q_hash_invariant,
         "cell_encode": q_cell_encode,
+        "cell_parent": q_cell_parent,
         "pip_join": q_pip_join,
+        "pip_semi": q_pip_semi,
+        "pip_anti": q_pip_anti,
         "knn_euclid": q_knn_euclid,
         "knn_haversine": q_knn_haversine,
         "zonal": q_zonal,
