@@ -322,6 +322,59 @@ def q_window_agg(sf_dir: str):
     return out[["user_id", "win", "n", "sum_value"]]
 
 
+def q_lookup_join(sf_dir: str):
+    """Broadcast dimension join: orders x customer (small side broadcast,
+    probe side streams; no shuffle)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.joins import lookup_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey", "o_totalprice"]),
+        batch_format="pyarrow")
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+    out = lookup_join(orders, customer, key="c_custkey", how="inner")
+    return out.select_columns(["o_orderkey", "c_custkey", "o_totalprice",
+                               "c_mktsegment"])
+
+
+def q_hash_join(sf_dir: str):
+    """Large x large hash-partitioned join: lineitem x orders, then a
+    grouped revenue rollup per order priority."""
+    import ray.data as rd
+
+    from ..agg import combine_partials
+    from ..stages.joins import hash_join
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    lineitem = lineitem.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(lineitem, orders, key="o_orderkey", num_partitions=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        out = df.groupby("o_orderpriority", sort=False).agg(
+            n=("revenue", "size"), revenue=("revenue", "sum")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = joined.map_batches(partial, batch_format="pyarrow")
+    out = combine_partials(parts, ["o_orderpriority"], ["n", "revenue"],
+                           mode="tree").to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    out["revenue"] = out["revenue"].round(4)
+    return out
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -628,6 +681,15 @@ def build_oracles() -> Dict[str, str]:
             "SELECT user_id, epoch_us(ts) // 3600000000 AS win, "
             "CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY user_id, win"),
+        "lookup_join": (
+            "SELECT o_orderkey, o_custkey AS c_custkey, "
+            "o_totalprice, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"),
+        "hash_join": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"),
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "distinct_lang": (
             "SELECT lang, CAST(min(doc_id) AS BIGINT) AS first_doc, "
@@ -677,6 +739,8 @@ def build_queries() -> Dict[str, Callable]:
         "binned_lineitem": q_binned_lineitem,
         "skim": q_skim,
         "window_agg": q_window_agg,
+        "lookup_join": q_lookup_join,
+        "hash_join": q_hash_join,
         "dedup_exact": q_dedup_exact,
         "distinct_lang": q_distinct_lang,
         "token_count": q_token_count,

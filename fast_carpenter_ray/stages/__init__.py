@@ -11,3 +11,4 @@ from .dedup import ExactDedup, MinHashDedup, SimHashDedup, ngram_jaccard  # noqa
 from .text import TokenCount, QualityScore, LangId, Fingerprint  # noqa: F401
 from .ann import ann_topk, near_dup_cosine, LSHBuckets  # noqa: F401
 from .multimodal import ImageDecode, FrameSample, media_schema  # noqa: F401
+from .joins import lookup_join, hash_join  # noqa: F401
