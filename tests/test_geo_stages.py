@@ -122,3 +122,21 @@ def test_zonal_matches_pandas_oracle(ray_session, sf_dir):
     merged = got.merge(exp, on="cell", suffixes=("", "_exp"))
     assert (merged["n"] == merged["n_exp"]).all()
     np.testing.assert_array_equal(merged["sumw_w"], merged["sumw_w_exp"])
+
+
+def test_zonal_hash_mode_salted_equals_tree(ray_session, sf_dir):
+    """The true-shuffle path (hash mode + salt splitting) must agree with
+    the tree combine exactly (dyadic weights => order-free sums)."""
+    import ray.data as rd
+
+    batch = geo_batch(sf_dir)
+    cells = CellEncode(res=4)(batch)
+    ds = rd.from_arrow(cells).repartition(5)
+    tree = ZonalAggregate("z", keys=["cell"], weights={"w": "weight"})
+    hash_salted = ZonalAggregate("z", keys=["cell"], weights={"w": "weight"},
+                                 salt_buckets=5)
+    a = tree.aggregate(ds, mode="tree").to_pandas()
+    b = hash_salted.aggregate(ds, mode="hash").to_pandas()[a.columns]
+    a = a.sort_values("cell").reset_index(drop=True)
+    b = b.sort_values("cell").reset_index(drop=True)
+    assert a.equals(b)
