@@ -11,10 +11,12 @@ Env:
   RAY_GRAFT_CPUS ray.init num_cpus (default 32)
   GRAFT_REPLICATE pages replication factor (default 8 -> 40k pages at sf0.1)
 
---scaling: runs the plain bench twice in fresh subprocesses at 8 and 32
-CPUs on the same input and reports throughput at both plus the scaling
-efficiency (the sandbox stand-in for the north rule's N vs 4N cluster
-sizes).
+--scaling: runs the plain bench twice in fresh subprocesses at N and 4N
+CPUs (default 4 and 16 — inside this VM's linear region, see run_scaling)
+on the same input/block layout and reports throughput at both plus the
+scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
+cluster sizes).  Env: GRAFT_SCALING_CPUS="8,32", GRAFT_SCALING_REPLICATE,
+GRAFT_BENCH_REPEATS.
 """
 
 from __future__ import annotations
