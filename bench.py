@@ -47,7 +47,7 @@ def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import pyarrow.compute as pc
 
-    from fast_carpenter_ray.fixtures import pages_dataset, rect_polygons, sites_table
+    from fast_carpenter_ray.fixtures import rect_polygons, sites_table
     from fast_carpenter_ray.pipelines.queries import RES, _pages_geo, build_queries
     from fast_carpenter_ray.stages import (
         CellEncode, CutFlow, HashCompare, ZonalAggregate, pip_join)
@@ -59,10 +59,6 @@ def run_bench() -> dict:
     for t in ("documents", "lineitem", "events", "embeddings"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
-    # actor pools autoscale; min actors sized so that SEVERAL pools can
-    # coexist without reserving every CPU (two pools of min-4 on an 8-CPU
-    # node deadlock the task stages feeding them)
-    pool = (max(1, NUM_CPUS // 8), NUM_CPUS)
     timings: dict = {}
 
     # ---- headline: full spatial-join + tiling pipeline -----------------
@@ -149,7 +145,7 @@ def run_scaling() -> dict:
         # granularity effects
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_REPLICATE=replicate, GRAFT_NUM_BLOCKS="256",
-                   GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+                   GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "3"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,

@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..fixtures import (
-    RECT_ZONES, geo_columns, pages_dataset, rect_polygons, rect_zones_sql_values,
+    geo_columns, pages_dataset, rect_polygons, rect_zones_sql_values,
     sites_table, sites_sql_values, sql_geo_exprs)
 from ..geo.cells import RESOLUTION_DEFAULT
 from ..stages import (
@@ -32,7 +32,7 @@ from ..stages import (
     ExactDedup, ExtractText, Fingerprint, HashCompare, LangId, MinHashDedup,
     QualityScore, SelectPhaseSpace, SimHashDedup, SystematicWeights,
     TokenCount, ann_topk, near_dup_cosine, pip_join)
-from ..stages.knn_join import KNNJoiner, knn_join
+from ..stages.knn_join import knn_join
 
 RES = RESOLUTION_DEFAULT  # 6 -> 64x64 grid
 _N = 1 << RES

@@ -34,16 +34,37 @@ from ..geo.distance import EARTH_RADIUS_M, haversine_m
 __all__ = ["KNNJoiner", "knn_join", "brute_force_knn"]
 
 
+def _unit_vectors(lat, lng) -> np.ndarray:
+    """[n, 3] unit vectors on the sphere (4 trig calls per point)."""
+    latr = np.radians(np.asarray(lat, dtype=np.float64))
+    lngr = np.radians(np.asarray(lng, dtype=np.float64))
+    cl = np.cos(latr)
+    return np.stack([cl * np.cos(lngr), cl * np.sin(lngr), np.sin(latr)], axis=1)
+
+
 def brute_force_knn(lat, lng, site_lat, site_lng, site_id, k):
     """Exact kNN over all sites; ties by site_id.  Returns (ids, dists)
-    arrays of shape [n_points, k]."""
+    arrays of shape [n_points, k].
+
+    Ranking is by the chord dot product (one matmul — great-circle
+    distance is strictly monotone decreasing in the dot product, so the
+    ranking is exact while avoiding per-pair trig: haversine at ~1us/elem
+    on this VM dominated the join otherwise).  Haversine is evaluated only
+    for the selected k neighbours (the emitted distances)."""
     order = np.argsort(site_id, kind="stable")
     slat, slng, sid = site_lat[order], site_lng[order], site_id[order]
-    d = haversine_m(lat[:, None], lng[:, None], slat[None, :], slng[None, :])
     kk = min(k, len(sid))
-    idx = np.argsort(d, axis=1, kind="stable")[:, :kk]  # stable => site_id ties
-    rows = np.arange(len(lat))[:, None]
-    return sid[idx], d[rows, idx]
+    p = _unit_vectors(lat, lng)
+    s = _unit_vectors(slat, slng)
+    dots = p @ s.T  # [n, n_sites]; larger dot = closer
+    idx = np.argsort(-dots, axis=1, kind="stable")[:, :kk]  # stable => id ties
+    rows = np.arange(len(p))[:, None]
+    sel_lat = slat[idx]
+    sel_lng = slng[idx]
+    d = haversine_m(np.asarray(lat, dtype=np.float64)[:, None],
+                    np.asarray(lng, dtype=np.float64)[:, None],
+                    sel_lat, sel_lng)
+    return sid[idx], d
 
 
 class KNNJoiner:
@@ -102,6 +123,12 @@ class KNNJoiner:
         # fallback: exact brute force over all sites
         return brute_force_knn(lat, lng, self.site_lat, self.site_lng, self.site_id, k)
 
+    #: below this site count the k-ring candidate machinery costs more than
+    #: one whole-batch distance matrix — brute force the batch in a single
+    #: vectorized pass (the ring path is the scale story for large site
+    #: tables, where candidates per cell << total sites)
+    BRUTE_FORCE_SITES = 2048
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
         lng = batch[self.lng_col].to_numpy(zero_copy_only=False)
@@ -111,6 +138,14 @@ class KNNJoiner:
         out_ids = np.full((n, kk), -1, dtype=np.int64)
         out_d = np.full((n, kk), np.nan)
         valid = cells >= 0
+        if len(self.site_id) <= self.BRUTE_FORCE_SITES:
+            if valid.any():
+                ids, dists = brute_force_knn(
+                    lat[valid], lng[valid],
+                    self.site_lat, self.site_lng, self.site_id, kk)
+                out_ids[valid] = ids
+                out_d[valid] = dists
+            return self._emit(batch, valid, out_ids, out_d, kk)
         order = np.argsort(cells, kind="stable")
         sc = cells[order]
         uniq, starts = np.unique(sc, return_index=True)
@@ -122,6 +157,10 @@ class KNNJoiner:
             ids, dists = self._query_group(lat[idx], lng[idx], int(u))
             out_ids[idx] = ids
             out_d[idx] = dists
+        return self._emit(batch, valid, out_ids, out_d, kk)
+
+    def _emit(self, batch, valid, out_ids, out_d, kk):
+        n = len(batch)
 
         if self.explode:
             rows = np.repeat(np.arange(n)[valid], kk)

@@ -62,6 +62,7 @@ def test_knn_ring_equals_bruteforce(sf_dir):
     batch = geo_batch(sf_dir, n=300)
     sites = sites_table()
     joiner = KNNJoiner(sites, k=3, res=6, max_ring=3)
+    joiner.BRUTE_FORCE_SITES = 0  # force the k-ring expansion path
     out = joiner(batch)
     lat = batch["lat"].to_numpy(zero_copy_only=False)
     lng = batch["lng"].to_numpy(zero_copy_only=False)
