@@ -8,19 +8,22 @@ combine.  For the combine there are two regimes:
   nodes, zonal cells at coarse resolution): the partials are tiny, so a
   full hash shuffle is pure scheduling overhead (measured: Ray's
   ``groupby().aggregate()`` on 64 partial blocks of 18 rows spent ~57 s
-  scheduling ~6 s of work).  Instead, coalesce partials into
-  ``fan_in`` blocks, pandas-sum inside each, and repeat until one block
-  remains — a deterministic combine tree with O(log) depth, exactly the
-  reference's ``merge()`` tree-reduce (``selection/stage.py:61-75``) in
-  Ray Data form.
+  scheduling ~6 s of work).  Instead, each block is shrunk in place (fused
+  with the producing pipeline) and the tiny shrunken partials are merged
+  ON THE DRIVER — the reference's Collector architecture
+  (``selection/stage.py:61-75``) in Ray Data form.  The driver merge is
+  O(#blocks x #keys); ``max_driver_rows`` guards the regime boundary and
+  raises with a pointer to ``mode="hash"`` if the key space turns out not
+  to be summary-sized after all.
 
-* ``hash`` — the key space is huge (per-url dedup, fine-resolution cells):
-  fall back to ``groupby().aggregate(Sum)`` which hash-partitions keys
-  across the cluster.  Partials still shrink the shuffle by the per-batch
-  dedup factor first.
+* ``hash`` — the key space grows with the data (per-user windows,
+  fine-resolution cells, per-url dedup): ``groupby().aggregate(Sum)``
+  hash-partitions keys across the cluster; nothing ever materializes on
+  the driver.  Partials still shrink the shuffle by the per-batch dedup
+  factor first.
 
-``combine_partials`` picks ``tree`` by default; callers with
-billion-key aggregates pass ``mode="hash"``.
+``combine_partials`` picks ``tree`` by default; callers whose key
+cardinality scales with the input MUST pass ``mode="hash"``.
 """
 
 from __future__ import annotations
@@ -31,6 +34,12 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["combine_partials"]
+
+#: tree-mode driver-merge budget: (#blocks x #keys) rows above this raise.
+#: ~5M rows of a few numeric columns is < 1 GiB driver heap — generous for
+#: any genuinely summary-sized key space, far below any per-key space that
+#: scales with a 100 TB input.
+MAX_DRIVER_ROWS = 5_000_000
 
 
 def _make_combiner(keys: Sequence[str], value_cols: Sequence[str],
@@ -48,12 +57,18 @@ def _make_combiner(keys: Sequence[str], value_cols: Sequence[str],
 
 
 def combine_partials(parts, keys: Sequence[str], value_cols: Sequence[str],
-                     mode: str = "tree", fan_in: int = 8, agg: str = "sum"):
+                     mode: str = "tree", agg: str = "sum",
+                     max_driver_rows: int = MAX_DRIVER_ROWS):
     """Combine per-batch partial tables into one table per key.
 
     ``parts``: Dataset of partial rows (keys + value columns).
-    ``mode="tree"``: repartition -> in-block pandas combine, repeated down
-    to one block.  ``mode="hash"``: Ray groupby shuffle (huge key spaces).
+    ``mode="tree"``: per-block shrink (stays fused with the producing
+    pipeline) + driver-side final merge of the shrunken partials; sorted
+    by ``keys``.  Raises if the driver merge would exceed
+    ``max_driver_rows`` — that is the signal the key space is not
+    summary-sized and the caller must use ``mode="hash"``.
+    ``mode="hash"``: Ray groupby shuffle (key spaces that scale with the
+    data); returns an UNSORTED Dataset, nothing on the driver.
     """
     combine = _make_combiner(keys, value_cols, agg)
     if mode == "hash":
@@ -61,7 +76,9 @@ def combine_partials(parts, keys: Sequence[str], value_cols: Sequence[str],
 
         agg_cls = {"sum": Sum, "min": Min, "max": Max}[agg]
         aggs = [agg_cls(c, alias_name=c) for c in value_cols]
-        return parts.groupby(list(keys)).aggregate(*aggs)
+        shrunk = parts.map_batches(combine, batch_format="pyarrow",
+                                   batch_size=None)
+        return shrunk.groupby(list(keys)).aggregate(*aggs)
     if mode != "tree":
         raise ValueError(f"unknown combine mode {mode!r}")
     # Per-block shrink (stays fused with the producing pipeline), then the
@@ -72,11 +89,15 @@ def combine_partials(parts, keys: Sequence[str], value_cols: Sequence[str],
     # operator's task budget when AllToAll ops sit downstream (measured:
     # the same 8-CPU pipeline ran 194s with a repartition tail vs 22s
     # consumed directly), and a summary-sized result never needs one.
-    import pandas as pd
     import ray.data as rd
 
     shrunk = parts.map_batches(combine, batch_format="pyarrow", batch_size=None)
-    local = shrunk.to_pandas()  # bounded: (#blocks x #keys) rows
+    local = shrunk.to_pandas()  # bounded: (#blocks x #keys) rows, guarded below
+    if len(local) > max_driver_rows:
+        raise ValueError(
+            f"combine_partials(mode='tree'): driver merge of {len(local)} "
+            f"partial rows exceeds the {max_driver_rows}-row budget — this "
+            f"key space is not summary-sized; use mode='hash'")
     final = (local.groupby(list(keys), observed=True, sort=False)[list(value_cols)]
              .agg(agg).reset_index())
     final = final.sort_values(list(keys)).reset_index(drop=True)

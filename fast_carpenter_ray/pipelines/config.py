@@ -122,9 +122,21 @@ def load_pipeline(config, extra_kwargs: Optional[Dict[str, Dict]] = None) -> Seq
             raise BadPipelineConfig(f"cannot import stage class {cls_name!r}: {err}")
         section = dict(config.get(name, {}))
         section.update(extra_kwargs.get(name, {}))
+        # Decide name-passing from the constructor SIGNATURE, not by
+        # catching TypeError — a TypeError raised *inside* a stage
+        # constructor from a bad config must surface as-is, not trigger a
+        # confusing retry with different arguments.
+        import inspect
+
         try:
+            params = inspect.signature(cls).parameters
+            takes_name = "name" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values())
+        except (TypeError, ValueError):  # builtins / C extensions
+            takes_name = False
+        if takes_name and "name" not in section:
             stage = cls(name=name, **section)
-        except TypeError:
-            stage = cls(**section)  # stages that don't take a name
+        else:
+            stage = cls(**section)
         stages.append((name, stage))
     return Sequence(stages)

@@ -136,7 +136,12 @@ def q_cell_parent(sf_dir: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    out = combine_partials(parts, ["parent_cell"], ["n"], mode="tree").to_pandas()
+    # hash mode: at fine resolutions the parent-cell key space scales with
+    # the grid — keep the combine a distributed shuffle, never a driver
+    # merge.  The query result itself is small; sort on the driver only
+    # for deterministic compare output.
+    out = combine_partials(parts, ["parent_cell"], ["n"], mode="hash").to_pandas()
+    out = out.sort_values("parent_cell").reset_index(drop=True)
     out["n"] = out["n"].astype(np.int64)
     return out
 
@@ -315,8 +320,13 @@ def q_window_agg(sf_dir: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
+    # (user_id x window) cardinality GROWS WITH THE DATA — this must be the
+    # distributed hash-shuffle combine, never the tree/driver merge (at
+    # 100 TB the driver merge is an OOM).  Sorting below is driver-side
+    # presentation of the (small at this sf) compare output only.
     out = combine_partials(parts, ["user_id", "win"], ["n", "sum_value"],
-                           mode="tree").to_pandas()
+                           mode="hash").to_pandas()
+    out = out.sort_values(["user_id", "win"]).reset_index(drop=True)
     out["n"] = out["n"].astype(np.int64)
     out["sum_value"] = out["sum_value"].round(6)
     return out[["user_id", "win", "n", "sum_value"]]

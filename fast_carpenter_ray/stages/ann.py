@@ -101,20 +101,28 @@ def ann_topk(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
         concurrency=concurrency,
     )
 
-    # merge partial top-ks: output is O(n_batches * n_queries * k) rows —
-    # tiny by construction, so a single merge task beats a hash shuffle
-    # (same tree-combine rationale as agg.py)
-    def merge(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for qid, g in batch.groupby("query_id", sort=True):
-            g = g.sort_values(["cosine", "neighbor_id"],
-                              ascending=[False, True]).head(k).copy()
-            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-            out.append(g)
-        return pd.concat(out, ignore_index=True)
+    # merge partial top-ks: the partials are O(n_batches * n_queries * k)
+    # rows — tiny by construction — so the final re-top-k happens ON THE
+    # DRIVER (the agg.py tree-combine pattern).  Deliberately NOT a
+    # repartition(1): an AllToAll op downstream of the map chain strangles
+    # the upstream task budget under Ray 2.49's reservation-based resource
+    # allocator (BASELINE.md lesson #2) and triggered actor-restart
+    # object-store warnings in the round-1 bench log.
+    import ray.data as rd
 
-    return local.repartition(1).map_batches(
-        merge, batch_format="pandas", batch_size=None)
+    local_df = local.to_pandas()  # bounded: partial top-ks only, never embeddings
+    out = []
+    for qid, g in local_df.groupby("query_id", sort=True):
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    merged = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        {"query_id": pd.Series([], dtype="int64"),
+         "neighbor_id": pd.Series([], dtype="int64"),
+         "cosine": pd.Series([], dtype="float64"),
+         "rank": pd.Series([], dtype="int32")})
+    return rd.from_pandas(merged)
 
 
 class LSHBuckets:

@@ -75,14 +75,19 @@ class _Dimension:
                 f"{stage_name}: bins is neither None nor a dictionary for in={cfg['in']}")
 
     def code(self, values: np.ndarray) -> np.ndarray:
-        """Closed-left bin index; NaN -> -1 (dropped, as pd.cut drops NaN)."""
+        """Closed-left bin index; NaN and +inf -> -1 (dropped).
+
+        Mirrors the reference's ``pd.cut(..., right=False)`` exactly:
+        closed-left intervals ``[a, b)`` never contain +inf (even the
+        overflow bin ``[high, inf)`` excludes its right edge), while -inf
+        IS contained in the underflow bin ``[-inf, low)``.  Verified
+        against pd.cut: +inf -> code -1 (dropped), -inf -> underflow."""
         if self.edges is None:
             return values
         values = np.asarray(values, dtype=np.float64)
         idx = np.searchsorted(self.edges, values, side="right") - 1
-        # values == +inf land in the last real interval [x, inf)
         idx = np.clip(idx, 0, len(self.edges) - 2)
-        idx = np.where(np.isnan(values), -1, idx)
+        idx = np.where(np.isnan(values) | np.isposinf(values), -1, idx)
         return idx.astype(np.int64)
 
     def interval(self, codes: np.ndarray):

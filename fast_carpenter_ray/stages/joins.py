@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-import pandas as pd
 import pyarrow as pa
 
 __all__ = ["lookup_join", "hash_join"]
@@ -27,13 +26,21 @@ __all__ = ["lookup_join", "hash_join"]
 
 def lookup_join(ds, small: pa.Table, key: str, how: str = "inner",
                 suffix: str = "_r"):
-    """Broadcast join of a streaming Dataset against a small Arrow table."""
-    small_df = small.to_pandas()
+    """Broadcast join of a streaming Dataset against a small Arrow table.
 
-    def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(small_df, on=key, how=how, suffixes=("", suffix))
+    Arrow-native: each probe batch stays ``pyarrow`` (zero-copy from the
+    object store) and joins through Arrow's vectorized hash-join kernel —
+    no per-batch pandas conversion.  The small side ships once in the task
+    closure (it is a dimension table by contract)."""
+    small = small.combine_chunks()
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "semi": "left semi", "anti": "left anti"}[how]
 
-    return ds.map_batches(probe, batch_format="pandas")
+    def probe(batch: pa.Table) -> pa.Table:
+        return batch.join(small, keys=[key], join_type=arrow_how,
+                          right_suffix=suffix)
+
+    return ds.map_batches(probe, batch_format="pyarrow")
 
 
 def hash_join(left, right, key: str, num_partitions: int = 32,

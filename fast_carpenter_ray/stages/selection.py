@@ -204,6 +204,14 @@ class _Selection:
             cols.extend(c for c in e.columns if c not in cols)
         return cols
 
+    def compute_mask(self, batch: pa.Table) -> np.ndarray:
+        """Final selection mask only — no weight evaluation, no counter
+        math.  The fast path for filter-only usage (``CutFlow.apply``
+        without an accumulator): the counters there were computed and
+        thrown away, doubling the cost of the flagship's filter stage."""
+        sink: List[tuple] = []
+        return self.root.evaluate(batch, sink)
+
     def compute(self, batch: pa.Table, is_mc: bool):
         """(final_mask, counters ndarray [n_nodes, 3*(1+n_weights)])."""
         sink: List[tuple] = []
@@ -279,9 +287,11 @@ class CutFlow:
 
     # -- per-batch callables -------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._accumulator is None:
+            # filter-only fast path: skip weight eval + counter math
+            return batch.filter(pa.array(self.selection.compute_mask(batch)))
         mask, counters = self.selection.compute(batch, self.is_mc)
-        if self._accumulator is not None:
-            self._accumulator.add.remote(self.name, counters)
+        self._accumulator.add.remote(self.name, counters)
         return batch.filter(pa.array(mask))
 
     def counter_table(self, batch: pa.Table) -> pa.Table:
@@ -351,8 +361,10 @@ class SelectPhaseSpace(CutFlow):
         self.region_name = region_name
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mask, counters = self.selection.compute(batch, self.is_mc)
-        if self._accumulator is not None:
+        if self._accumulator is None:
+            mask = self.selection.compute_mask(batch)  # fast path
+        else:
+            mask, counters = self.selection.compute(batch, self.is_mc)
             self._accumulator.add.remote(self.name, counters)
         if self.region_name in batch.column_names:
             raise ValueError(f"column {self.region_name!r} already exists")

@@ -49,14 +49,14 @@ class ZonalAggregate:
         return (["n"] + [f"sumw_{w}" for w in self.weights]
                 + [f"sumw2_{w}" for w in self.weights])
 
-    def partial(self, batch: pa.Table) -> pa.Table:
+    def partial(self, batch: pa.Table, use_salt: bool = False) -> pa.Table:
         cols = {k: batch[k].to_numpy(zero_copy_only=False) for k in self.keys}
         df = pd.DataFrame(cols)
         for wname, wexpr in self.weights.items():
             w = np.asarray(evaluate(batch, wexpr), dtype=np.float64)
             df[f"sumw_{wname}"] = w
             df[f"sumw2_{wname}"] = w * w
-        if self.salt_buckets > 1:
+        if use_salt and self.salt_buckets > 1:
             # deterministic per-batch salt: content-derived, never task order
             first_key = int(np.asarray(list(cols.values())[0][:1])[0]) if len(df) else 0
             salt = (first_key * 2654435761 + len(df)) % self.salt_buckets
@@ -84,9 +84,17 @@ class ZonalAggregate:
         second (tiny) aggregate — exact because count/sumw/sumw2 are
         associative+commutative (tested salted == unsalted).
         """
+        import functools
+
         from ..agg import combine_partials
 
-        parts = ds.map_batches(self.partial, batch_format="pyarrow")
+        # the salt column only changes anything under the hash-shuffle
+        # combine (it splits a hot cell's partials across reducer keys);
+        # tree mode merges on the driver where salting is dead weight —
+        # compute it only where it matters
+        use_salt = mode == "hash" and self.salt_buckets > 1
+        parts = ds.map_batches(functools.partial(self.partial, use_salt=use_salt),
+                               batch_format="pyarrow")
         if mode == "hash":
             if self.salt_buckets > 1:
                 salted = combine_partials(parts, self.keys + ["_salt"],
