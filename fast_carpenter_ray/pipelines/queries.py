@@ -147,32 +147,21 @@ def q_cell_parent(sf_dir: str):
 
 
 def q_knn_euclid(sf_dir: str):
-    """kNN with squared-euclidean-in-degrees metric: pure-arithmetic
-    distances are bit-identical in SQL, so rankings match exactly."""
-    sites = sites_table()
-    slat = sites["lat"].to_numpy()
-    slng = sites["lng"].to_numpy()
-    sid = sites["site_id"].to_numpy()
-    order = np.argsort(sid, kind="stable")
-    slat, slng, sid = slat[order], slng[order], sid[order]
-    k = 3
-
-    def knn_batch(batch: pa.Table) -> pa.Table:
-        lat = batch["lat"].to_numpy(zero_copy_only=False)
-        lng = batch["lng"].to_numpy(zero_copy_only=False)
-        ok = ~np.isnan(lat)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[ok]
-        dx = lat[ok][:, None] - slat[None, :]
-        dy = lng[ok][:, None] - slng[None, :]
-        d2 = dx * dx + dy * dy
-        idx = np.argsort(d2, axis=1, kind="stable")[:, :k]  # stable -> site_id ties
-        return pa.table({
-            "doc_id": pa.array(np.repeat(ids, k), type=pa.int64()),
-            "site_id": pa.array(sid[idx].ravel(), type=pa.int64()),
-            "rank": pa.array(np.tile(np.arange(1, k + 1), len(ids)), type=pa.int64()),
-        })
-
-    return _pages_geo(sf_dir).map_batches(knn_batch, batch_format="pyarrow")
+    """THE ENGINE kNN join (stages/knn_join.py) under the oracle:
+    ``metric="euclid"`` ranks by squared-euclidean-in-degrees — pure
+    float64 arithmetic bit-identical in SQL, so the k-ring expansion /
+    cell-bucket index / stop-bound machinery itself is what the
+    rows+schema+hash compare verifies.  ``brute_force_sites=0`` forces
+    the ring path (the small fixture site table would otherwise take the
+    whole-batch brute shortcut)."""
+    ds = _pages_geo(sf_dir)
+    ds = knn_join(ds, sites_table(), k=3, res=RES, max_ring=6,
+                  metric="euclid", brute_force_sites=0)
+    out = ds.select_columns(["doc_id", "site_id", "rank"])
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("rank"), "rank",
+                               t["rank"].cast(pa.int64())),
+        batch_format="pyarrow")
 
 
 def q_knn_haversine(sf_dir: str):

@@ -42,36 +42,52 @@ def _unit_vectors(lat, lng) -> np.ndarray:
     return np.stack([cl * np.cos(lngr), cl * np.sin(lngr), np.sin(latr)], axis=1)
 
 
-def brute_force_knn(lat, lng, site_lat, site_lng, site_id, k):
-    """Exact kNN over all sites; ties by site_id.  Returns (ids, dists)
-    arrays of shape [n_points, k].
+def brute_force_knn(lat, lng, site_lat, site_lng, site_id, k,
+                    metric: str = "haversine"):
+    """Exact kNN over the given sites; ties by site_id.  Returns
+    (ids, dists) arrays of shape [n_points, k].
 
-    Ranking is by the chord dot product (one matmul — great-circle
-    distance is strictly monotone decreasing in the dot product, so the
-    ranking is exact while avoiding per-pair trig: haversine at ~1us/elem
-    on this VM dominated the join otherwise).  Haversine is evaluated only
-    for the selected k neighbours (the emitted distances)."""
+    ``metric="haversine"``: ranking by the chord dot product (one matmul —
+    great-circle distance is strictly monotone decreasing in the dot
+    product, so the ranking is exact while avoiding per-pair trig:
+    haversine at ~1us/elem on this VM dominated the join otherwise);
+    haversine meters evaluated only for the selected k neighbours.
+
+    ``metric="euclid"``: squared euclidean distance in DEGREES —
+    ``(lat-slat)^2 + (lng-slng)^2`` with the exact IEEE-754 op order an
+    ANSI-SQL oracle reproduces bit-for-bit, so rankings (incl. ties by
+    site_id) match ``row_number() OVER (ORDER BY d2, site_id)`` exactly.
+    Emitted distance is the squared value."""
     order = np.argsort(site_id, kind="stable")
     slat, slng, sid = site_lat[order], site_lng[order], site_id[order]
     kk = min(k, len(sid))
+    plat = np.asarray(lat, dtype=np.float64)
+    plng = np.asarray(lng, dtype=np.float64)
+    if metric == "euclid":
+        dx = plat[:, None] - slat[None, :]
+        dy = plng[:, None] - slng[None, :]
+        d2 = dx * dx + dy * dy  # [n, n_sites]
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]  # stable => id ties
+        return sid[idx], np.take_along_axis(d2, idx, axis=1)
     p = _unit_vectors(lat, lng)
     s = _unit_vectors(slat, slng)
     dots = p @ s.T  # [n, n_sites]; larger dot = closer
     idx = np.argsort(-dots, axis=1, kind="stable")[:, :kk]  # stable => id ties
-    rows = np.arange(len(p))[:, None]
     sel_lat = slat[idx]
     sel_lng = slng[idx]
-    d = haversine_m(np.asarray(lat, dtype=np.float64)[:, None],
-                    np.asarray(lng, dtype=np.float64)[:, None],
-                    sel_lat, sel_lng)
+    d = haversine_m(plat[:, None], plng[:, None], sel_lat, sel_lng)
     return sid[idx], d
 
 
 class KNNJoiner:
     def __init__(self, sites, k: int = 3, res: int = 6, max_ring: int = 4,
-                 lat: str = "lat", lng: str = "lng", explode: bool = True):
+                 lat: str = "lat", lng: str = "lng", explode: bool = True,
+                 metric: str = "haversine",
+                 brute_force_sites: Optional[int] = None):
         import ray
 
+        if metric not in ("haversine", "euclid"):
+            raise ValueError(f"unknown kNN metric {metric!r}")
         if isinstance(sites, ray.ObjectRef):
             sites = ray.get(sites)  # broadcast read: once per actor
         if isinstance(sites, pa.Table):
@@ -85,6 +101,9 @@ class KNNJoiner:
         self.lat_col = lat
         self.lng_col = lng
         self.explode = explode
+        self.metric = metric
+        if brute_force_sites is not None:
+            self.brute_force_sites = int(brute_force_sites)
         # cell -> site row indices, built once per actor
         site_cells = cell_id(self.site_lat, self.site_lng, res)
         self.bucket: Dict[int, np.ndarray] = {}
@@ -103,6 +122,27 @@ class KNNJoiner:
         cosphi = min(1.0, math.cos(math.radians(phi)))
         return (2.0 / math.pi) * (ring - 1) * self._cell_h_rad * EARTH_RADIUS_M * cosphi
 
+    def _bound_d2(self, ring: int) -> float:
+        """Lower bound on squared-euclid-degrees to any site OUTSIDE ring r.
+
+        Such a site's cell is at Chebyshev cell-distance >= r+1 (k_ring
+        covers <= r; longitude wrap only ADDS candidate cells, so the
+        unwrapped distance is >= the wrapped one), hence |dlat| >=
+        r * (180/N) or |dlng| >= r * (360/N); the conservative minimum is
+        (r * 180/N)^2.  Used with a STRICT comparison so a boundary tie
+        can never admit an unseen site."""
+        cell_h_deg = math.degrees(self._cell_h_rad)
+        return (ring * cell_h_deg) ** 2
+
+    def _converged(self, dists: np.ndarray, ring: int, max_abs_lat: float) -> bool:
+        k = self.k
+        if dists.shape[1] < k:
+            return False
+        worst = float(dists[:, k - 1].max())
+        if self.metric == "euclid":
+            return worst < self._bound_d2(ring)
+        return worst <= self._bound_m(ring, max_abs_lat)
+
     def _query_group(self, lat: np.ndarray, lng: np.ndarray, cell: int):
         """kNN for all points sharing one cell."""
         k = self.k
@@ -117,17 +157,21 @@ class KNNJoiner:
                 continue
             ids, dists = brute_force_knn(
                 lat, lng, self.site_lat[cand], self.site_lng[cand],
-                self.site_id[cand], k)
-            if dists.shape[1] >= k and float(dists[:, k - 1].max()) <= self._bound_m(ring, max_abs_lat):
+                self.site_id[cand], k, metric=self.metric)
+            if self._converged(dists, ring, max_abs_lat):
                 return ids, dists
         # fallback: exact brute force over all sites
-        return brute_force_knn(lat, lng, self.site_lat, self.site_lng, self.site_id, k)
+        return brute_force_knn(lat, lng, self.site_lat, self.site_lng,
+                               self.site_id, k, metric=self.metric)
 
     #: below this site count the k-ring candidate machinery costs more than
     #: one whole-batch distance matrix — brute force the batch in a single
     #: vectorized pass (the ring path is the scale story for large site
-    #: tables, where candidates per cell << total sites)
-    BRUTE_FORCE_SITES = 2048
+    #: tables, where candidates per cell << total sites).  Instance
+    #: override via the ``brute_force_sites`` constructor arg (0 forces
+    #: the ring path — used by the oracle-checked euclid query so the
+    #: k-ring/stop-bound machinery itself is what gets verified).
+    brute_force_sites = 2048
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
@@ -138,11 +182,12 @@ class KNNJoiner:
         out_ids = np.full((n, kk), -1, dtype=np.int64)
         out_d = np.full((n, kk), np.nan)
         valid = cells >= 0
-        if len(self.site_id) <= self.BRUTE_FORCE_SITES:
+        if len(self.site_id) <= self.brute_force_sites:
             if valid.any():
                 ids, dists = brute_force_knn(
                     lat[valid], lng[valid],
-                    self.site_lat, self.site_lng, self.site_id, kk)
+                    self.site_lat, self.site_lng, self.site_id, kk,
+                    metric=self.metric)
                 out_ids[valid] = ids
                 out_d[valid] = dists
             return self._emit(batch, valid, out_ids, out_d, kk)
@@ -159,50 +204,58 @@ class KNNJoiner:
             out_d[idx] = dists
         return self._emit(batch, valid, out_ids, out_d, kk)
 
+    @property
+    def dist_col(self) -> str:
+        return "dist_m" if self.metric == "haversine" else "d2_deg"
+
     def _emit(self, batch, valid, out_ids, out_d, kk):
         n = len(batch)
+        dcol = self.dist_col
 
         if self.explode:
             rows = np.repeat(np.arange(n)[valid], kk)
             out = batch.take(pa.array(rows))
             out = out.append_column("site_id", pa.array(out_ids[valid].ravel(), type=pa.int64()))
-            out = out.append_column("dist_m", pa.array(out_d[valid].ravel()))
+            out = out.append_column(dcol, pa.array(out_d[valid].ravel()))
             out = out.append_column(
                 "rank", pa.array(np.tile(np.arange(1, kk + 1), int(valid.sum())),
                                  type=pa.int32()))
             return out
         neighbors = [
-            [{"site_id": int(i), "dist_m": float(d)} for i, d in zip(row_i, row_d)]
+            [{"site_id": int(i), dcol: float(d)} for i, d in zip(row_i, row_d)]
             if ok else None
             for ok, row_i, row_d in zip(valid, out_ids, out_d)
         ]
-        typ = pa.list_(pa.struct([("site_id", pa.int64()), ("dist_m", pa.float64())]))
+        typ = pa.list_(pa.struct([("site_id", pa.int64()), (dcol, pa.float64())]))
         return batch.append_column("neighbors", pa.array(neighbors, type=typ))
 
 
 def knn_join(ds, sites: pa.Table, k: int = 3, res: int = 6, max_ring: int = 4,
              concurrency=None, batch_size=None, explode: bool = True,
-             lat: str = "lat", lng: str = "lng"):
+             lat: str = "lat", lng: str = "lng", metric: str = "haversine",
+             brute_force_sites: Optional[int] = None):
     """Dataset-level wiring for the kNN join.
 
     ``concurrency=None`` (default): driver-built site index shipped in the
     task closure — elastic stateless tasks (see pip_join rationale).
     ``concurrency=(min,max)``: actor pool reading a ``ray.put`` broadcast
     once per actor — for site tables too large to ship per task.
+    ``metric``: "haversine" (meters, chord-ranked) or "euclid" (squared
+    degrees, bit-reproducible in ANSI SQL — the oracle-checked path).
     """
     import ray
 
+    kwargs = {"k": k, "res": res, "max_ring": max_ring, "explode": explode,
+              "lat": lat, "lng": lng, "metric": metric,
+              "brute_force_sites": brute_force_sites}
     if concurrency is None:
-        joiner = KNNJoiner(sites, k=k, res=res, max_ring=max_ring,
-                           explode=explode, lat=lat, lng=lng)
+        joiner = KNNJoiner(sites, **kwargs)
         return ds.map_batches(joiner, batch_format="pyarrow",
                               batch_size=batch_size)
     ref = ray.put(sites)
     return ds.map_batches(
         KNNJoiner,
-        fn_constructor_kwargs={"sites": ref, "k": k, "res": res,
-                               "max_ring": max_ring, "explode": explode,
-                               "lat": lat, "lng": lng},
+        fn_constructor_kwargs={"sites": ref, **kwargs},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -61,8 +61,8 @@ def test_pip_join_modes(sf_dir):
 def test_knn_ring_equals_bruteforce(sf_dir):
     batch = geo_batch(sf_dir, n=300)
     sites = sites_table()
-    joiner = KNNJoiner(sites, k=3, res=6, max_ring=3)
-    joiner.BRUTE_FORCE_SITES = 0  # force the k-ring expansion path
+    # brute_force_sites=0 forces the k-ring expansion path
+    joiner = KNNJoiner(sites, k=3, res=6, max_ring=3, brute_force_sites=0)
     out = joiner(batch)
     lat = batch["lat"].to_numpy(zero_copy_only=False)
     lng = batch["lng"].to_numpy(zero_copy_only=False)
@@ -75,6 +75,38 @@ def test_knn_ring_equals_bruteforce(sf_dir):
     np.testing.assert_array_equal(got, ids)
     np.testing.assert_allclose(
         out["dist_m"].to_numpy(zero_copy_only=False).reshape(-1, 3), dists)
+
+
+def test_knn_euclid_ring_equals_bruteforce(sf_dir):
+    """The oracle-checked metric: ring path == brute force, exactly
+    (ids AND squared distances bit-equal), including near the poles and
+    the antimeridian."""
+    batch = geo_batch(sf_dir, n=300)
+    # append adversarial points: poles, antimeridian, exact site location
+    sites = sites_table()
+    extra = pa.table({
+        "doc_id": pa.array([900001, 900002, 900003, 900004], type=pa.int64()),
+        "lat": pa.array([89.9, -89.9, 10.0, float(sites["lat"][0].as_py())]),
+        "lng": pa.array([0.0, 0.0, 179.95, float(sites["lng"][0].as_py())]),
+        "weight": pa.array([1.0, 1.0, 1.0, 1.0]),
+    })
+    batch = pa.concat_tables([batch, extra])
+    for max_ring in (2, 6):
+        joiner = KNNJoiner(sites, k=3, res=6, max_ring=max_ring,
+                           metric="euclid", brute_force_sites=0)
+        out = joiner(batch)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(lat)
+        ids, dists = brute_force_knn(
+            lat[ok], lng[ok],
+            sites["lat"].to_numpy(), sites["lng"].to_numpy(),
+            sites["site_id"].to_numpy(), 3, metric="euclid")
+        got = out["site_id"].to_numpy(zero_copy_only=False).reshape(-1, 3)
+        np.testing.assert_array_equal(got, ids)
+        # squared-degree distances must be BIT-equal (same IEEE ops)
+        np.testing.assert_array_equal(
+            out["d2_deg"].to_numpy(zero_copy_only=False).reshape(-1, 3), dists)
 
 
 def test_knn_list_mode(sf_dir):
