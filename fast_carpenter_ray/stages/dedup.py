@@ -8,16 +8,23 @@ needs.  All follow the same Ray-native shape:
   ->  per-group resolution (``map_groups`` / aggregate)
 
 Exact dedup shuffles a short content hash, never the content.  MinHash-LSH
-emits (band_id, band_key, doc_id) rows — B small rows per doc — and
-groupbys the band key, so the shuffle volume is O(B * docs), independent of
-document size.  Pair verification uses the MinHash signatures themselves
-(estimated Jaccard), avoiding a second pass over text; an exact n-gram
-Jaccard verifier is provided for when candidates are few enough to refetch.
+emits (band_id, band_key, doc_id) rows — B rows of THREE SMALL INTS per
+doc, never the signature — and groupbys the band key, so the shuffle
+volume really is O(B * docs) independent of document AND signature size.
+Candidate pairs are deduped across bands first, then verified by a
+signature lookup join (two bounded-partition hash joins against the
+(doc_id, sig) table: ~1 KB/doc shuffled once per side, only for the
+verification stage).  In-bucket pairing is fully vectorized and bucket
+size is CAPPED with a logged drop count — a hot bucket (empty/boilerplate
+docs hashing identically) degrades gracefully instead of going quadratic.
+An exact n-gram Jaccard verifier is provided for when candidates are few
+enough to refetch text.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
@@ -29,7 +36,14 @@ __all__ = [
     "tokenize", "shingle_hashes", "ngram_jaccard",
 ]
 
-_MERSENNE = np.uint64((1 << 61) - 1)
+logger = logging.getLogger("fast_carpenter_ray.dedup")
+
+#: universal-hash modulus: the Mersenne prime 2^31-1.  Inputs are reduced
+#: mod p and coefficients drawn from [1, p), so a*x+b < 2^62 fits exactly
+#: in uint64 and the mod-p reduction is exact — a PROPER universal family
+#: over GF(p) (the earlier 2^61-1 variant silently wrapped a*x mod 2^64
+#: before reducing, voiding the universality guarantee).
+_MERSENNE31 = np.uint64((1 << 31) - 1)
 
 
 def _stable_token_hash(token: str) -> int:
@@ -126,18 +140,49 @@ class ExactDedup:
             Min(self.id_col, alias_name=self.id_col))
 
 
+def _empty_pairs(value_col: str, dtype: str = "float64") -> pd.DataFrame:
+    return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                         "id_b": pd.Series([], dtype="int64"),
+                         value_col: pd.Series([], dtype=dtype)})
+
+
+def _cap_bucket(ids: np.ndarray, max_bucket: int, what: str) -> np.ndarray:
+    """Cap an LSH bucket at ``max_bucket`` ids (smallest ids kept, so the
+    cap is deterministic).  NEVER silent: the drop is logged with the pair
+    count it forfeits."""
+    if len(ids) <= max_bucket:
+        return ids
+    dropped = len(ids) - max_bucket
+    lost_pairs = len(ids) * (len(ids) - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+    logger.warning(
+        "%s: hot LSH bucket capped at %d ids (%d ids dropped, forfeiting "
+        "up to %d candidate pairs) — likely boilerplate/empty near-identical "
+        "content; raise max_bucket or pre-filter such docs",
+        what, max_bucket, dropped, lost_pairs)
+    return ids[:max_bucket]
+
+
 class MinHashDedup:
     """MinHash + LSH near-duplicate detection.
 
-    Pipeline: per-batch signatures (P permutations over word-shingle
-    hashes) -> explode to (band_id, band_key, doc_id, sig) rows ->
-    ``groupby(band_id, band_key)`` -> candidate pairs within buckets ->
-    estimated-Jaccard verification from the signatures.
+    Pipeline (each stage a streaming Ray Data op):
+
+    1. ``signature_batch``: per-batch signatures (P universal-hash
+       permutations over word-shingle hashes) -> (doc_id, sig) rows.
+    2. ``band_rows``: (band_id, band_key, doc_id) rows — THREE ints per
+       band, the signature never enters the LSH shuffle.
+    3. ``groupby(band_id, band_key)`` -> vectorized all-pairs inside each
+       bucket, capped at ``max_bucket`` with a logged drop.
+    4. pair dedupe across bands (``groupby(id_a, id_b)``).
+    5. verification: two bounded-partition hash joins fetch each side's
+       signature, then one vectorized equality-fraction kernel filters by
+       ``threshold``.
     """
 
     def __init__(self, name: str, text_col: str = "text", id_col: str = "doc_id",
                  num_perm: int = 128, bands: int = 16, shingle_width: int = 3,
-                 threshold: float = 0.7, seed: int = 42):
+                 threshold: float = 0.7, seed: int = 42,
+                 max_bucket: int = 512, num_partitions: Optional[int] = None):
         assert num_perm % bands == 0
         self.name = name
         self.text_col = text_col
@@ -147,74 +192,138 @@ class MinHashDedup:
         self.rows_per_band = num_perm // bands
         self.shingle_width = shingle_width
         self.threshold = threshold
+        self.max_bucket = int(max_bucket)
+        #: None -> sized to the cluster at run time.  Ray's hash-shuffle
+        #: join spawns aggregator actors per partition; two chained joins
+        #: with partitions >> CPUs deadlock a small cluster (measured: 16
+        #: partitions hang a 4-CPU local cluster, 4 partitions run fine).
+        self.num_partitions = None if num_partitions is None else int(num_partitions)
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        p = int(_MERSENNE31)
+        self.a = rng.integers(1, p, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, p, size=num_perm, dtype=np.uint64)
 
     def signature(self, text: str, cache: Optional[dict] = None) -> np.ndarray:
         sh = shingle_hashes(text, self.shingle_width, cache)
         if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        # (a*x + b) mod p for each permutation; vectorized outer product
-        vals = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
+        # exact universal hash over GF(2^31-1): x < p and a < p, so
+        # a*x + b < 2^62 never wraps in uint64 and the mod is exact
+        x = sh % _MERSENNE31
+        vals = (np.outer(self.a, x) + self.b[:, None]) % _MERSENNE31
         return vals.min(axis=1)
 
-    def band_rows(self, batch: pa.Table) -> pa.Table:
-        """Emit (band_id, band_key, doc_id, sig) rows; B rows per doc."""
+    def signature_batch(self, batch: pa.Table) -> pa.Table:
+        """(doc_id, sig) rows; one per doc.  ``sig`` is fixed-size BINARY
+        (num_perm little-endian int64s): Arrow's join kernel rejects
+        (fixed-size-)list payload columns, and fixed-width binary decodes
+        back to a [n, num_perm] matrix zero-copy."""
         texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         cache: dict = {}
-        band_ids, band_keys, doc_ids, sigs = [], [], [], []
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.int64)
         for i, t in enumerate(texts):
-            sig = self.signature(t, cache)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                key = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                band_ids.append(b)
-                band_keys.append(key)
-                doc_ids.append(int(ids[i]))
-                sigs.append(sig.astype(np.int64))
+            sigs[i] = self.signature(t, cache).astype(np.int64)
+        width = 8 * self.num_perm
         return pa.table({
-            "band_id": pa.array(band_ids, type=pa.int32()),
-            "band_key": pa.array(band_keys, type=pa.string()),
-            self.id_col: pa.array(doc_ids, type=pa.int64()),
-            "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.int64())),
+            self.id_col: batch[self.id_col],
+            "sig": pa.Array.from_buffers(
+                pa.binary(width), len(texts),
+                [None, pa.py_buffer(sigs.tobytes())]),
         })
+
+    def _sig_matrix(self, col) -> np.ndarray:
+        """[n, num_perm] int64 view of a fixed-size-binary sig column."""
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+        start = arr.offset * self.num_perm
+        return flat[start:start + len(arr) * self.num_perm].reshape(
+            len(arr), self.num_perm)
+
+    def band_rows(self, batch: pa.Table) -> pa.Table:
+        """(band_id, band_key, doc_id) rows from a signature batch — B rows
+        of three small ints per doc.  The band key is a vectorized FNV-1a
+        fold of the band's signature chunk (collisions only ADD candidate
+        pairs, which verification removes)."""
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        sig = self._sig_matrix(batch["sig"]).view(np.uint64)
+        band_id = np.repeat(np.arange(self.bands, dtype=np.int32), n)
+        keys = np.empty((self.bands, n), dtype=np.uint64)
+        FNV_OFF = np.uint64(1469598103934665603)
+        FNV_P = np.uint64(1099511628211)
+        for b in range(self.bands):
+            chunk = sig[:, b * self.rows_per_band:(b + 1) * self.rows_per_band]
+            h = np.full(n, FNV_OFF, dtype=np.uint64)
+            for j in range(self.rows_per_band):
+                h = (h ^ chunk[:, j]) * FNV_P
+            keys[b] = h
+        return pa.table({
+            "band_id": pa.array(band_id, type=pa.int32()),
+            "band_key": pa.array(keys.ravel().view(np.int64), type=pa.int64()),
+            self.id_col: pa.array(np.tile(ids, self.bands), type=pa.int64()),
+        })
+
+    def _bucket_pairs(self, group: pd.DataFrame) -> pd.DataFrame:
+        """All candidate pairs within one (band_id, band_key) bucket —
+        vectorized triu indexing, bucket capped with a logged drop."""
+        ids = np.unique(group[self.id_col].to_numpy())
+        if len(ids) < 2:
+            return _empty_pairs("nb", "int64")
+        ids = _cap_bucket(np.sort(ids), self.max_bucket, f"MinHashDedup[{self.name}]")
+        iu = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[iu[0]].astype(np.int64),
+                             "id_b": ids[iu[1]].astype(np.int64),
+                             "nb": np.ones(len(iu[0]), dtype=np.int64)})
 
     def candidate_pairs(self, ds):
         """Dataset of verified near-dup pairs (id_a < id_b, est_jaccard)."""
+        import ray
+        from ray.data.aggregate import Sum
+
         id_col = self.id_col
         threshold = self.threshold
         num_perm = self.num_perm
+        num_partitions = self.num_partitions
+        if num_partitions is None:
+            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
 
-        rows = ds.map_batches(self.band_rows, batch_format="pyarrow")
-
-        def pairs(group: pd.DataFrame) -> pd.DataFrame:
-            if len(group) < 2:
-                return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                     "id_b": pd.Series([], dtype="int64"),
-                                     "est_jaccard": pd.Series([], dtype="float64")})
-            g = group.sort_values(id_col)
-            ids = g[id_col].to_numpy()
-            sigs = np.stack(g["sig"].to_numpy())
-            out_a, out_b, out_j = [], [], []
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    est = float((sigs[i] == sigs[j]).sum()) / num_perm
-                    if est >= threshold:
-                        out_a.append(int(ids[i]))
-                        out_b.append(int(ids[j]))
-                        out_j.append(est)
-            return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
-
+        sigs = ds.map_batches(self.signature_batch, batch_format="pyarrow")
+        rows = sigs.map_batches(self.band_rows, batch_format="pyarrow")
         cand = rows.groupby(["band_id", "band_key"]).map_groups(
-            pairs, batch_format="pandas")
+            self._bucket_pairs, batch_format="pandas")
+        # dedupe pairs across bands BEFORE fetching signatures
+        pairs = cand.groupby(["id_a", "id_b"]).aggregate(Sum("nb", alias_name="nb"))
+        pairs = pairs.select_columns(["id_a", "id_b"])
 
-        # a pair can surface from several bands: dedupe, keep max estimate
-        from ray.data.aggregate import Max
+        # signature lookup joins: bounded-partition hash joins; the sig
+        # table crosses the shuffle once per side (~1 KB/doc), only here
+        def _as(side: str):
+            return sigs.map_batches(
+                lambda t, s=side: t.rename_columns([f"id_{s}", f"sig_{s}"]),
+                batch_format="pyarrow")
 
-        return cand.groupby(["id_a", "id_b"]).aggregate(
-            Max("est_jaccard", alias_name="est_jaccard"))
+        j = pairs.join(_as("a"), join_type="inner",
+                       num_partitions=num_partitions, on=("id_a",))
+        j = j.join(_as("b"), join_type="inner",
+                   num_partitions=num_partitions, on=("id_b",))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0:
+                return pa.table({"id_a": pa.array([], type=pa.int64()),
+                                 "id_b": pa.array([], type=pa.int64()),
+                                 "est_jaccard": pa.array([], type=pa.float64())})
+            sa = self._sig_matrix(batch["sig_a"])
+            sb = self._sig_matrix(batch["sig_b"])
+            est = (sa == sb).mean(axis=1)
+            keep = est >= threshold
+            return pa.table({
+                "id_a": batch["id_a"].filter(pa.array(keep)),
+                "id_b": batch["id_b"].filter(pa.array(keep)),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
+            })
+
+        return j.map_batches(verify, batch_format="pyarrow")
 
 
 class SimHashDedup:
@@ -226,12 +335,13 @@ class SimHashDedup:
     """
 
     def __init__(self, name: str, text_col: str = "text", id_col: str = "doc_id",
-                 max_hamming: int = 3):
+                 max_hamming: int = 3, max_bucket: int = 4096):
         self.name = name
         self.text_col = text_col
         self.id_col = id_col
         self.max_hamming = max_hamming
         self.n_banks = 4
+        self.max_bucket = int(max_bucket)
 
     @staticmethod
     def simhash(text: str, cache: Optional[dict] = None) -> int:
@@ -272,33 +382,33 @@ class SimHashDedup:
             "simhash": pa.array(out_sh, type=pa.int64()),
         })
 
+    def _bucket_pairs(self, group: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized in-bucket Hamming verification: triu pair indexing,
+        XOR, and a branch-free unpackbits popcount — no Python pair loop.
+        Bucket capped with a logged drop (hot banks, e.g. near-zero hashes
+        of empty docs, degrade gracefully instead of going quadratic)."""
+        if len(group) < 2:
+            return _empty_pairs("hamming", "int64")
+        g = group.drop_duplicates(self.id_col).sort_values(self.id_col)
+        ids = g[self.id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        if len(ids) > self.max_bucket:
+            _cap_bucket(ids, self.max_bucket, f"SimHashDedup[{self.name}]")
+            ids, sh = ids[:self.max_bucket], sh[:self.max_bucket]  # already id-sorted
+        iu = np.triu_indices(len(ids), k=1)
+        x = sh[iu[0]] ^ sh[iu[1]]
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * x.itemsize).sum(axis=1)
+        hit = ham <= self.max_hamming
+        return pd.DataFrame({
+            "id_a": ids[iu[0][hit]].astype(np.int64),
+            "id_b": ids[iu[1][hit]].astype(np.int64),
+            "hamming": ham[hit].astype(np.int64),
+        })
+
     def candidate_pairs(self, ds):
-        id_col = self.id_col
-        max_h = self.max_hamming
-
         rows = ds.map_batches(self.bank_rows, batch_format="pyarrow")
-
-        def pairs(group: pd.DataFrame) -> pd.DataFrame:
-            if len(group) < 2:
-                return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                     "id_b": pd.Series([], dtype="int64"),
-                                     "hamming": pd.Series([], dtype="int64")})
-            g = group.drop_duplicates(id_col).sort_values(id_col)
-            ids = g[id_col].to_numpy()
-            sh = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-            out_a, out_b, out_h = [], [], []
-            for i in range(len(ids)):
-                x = sh[i] ^ sh[i + 1:]
-                ham = np.array([bin(v).count("1") for v in x.tolist()])
-                hits = np.nonzero(ham <= max_h)[0]
-                for j in hits:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[i + 1 + j]))
-                    out_h.append(int(ham[j]))
-            return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
-
         cand = rows.groupby(["bank_id", "bank_key"]).map_groups(
-            pairs, batch_format="pandas")
+            self._bucket_pairs, batch_format="pandas")
 
         from ray.data.aggregate import Min
 

@@ -76,6 +76,78 @@ def test_simhash_deterministic_and_close():
     assert ham < 20  # similar docs have close fingerprints
 
 
+def test_minhash_band_rows_are_slim():
+    """The LSH shuffle rows must be (band_id, band_key, doc_id) — three
+    small ints; the 128-element signature must NEVER enter the band
+    shuffle (round-1 verdict: ~16 KB/doc shuffled across 16 bands)."""
+    mh = MinHashDedup("m")
+    batch = docs_with_dups()
+    sigs = mh.signature_batch(batch)
+    rows = mh.band_rows(sigs)
+    assert set(rows.column_names) == {"band_id", "band_key", "doc_id"}
+    assert rows.num_rows == len(batch) * mh.bands
+    # every column fixed-width scalar: row cost is 4+8+8 bytes
+    assert rows["band_id"].type == pa.int32()
+    assert rows["band_key"].type == pa.int64()
+    assert rows["doc_id"].type == pa.int64()
+    # same text -> same band keys on every band (determinism across batches)
+    rows2 = mh.band_rows(mh.signature_batch(batch))
+    assert rows.equals(rows2)
+
+
+def test_minhash_signature_universal_hash_exact():
+    """(a*x + b) mod p must be computed exactly (no uint64 wrap before the
+    reduction): cross-check the vectorized kernel against Python big-int
+    arithmetic for every permutation."""
+    mh = MinHashDedup("m", num_perm=16, bands=4)
+    sh = shingle_hashes("the quick brown fox jumps over the lazy dog")
+    sig = mh.signature("the quick brown fox jumps over the lazy dog")
+    p = (1 << 31) - 1
+    for i in range(16):
+        expect = min(((int(a) * (int(x) % p) + int(b)) % p)
+                     for x in sh for a, b in [(mh.a[i], mh.b[i])])
+        assert int(sig[i]) == expect
+
+
+def test_lsh_hot_bucket_capped_and_logged(caplog):
+    """A hot bucket (many identical docs) must stay sub-quadratic: pairs
+    are capped at max_bucket choose 2 and the drop is LOGGED, never
+    silent."""
+    import logging
+
+    mh = MinHashDedup("m", max_bucket=10)
+    n = 200
+    group = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    with caplog.at_level(logging.WARNING, logger="fast_carpenter_ray.dedup"):
+        out = mh._bucket_pairs(group)
+    assert len(out) == 10 * 9 // 2  # not n*(n-1)/2 = 19900
+    assert any("capped" in r.message for r in caplog.records)
+
+    sh = SimHashDedup("s", max_bucket=10)
+    group = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "simhash": np.zeros(n, dtype=np.int64),
+    })
+    with caplog.at_level(logging.WARNING, logger="fast_carpenter_ray.dedup"):
+        out = sh._bucket_pairs(group)
+    assert len(out) == 10 * 9 // 2
+    # kept ids are the smallest (deterministic cap)
+    assert out["id_a"].max() <= 9 and out["id_b"].max() <= 9
+
+
+def test_simhash_bucket_pairs_vectorized_hamming():
+    """Popcount kernel agrees with bin().count('1')."""
+    s = SimHashDedup("s", max_hamming=64)
+    vals = np.array([0, 1, 3, (1 << 64) - 1, 0x8000000000000001], dtype=np.uint64)
+    group = pd.DataFrame({"doc_id": np.arange(len(vals), dtype=np.int64),
+                          "simhash": vals.view(np.int64)})
+    out = s._bucket_pairs(group)
+    got = {(a, b): h for a, b, h in zip(out["id_a"], out["id_b"], out["hamming"])}
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            assert got[(i, j)] == bin(int(vals[i]) ^ int(vals[j])).count("1")
+
+
 def test_simhash_lsh_pairs(ray_session):
     import ray.data as rd
 
