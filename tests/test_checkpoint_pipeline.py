@@ -49,6 +49,64 @@ def test_checkpoint_write_and_resume(ray_session, tmp_path):
     assert metrics["rows"].sum() == 100
 
 
+def test_checkpoint_key_is_full_content(ray_session, tmp_path):
+    """Two DISTINCT blocks sharing (id-min, id-max, count) must get
+    distinct partitions — the old key hashed only those three numbers and
+    silently dropped the second block."""
+    import ray.data as rd
+
+    out = str(tmp_path / "sink")
+    # same ids 0..9 in both blocks' min/max/count sense, different payloads
+    a = pa.table({"doc_id": pa.array([0, 9], type=pa.int64()), "v": [1.0, 2.0]})
+    b = pa.table({"doc_id": pa.array([0, 9], type=pa.int64()), "v": [3.0, 4.0]})
+    ds = rd.from_arrow([a, b])
+    lineage = checkpoint_write(ds, out, id_col="doc_id")
+    assert len(set(lineage["partition"])) == 2
+    assert lineage["rows"].sum() == 4
+
+
+def test_checkpoint_duplicate_blocks_refused(ray_session, tmp_path):
+    """Byte-identical input blocks collide by content identity; the sink
+    must raise instead of silently dropping rows."""
+    import ray.data as rd
+
+    out = str(tmp_path / "sink")
+    a = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()), "v": [1.0, 2.0]})
+    ds = rd.from_arrow([a, a])
+    with pytest.raises(ValueError, match="byte-identical"):
+        checkpoint_write(ds, out, id_col="doc_id")
+
+
+def test_checkpoint_layout_drift_detected(ray_session, tmp_path):
+    """Changing block boundaries between runs must not silently leave the
+    old layout's files (duplicated rows) in the output directory."""
+    import ray.data as rd
+
+    out = str(tmp_path / "sink")
+    table = pa.table({"doc_id": pa.array(np.arange(40), type=pa.int64()),
+                      "v": np.arange(40) * 0.5})
+    checkpoint_write(rd.from_arrow(table).repartition(4), out, id_col="doc_id")
+    assert len(completed_partitions(out)) == 4
+
+    # same rows, different block layout -> all keys change -> drift
+    drifted = rd.from_arrow(table).repartition(2)
+    with pytest.raises(ValueError, match="stale partition"):
+        checkpoint_write(drifted, out, id_col="doc_id")
+
+    # explicit replace: old layout removed, output is exactly the new run
+    lineage = checkpoint_write(drifted, out, id_col="doc_id", on_stale="delete")
+    assert lineage["rows"].sum() == 40
+    assert sorted(completed_partitions(out)) == sorted(lineage["partition"])
+    import pyarrow.parquet as pq
+    got = pa.concat_tables(
+        [pq.read_table(os.path.join(out, f)) for f in sorted(os.listdir(out))
+         if f.endswith(".parquet")]).to_pandas().sort_values("doc_id")
+    np.testing.assert_array_equal(got["doc_id"], np.arange(40))
+    with open(os.path.join(out, "_manifest.json")) as f:
+        m = json.load(f)
+    assert sorted(m["partitions"]) == sorted(lineage["partition"])
+
+
 def test_manifest(tmp_path):
     path = write_manifest(str(tmp_path), config={"stages": []}, sf="0.01")
     with open(path) as f:
