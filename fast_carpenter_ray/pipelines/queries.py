@@ -529,6 +529,75 @@ def q_embed_neardup(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _parity_pages(sf_dir: str, parity: int):
+    """Deterministic dataset split: pages with doc_id % 2 == parity."""
+    def build():
+        ds = _pages_geo(sf_dir)
+        return ds.map_batches(
+            lambda t, p=parity: t.filter(pa.compute.equal(
+                pa.compute.bit_wise_and(t["doc_id"], 1), p)),
+            batch_format="pyarrow")
+    return build
+
+
+def q_multi_cutflow(sf_dir: str):
+    """Multi-dataset layer (reference A4 / __main__.py:66-80): two named
+    datasets — 'mc_even' (eventtype mc) and 'data_odd' (eventtype data) —
+    through the SAME selection; the data dataset counts raw events into
+    the weighted slots (filters.py:48-50), concatenated under a leading
+    ``dataset`` column."""
+    from .datasets import DatasetSpec, MultiDatasetRun
+
+    specs = [DatasetSpec("mc_even", "mc", build=_parity_pages(sf_dir, 0)),
+             DatasetSpec("data_odd", "data", build=_parity_pages(sf_dir, 1))]
+    out = MultiDatasetRun(specs).cutflow(CUTFLOW_SELECTION, weights="weight")
+    for c in ("passed_only_cut", "passed_incl", "totals_incl"):
+        out[c] = out[c].astype(np.int64)
+    out["depth"] = out["depth"].astype(np.int64)
+    cols = ["dataset", "unique_id", "depth", "cut",
+            "passed_only_cut", "passed_only_cut_weight",
+            "passed_incl", "passed_incl_weight",
+            "totals_incl", "totals_incl_weight"]
+    return out[cols].sort_values(["dataset", "unique_id"]).reset_index(drop=True)
+
+
+def q_multi_binned(sf_dir: str):
+    """Multi-dataset BinnedDataframe, concat collection (reference
+    summary/binned_dataframe.py:69-88): per-dataset histograms stacked
+    under a ``dataset`` column.  The sum collection's algebra (merge by
+    addition, binned_dataframe.py:89-100) is pinned in pytest against the
+    single-run histogram."""
+    import ray.data as rd
+
+    from .datasets import DatasetSpec, MultiDatasetRun
+
+    def make(parity):
+        def build():
+            ds = rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_returnflag", "l_quantity", "l_discount"])
+            return ds.map_batches(
+                lambda t, p=parity: t.filter(pa.compute.equal(
+                    pa.compute.bit_wise_and(t["l_orderkey"], 1), p)),
+                batch_format="pyarrow")
+        return build
+
+    hist = BinnedDataframe("hist", [
+        {"in": "l_returnflag"},
+        {"in": "l_quantity", "out": "qty_bin",
+         "bins": {"edges": [0.0, 10.0, 20.0, 30.0, 40.0, 50.0]}},
+    ], weights={"w": "l_discount"})
+    specs = [DatasetSpec("mc_even", "mc", build=make(0)),
+             DatasetSpec("data_odd", "data", build=make(1))]
+    out = MultiDatasetRun(specs).binned(hist, collect="concat")
+    out = out.rename(columns={"sumw_w": "sumw", "sumw2_w": "sumw2"})
+    out["n"] = out["n"].astype(np.int64)
+    out["qty_bin"] = out["qty_bin"].astype(np.int64)
+    out["sumw"] = out["sumw"].round(6)
+    out["sumw2"] = out["sumw2"].round(6)
+    return out[["dataset", "l_returnflag", "qty_bin", "n", "sumw", "sumw2"]]
+
+
 def q_image_features(sf_dir: str):
     """Multimodal plumbing demo: binary payloads through the (fake) decode
     actor pool -> feature summary (rows-only check; decode is stubbed)."""
@@ -601,6 +670,59 @@ def _cutflow_sql() -> str:
     return f"WITH base AS ({base}) " + " UNION ALL ".join(rows)
 
 
+def _multi_cutflow_sql() -> str:
+    """Two-dataset cut-flow: 'mc_even' weighted, 'data_odd' raw counts in
+    the weighted slots (filters.py:48-50)."""
+    base = _geo_sql_base()
+    c1 = "(lang = 'en')"
+    g0 = "(lat > 0.0)"
+    g1 = "(lng < 0.0)"
+    anym = f"({g0} OR {g1})"
+    final = f"({c1} AND {anym})"
+
+    def rows_for(src: str, dataset: str, is_mc: bool) -> list:
+        def cnt(cond):
+            if cond is None:
+                return "CAST(count(*) AS BIGINT)"
+            return f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+
+        def wsum(cond):
+            if not is_mc:  # data: raw counts fill the weighted slots
+                if cond is None:
+                    return "CAST(count(*) AS DOUBLE)"
+                return f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE)"
+            if cond is None:
+                return "sum(weight)"
+            return f"sum(CASE WHEN {cond} THEN weight ELSE 0.0 END)"
+
+        def row(uid, depth, cut, excl, incl, tot):
+            cut_sql = cut.replace("'", "''")
+            return (
+                f"SELECT '{dataset}' AS dataset, '{uid}' AS unique_id, "
+                f"CAST({depth} AS BIGINT) AS depth, '{cut_sql}' AS cut, "
+                f"{cnt(excl)} AS passed_only_cut, {wsum(excl)} AS passed_only_cut_weight, "
+                f"{cnt(incl)} AS passed_incl, {wsum(incl)} AS passed_incl_weight, "
+                f"{cnt(tot)} AS totals_incl, {wsum(tot)} AS totals_incl_weight "
+                f"FROM {src}"
+            )
+
+        return [
+            row("0", 0, "All", final, final, None),
+            row("0,0", 1, "lang == 'en'", c1, c1, None),
+            row("0,1", 1, "Any", anym, final, c1),
+            row("0,1,0", 2, "lat > 0.0", g0, f"({g0} AND {c1})", c1),
+            row("0,1,1", 2, "lng < 0.0", g1, f"({anym} AND {c1})", c1),
+        ]
+
+    rows = (rows_for("mc_even", "mc_even", True)
+            + rows_for("data_odd", "data_odd", False))
+    return (
+        f"WITH base AS ({base}), "
+        f"mc_even AS (SELECT * FROM base WHERE doc_id % 2 = 0), "
+        f"data_odd AS (SELECT * FROM base WHERE doc_id % 2 = 1) "
+        + " UNION ALL ".join(rows))
+
+
 def build_oracles() -> Dict[str, str]:
     geo = _geo_sql_base()
     cell = _cell_sql()
@@ -651,6 +773,19 @@ def build_oracles() -> Dict[str, str]:
             f"CAST(count(*) AS BIGINT) AS n FROM base WHERE lat IS NOT NULL "
             f"GROUP BY cell) SELECT cell, n FROM z ORDER BY n DESC, cell LIMIT 10"),
         "cutflow": _cutflow_sql(),
+        "multi_cutflow": _multi_cutflow_sql(),
+        "multi_binned": (
+            "WITH b AS (SELECT "
+            "CASE WHEN l_orderkey % 2 = 0 THEN 'mc_even' ELSE 'data_odd' END AS dataset, "
+            "l_returnflag, l_discount, "
+            "CAST(CASE WHEN l_quantity < 0 THEN 0 WHEN l_quantity < 10 THEN 1 "
+            "WHEN l_quantity < 20 THEN 2 WHEN l_quantity < 30 THEN 3 "
+            "WHEN l_quantity < 40 THEN 4 WHEN l_quantity < 50 THEN 5 "
+            "ELSE 6 END AS BIGINT) AS qty_bin FROM lineitem) "
+            "SELECT dataset, l_returnflag, qty_bin, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(l_discount), 6) AS sumw, "
+            "round(sum(l_discount*l_discount), 6) AS sumw2 "
+            "FROM b GROUP BY dataset, l_returnflag, qty_bin"),
         "select_phasespace": (
             f"WITH base AS ({geo}) SELECT doc_id, "
             f"(lang = 'en' AND coalesce(lat > 0.0, FALSE)) AS region_en_north "
@@ -732,6 +867,8 @@ def build_queries() -> Dict[str, Callable]:
         "zonal": q_zonal,
         "topk_cells": q_topk_cells,
         "cutflow": q_cutflow,
+        "multi_cutflow": q_multi_cutflow,
+        "multi_binned": q_multi_binned,
         "select_phasespace": q_select_phasespace,
         "define_events": q_define_events,
         "systematic_weights": q_systematic_weights,
