@@ -24,6 +24,7 @@ __all__ = ["Sequence", "load_pipeline", "register_stage", "STAGE_REGISTRY"]
 #: short names usable in configs, mirroring the reference's known_stages
 #: (fast_carpenter/__init__.py:21-23)
 STAGE_REGISTRY: Dict[str, str] = {
+    "Alias": "fast_carpenter_ray.stages.Alias",
     "Define": "fast_carpenter_ray.stages.Define",
     "SystematicWeights": "fast_carpenter_ray.stages.SystematicWeights",
     "CutFlow": "fast_carpenter_ray.stages.CutFlow",

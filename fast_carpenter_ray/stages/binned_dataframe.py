@@ -29,7 +29,8 @@ import pyarrow as pa
 from ..arrays import list_offsets_values
 from ..expressions import Expression, evaluate
 
-__all__ = ["BinnedDataframe", "BadBinnedDataframeConfig", "bin_edges"]
+__all__ = ["BinnedDataframe", "BadBinnedDataframeConfig", "bin_edges",
+           "write_summary"]
 
 COUNT_LABEL = "n"
 
@@ -246,3 +247,62 @@ class BinnedDataframe:
 
     def write_csv(self, df: pd.DataFrame, path: str) -> None:
         df.to_csv(path, float_format="%.17g")
+
+    def write(self, df: pd.DataFrame, path: str) -> None:
+        """Extension-dispatched summary writer (reference
+        ``summary/binned_dataframe.py:33-43``: the output filename picks
+        the pandas writer)."""
+        write_summary(df, path)
+
+
+#: extension -> writer, mirroring the reference's dispatch table
+#: (summary/binned_dataframe.py:33-43).  xlsx/h5 are gated on their
+#: optional engines (openpyxl / pytables) with a clear error; the
+#: reference's msgpack target is dead upstream (removed from pandas) and
+#: deliberately not reproduced.
+def _write_parquet(df: pd.DataFrame, path: str) -> None:
+    # Interval/categorical index levels are not parquet-representable:
+    # flatten to columns and stringify interval labels (lossless for
+    # golden-diff purposes; the csv writer does the same textually).
+    flat = df.reset_index()
+    for c in flat.columns:
+        if isinstance(flat[c].dtype, pd.IntervalDtype) or flat[c].dtype == object:
+            if len(flat[c]) and isinstance(flat[c].iloc[0], pd.Interval):
+                flat[c] = flat[c].astype(str)
+    flat.to_parquet(path)
+
+
+def _gated(module: str, fn):
+    def write(df, path):
+        try:
+            __import__(module)
+        except ImportError as err:
+            raise NotImplementedError(
+                f"writing {path!r} needs the optional {module!r} engine "
+                f"(not installed in this environment): {err}")
+        fn(df, path)
+    return write
+
+
+_WRITERS = {
+    ".csv": lambda df, path: df.to_csv(path, float_format="%.17g"),
+    ".txt": lambda df, path: df.to_csv(path, float_format="%.17g"),
+    ".parquet": _write_parquet,
+    ".pkl": lambda df, path: df.to_pickle(path),
+    ".json": lambda df, path: df.reset_index().to_json(path, orient="records"),
+    ".xlsx": _gated("openpyxl", lambda df, path: df.to_excel(path)),
+    ".h5": _gated("tables", lambda df, path: df.to_hdf(path, key="summary")),
+}
+
+
+def write_summary(df: pd.DataFrame, path: str) -> None:
+    """Write a summary dataframe, format chosen by file extension."""
+    import os
+
+    ext = os.path.splitext(path)[1].lower()
+    writer = _WRITERS.get(ext)
+    if writer is None:
+        raise ValueError(
+            f"unsupported summary output extension {ext!r} "
+            f"(supported: {sorted(_WRITERS)})")
+    writer(df, path)

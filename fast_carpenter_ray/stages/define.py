@@ -28,7 +28,7 @@ import pyarrow as pa
 from ..arrays import get_reduction, list_offsets_values
 from ..expressions import Expression, evaluate
 
-__all__ = ["Define", "SystematicWeights", "BadVariablesConfig"]
+__all__ = ["Define", "SystematicWeights", "Alias", "BadVariablesConfig"]
 
 
 class BadVariablesConfig(Exception):
@@ -183,4 +183,43 @@ class SystematicWeights:
     def apply(self, ds):
         if not self.is_mc:
             return ds
+        return ds.map_batches(self, batch_format="pyarrow")
+
+
+class Alias:
+    """Column aliases — expose storage columns under user-facing names.
+
+    WHAT (reference ``fast_carpenter/tree_adapter.py:52-70``): an aliases
+    mapping lets expressions refer to a branch by a user name that
+    resolves to the storage name at access time.
+
+    HOW: Arrow ``append_column`` with a reference to the existing chunked
+    array — zero-copy, so aliasing is free; downstream expressions see
+    both names.  ``keep_original=False`` drops the storage-name column
+    after aliasing (a pure rename).
+    """
+
+    def __init__(self, name: str, aliases: "Dict[str, str]",
+                 keep_original: bool = True):
+        self.name = name
+        self.aliases = dict(aliases)
+        self.keep_original = keep_original
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa  # noqa: F811 (worker-side import)
+
+        for user, storage in self.aliases.items():
+            if storage not in batch.column_names:
+                raise KeyError(
+                    f"{self.name}: alias {user!r} -> missing column {storage!r}")
+            if user in batch.column_names:
+                raise ValueError(f"{self.name}: column {user!r} already exists")
+            batch = batch.append_column(user, batch[storage])
+        if not self.keep_original:
+            drop = [s for s in self.aliases.values()
+                    if s not in self.aliases]  # keep if also a user name
+            batch = batch.drop_columns(list(dict.fromkeys(drop)))
+        return batch
+
+    def apply(self, ds):
         return ds.map_batches(self, batch_format="pyarrow")

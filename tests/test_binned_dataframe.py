@@ -120,3 +120,45 @@ def test_bad_configs():
         BinnedDataframe("h", [{"in": "x", "bins": {"nbins": 3}}])  # missing low/high
     with pytest.raises(BadBinnedDataframeConfig):
         BinnedDataframe("h", [{"in": "x", "bins": 42}])
+
+
+def test_write_summary_formats(ray_session, tmp_path):
+    """Extension-dispatched writer (reference summary/binned_dataframe.py:
+    33-43): csv/parquet/pkl/json round-trip; optional engines raise a
+    clear error; unknown extensions are refused."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.binned_dataframe import write_summary
+
+    h = BinnedDataframe("h", [{"in": "x", "bins": {"edges": [0.0, 1.0, 2.0]}}],
+                        weights={"w": "w"})
+    df = h.collect(h.aggregate(rd.from_arrow(batch())))
+
+    csv_path = str(tmp_path / "s.csv")
+    write_summary(df, csv_path)
+    text = open(csv_path).read()
+    assert "n" in text and "w:sumw" in text
+
+    pkl_path = str(tmp_path / "s.pkl")
+    write_summary(df, pkl_path)
+    back = pd.read_pickle(pkl_path)
+    pd.testing.assert_frame_equal(back, df)
+
+    pq_path = str(tmp_path / "s.parquet")
+    write_summary(df, pq_path)
+    back = pd.read_parquet(pq_path)
+    assert back["n"].sum() == df["n"].sum()
+    assert back["x"].dtype == object  # interval labels stringified
+
+    json_path = str(tmp_path / "s.json")
+    write_summary(df, json_path)
+    assert pd.read_json(json_path)["n"].sum() == df["n"].sum()
+
+    with pytest.raises(ValueError, match="unsupported"):
+        write_summary(df, str(tmp_path / "s.nope"))
+    for gated in ("s.xlsx", "s.h5"):
+        try:
+            write_summary(df, str(tmp_path / gated))
+        except NotImplementedError as err:
+            assert "optional" in str(err)  # engine absent in this sandbox

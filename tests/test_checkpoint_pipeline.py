@@ -152,3 +152,34 @@ def test_yaml_pipeline_bad_config():
         load_pipeline({"nope": []})
     with pytest.raises(BadPipelineConfig):
         load_pipeline({"stages": [{"x": "No.Such.Class"}]})
+
+
+def test_alias_stage(ray_session, sf_dir):
+    """Column aliases (reference tree_adapter.py:52-70): user names resolve
+    to storage columns, zero-copy; expressions can use the alias."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.pipelines import load_pipeline
+
+    yaml_cfg = """
+stages:
+  - names: Alias
+  - derive: Define
+names:
+  aliases: {ev_value: value}
+derive:
+  variables:
+    - doubled: "ev_value * 2"
+"""
+    seq = load_pipeline(yaml_cfg)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    out = seq.apply(ds).to_pandas()
+    np.testing.assert_allclose(out["doubled"], out["value"] * 2)
+    np.testing.assert_allclose(out["ev_value"], out["value"])
+
+    from fast_carpenter_ray.stages import Alias
+    ren = Alias("r", {"v": "value"}, keep_original=False)
+    t = ren(pa.table({"value": [1.0, 2.0]}))
+    assert t.column_names == ["v"]
+    with pytest.raises(KeyError):
+        Alias("r", {"v": "missing"})(pa.table({"value": [1.0]}))
