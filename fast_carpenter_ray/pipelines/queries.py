@@ -598,6 +598,83 @@ def q_multi_binned(sf_dir: str):
     return out[["dataset", "l_returnflag", "qty_bin", "n", "sumw", "sumw2"]]
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (stages/asof_join.py): each purchase event attributed to
+    the user's latest prior view event — one hash shuffle, vectorized
+    per-group searchsorted.  Oracle: DuckDB's native ASOF JOIN."""
+    import ray.data as rd
+
+    from ..stages.asof_join import asof_join
+
+    def load(etype: str):
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value", "event_type"])
+
+        def prep(t: pa.Table, e=etype) -> pa.Table:
+            t = t.filter(pa.compute.equal(t["event_type"], e))
+            return pa.table({
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "t_us": t["ts"].cast(pa.int64()),
+                "value": t["value"],
+            })
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    out = asof_join(load("purchase"), load("view"), on="t_us", by="user_id",
+                    left_cols=["event_id", "value"],
+                    right_cols=["event_id", "value"], how="inner")
+    df = out.to_pandas().rename(columns={
+        "event_id_r": "view_event_id", "value_r": "view_value"})
+    # pandas map_groups upcasts int columns that carried typed nulls on the
+    # other side's rows; restore the parquet int64 ids.
+    df["event_id"] = df["event_id"].astype(np.int64)
+    df["view_event_id"] = df["view_event_id"].astype(np.int64)
+    cols = ["user_id", "event_id", "value", "view_event_id", "view_value"]
+    return df[cols].sort_values("event_id").reset_index(drop=True)
+
+
+def q_session_windows(sf_dir: str):
+    """Gap-based session windows (stages/windows.py): per-user sessions
+    with a 2-hour idle gap; one shuffle, vectorized sessionization."""
+    import ray.data as rd
+
+    from ..stages.windows import session_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = session_windows(ds, key="user_id", ts="ts",
+                          gap_us=7_200_000_000, value="value").to_pandas()
+    out = out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(6)
+    return out[["user_id", "session_start", "n", "sum_value"]]
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k (rows-only: recall < 1 by construction;
+    pytest pins nprobe==n_centroids == exact brute-force ranking)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.ann import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qtab = emb.filter(pa.compute.less(emb["vec_id"], 10))
+    queries = {
+        "id": qtab["vec_id"].to_numpy(zero_copy_only=False),
+        "matrix": np.stack([np.asarray(v, dtype=np.float64)
+                            for v in qtab["embedding"].to_pylist()]),
+    }
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    got = ivf_topk(ds, queries, k=5, n_centroids=16, nprobe=8).to_pandas()
+    got["cosine"] = got["cosine"].round(4)
+    got["rank"] = got["rank"].astype(np.int64)
+    return got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_image_features(sf_dir: str):
     """Multimodal plumbing demo: binary payloads through the (fake) decode
     actor pool -> feature summary (rows-only check; decode is stubbed)."""
@@ -815,6 +892,26 @@ def build_oracles() -> Dict[str, str]:
             "SELECT user_id, epoch_us(ts) // 3600000000 AS win, "
             "CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY user_id, win"),
+        "asof_join": (
+            "WITH p AS (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase'), "
+            "v AS (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'view') "
+            "SELECT p.user_id, p.event_id, p.value, "
+            "v.event_id AS view_event_id, v.value AS view_value "
+            "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
+        "session_windows": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events), "
+            "m AS (SELECT user_id, t, value, CASE WHEN "
+            "t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 7200000000 "
+            "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL "
+            "THEN 1 ELSE 0 END AS new FROM e), "
+            "s AS (SELECT user_id, t, value, sum(new) OVER ("
+            "PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM m) "
+            "SELECT user_id, min(t) AS session_start, "
+            "CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value "
+            "FROM s GROUP BY user_id, sid"),
         "lookup_join": (
             "SELECT o_orderkey, o_custkey AS c_custkey, "
             "o_totalprice, c_mktsegment "
@@ -875,6 +972,9 @@ def build_queries() -> Dict[str, Callable]:
         "binned_lineitem": q_binned_lineitem,
         "skim": q_skim,
         "window_agg": q_window_agg,
+        "asof_join": q_asof_join,
+        "session_windows": q_session_windows,
+        "ann_ivf": q_ann_ivf,
         "lookup_join": q_lookup_join,
         "hash_join": q_hash_join,
         "dedup_exact": q_dedup_exact,

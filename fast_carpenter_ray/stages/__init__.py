@@ -9,6 +9,8 @@ from .knn_join import KNNJoiner, knn_join, brute_force_knn  # noqa: F401
 from .zonal import ZonalAggregate  # noqa: F401
 from .dedup import ExactDedup, MinHashDedup, SimHashDedup, ngram_jaccard  # noqa: F401
 from .text import TokenCount, QualityScore, LangId, Fingerprint  # noqa: F401
-from .ann import ann_topk, near_dup_cosine, LSHBuckets  # noqa: F401
+from .ann import ann_topk, ivf_topk, near_dup_cosine, LSHBuckets  # noqa: F401
+from .asof_join import asof_join  # noqa: F401
+from .windows import session_windows  # noqa: F401
 from .multimodal import ImageDecode, FrameSample, media_schema  # noqa: F401
 from .joins import lookup_join, hash_join  # noqa: F401

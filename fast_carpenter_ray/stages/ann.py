@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["ann_topk", "LSHBuckets", "near_dup_cosine"]
+__all__ = ["ann_topk", "ivf_topk", "train_centroids", "LSHBuckets", "near_dup_cosine"]
 
 
 def _matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -111,6 +111,129 @@ def ann_topk(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
     import ray.data as rd
 
     local_df = local.to_pandas()  # bounded: partial top-ks only, never embeddings
+    out = []
+    for qid, g in local_df.groupby("query_id", sort=True):
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    merged = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        {"query_id": pd.Series([], dtype="int64"),
+         "neighbor_id": pd.Series([], dtype="int64"),
+         "cosine": pd.Series([], dtype="float64"),
+         "rank": pd.Series([], dtype="int32")})
+    return rd.from_pandas(merged)
+
+
+def train_centroids(matrix: np.ndarray, n_centroids: int, iters: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd k-means on a (small, driver-side) sample for
+    the IVF coarse quantizer.  Cosine metric: everything normalized,
+    assignment by max dot product."""
+    m = _normalize(np.asarray(matrix, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+class _LocalIVFTopK:
+    """Per-batch IVF probe: rows are assigned to their nearest centroid;
+    each query scores ONLY rows whose centroid is in its nprobe shortlist.
+    At scale the win is the skipped distance computations (and, with a
+    centroid-partitioned layout, skipped blocks entirely); recall < 1 by
+    construction — nprobe == n_centroids degenerates to the exact scan."""
+
+    def __init__(self, state_ref, k: int, id_col: str, vec_col: str,
+                 exclude_self: bool):
+        import ray
+
+        st = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        self.query_ids = np.asarray(st["query_ids"], dtype=np.int64)
+        self.qm = _normalize(np.asarray(st["query_matrix"], dtype=np.float64))
+        self.cents = np.asarray(st["centroids"], dtype=np.float64)
+        self.nprobe = int(st["nprobe"])
+        # per-query probe shortlist: nprobe nearest centroids
+        order = np.argsort(-(self.qm @ self.cents.T), axis=1, kind="stable")
+        self.probe = order[:, :self.nprobe]  # [n_queries, nprobe]
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_matrix(batch, self.vec_col))
+        assign = np.argmax(m @ self.cents.T, axis=1)  # [n_rows]
+        out_q, out_i, out_s = [], [], []
+        order_ids = np.argsort(ids, kind="stable")
+        m, ids, assign = m[order_ids], ids[order_ids], assign[order_ids]
+        for qi in range(len(self.query_ids)):
+            cand = np.isin(assign, self.probe[qi])
+            if self.exclude_self:
+                cand &= ids != self.query_ids[qi]
+            if not cand.any():
+                continue
+            sims = m[cand] @ self.qm[qi]
+            cids = ids[cand]
+            kk = min(self.k, len(sims))
+            top = np.argsort(-sims, kind="stable")[:kk]  # stable => id ties
+            out_q.extend([int(self.query_ids[qi])] * kk)
+            out_i.extend(cids[top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_i, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def ivf_topk(ds, queries: dict, k: int = 5, n_centroids: int = 16,
+             nprobe: int = 4, sample_size: int = 4096, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_self: bool = True, concurrency=(1, 4),
+             batch_size: int = 4096):
+    """IVF (inverted-file) approximate cosine top-k — the scale path next
+    to :func:`ann_topk`'s exact scan.
+
+    Coarse quantizer: Lloyd k-means on a deterministic driver-side sample
+    (``ds.limit(sample_size)``); centroids broadcast once via ``ray.put``.
+    Each batch scores each query only against rows assigned to the query's
+    ``nprobe`` nearest centroids.  Recall < 1 for nprobe < n_centroids
+    (documented approximation); ``nprobe == n_centroids`` is exactly the
+    brute-force ranking (pytest pins both properties).
+    """
+    import ray
+
+    sample = ds.limit(sample_size).to_pandas()
+    sm = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    cents = train_centroids(sm, n_centroids, seed=seed)
+    state = {
+        "query_ids": np.asarray(queries["id"], dtype=np.int64),
+        "query_matrix": np.asarray(queries["matrix"], dtype=np.float64),
+        "centroids": cents,
+        "nprobe": int(nprobe),
+    }
+    # State is small (queries + n_centroids vectors) and constructor kwargs
+    # ship once per actor, so pass it inline — an ObjectRef here would trip
+    # Ray's actor-restart hazard (ray-project/ray#53727).
+    local = ds.map_batches(
+        _LocalIVFTopK,
+        fn_constructor_kwargs={"state_ref": state, "k": k, "id_col": id_col,
+                               "vec_col": vec_col, "exclude_self": exclude_self},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    import ray.data as rd
+
+    local_df = local.to_pandas()  # bounded: partial top-ks only
     out = []
     for qid, g in local_df.groupby("query_id", sort=True):
         g = g.sort_values(["cosine", "neighbor_id"],

@@ -1,0 +1,115 @@
+"""As-of join — for each left row, the most recent right row at or before
+it, matched by key.
+
+The reference has no temporal joins (SURVEY.md §2.5); this is one of the
+custom operators the north rule's engine class needs (event streams:
+attribute each purchase to the latest prior page view, join quotes to
+trades, ...).
+
+Ray-native shape (option (a) of the custom-operator ladder: a composition
+of ``map_batches`` + ``groupby().map_groups``):
+
+1. tag both sides and align their schemas inside ``map_batches`` (right
+   payload columns renamed with ``suffix``; each side carries typed nulls
+   for the other side's payload — Arrow unions need one schema);
+2. ONE hash shuffle: ``groupby(by)`` co-locates each key's rows;
+3. per-group vectorized resolution: sort the right side's times once,
+   ``np.searchsorted`` every left time against them — O((l+r) log r) per
+   group, no Python pair loop.
+
+Partitioning assumption (documented per the project brief): all rows of
+one ``by`` key fit in one group task.  Keys here are entities (users,
+instruments) whose per-key row count does not grow with corpus breadth;
+for genuinely hot keys, range-partition ``on`` within the key upstream and
+as-of join each range with the previous range's tail broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["asof_join"]
+
+_SIDE = "__asof_side"
+
+
+def asof_join(left, right, on: str, by: str,
+              left_cols: Optional[Sequence[str]] = None,
+              right_cols: Optional[Sequence[str]] = None,
+              suffix: str = "_r", how: str = "inner"):
+    """For each left row, the right row with the greatest ``on`` value
+    <= the left row's ``on``, within the same ``by`` key.
+
+    ``on`` must be a totally ordered column (int/float/timestamp).
+    ``how="inner"`` drops left rows with no prior right row;
+    ``how="left"`` keeps them with null right payload.
+    Right payload columns are emitted as ``<name><suffix>``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: unknown how={how!r}")
+
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    lcols = [c for c in (left_cols or l_schema.names) if c not in (on, by)]
+    rcols = [c for c in (right_cols or r_schema.names) if c not in (on, by)]
+    r_out = [f"{c}{suffix}" for c in rcols]
+    on_r = f"{on}{suffix}"
+    l_types = {c: l_schema.field(c).type for c in lcols}
+    r_types = {c: r_schema.field(c).type for c in rcols}
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {by: batch[by], on: batch[on],
+                _SIDE: pa.array(np.zeros(n, dtype=np.int8))}
+        for c in lcols:
+            cols[c] = batch[c]
+        for c, co in zip(rcols, r_out):
+            cols[co] = pa.nulls(n, type=r_types[c])
+        return pa.table(cols)
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {by: batch[by], on: batch[on],
+                _SIDE: pa.array(np.ones(n, dtype=np.int8))}
+        for c in lcols:
+            cols[c] = pa.nulls(n, type=l_types[c])
+        for c, co in zip(rcols, r_out):
+            cols[co] = batch[c]
+        return pa.table(cols)
+
+    tagged = left.map_batches(_tag_left, batch_format="pyarrow").union(
+        right.map_batches(_tag_right, batch_format="pyarrow"))
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        is_r = group[_SIDE].to_numpy() == 1
+        lrows = group[~is_r]
+        rrows = group[is_r]
+        out_cols = [by, on] + lcols + [on_r] + r_out
+        if len(lrows) == 0:
+            return lrows.reindex(columns=out_cols)
+        lvals = lrows[on].to_numpy()
+        if len(rrows) == 0:
+            matched = np.zeros(len(lrows), dtype=bool)
+            out = lrows.copy()
+            out[on_r] = pd.NA
+        else:
+            rs = rrows.sort_values(on, kind="stable")
+            rvals = rs[on].to_numpy()
+            idx = np.searchsorted(rvals, lvals, side="right") - 1
+            matched = idx >= 0
+            take = np.clip(idx, 0, None)
+            out = lrows.copy()
+            out[on_r] = rvals[take]
+            out.loc[~matched, on_r] = pd.NA
+            for c, co in zip(rcols, r_out):
+                out[co] = rs[co].to_numpy()[take]
+                out.loc[~matched, co] = pd.NA
+        if how == "inner":
+            out = out[matched]
+        return out.reindex(columns=out_cols)
+
+    return tagged.groupby(by).map_groups(resolve, batch_format="pandas")
