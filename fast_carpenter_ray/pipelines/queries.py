@@ -652,6 +652,60 @@ def q_session_windows(sf_dir: str):
     return out[["user_id", "session_start", "n", "sum_value"]]
 
 
+def _acctbal_bands(sf_dir: str) -> pa.Table:
+    """Deterministic overlapping value bands derived from `nation` (step
+    400 < width 700, so adjacent bands overlap and customers can land in
+    0, 1 or 2 bands) — both engine and SQL oracle derive the same table."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    key = nat["n_nationkey"].to_numpy().astype(np.float64)
+    return pa.table({
+        "band_id": pa.array(key.astype(np.int64)),
+        "lo": pa.array(key * 400.0 - 1000.0),
+        "hi": pa.array(key * 400.0 - 300.0),
+    })
+
+
+def q_range_join(sf_dir: str):
+    """Broadcast range join (stages/range_join.py): customer acctbal into
+    overlapping rating bands; intervals ship once, probe side streams,
+    chunked containment matrix per batch — no shuffle."""
+    import ray.data as rd
+
+    from ..stages.range_join import range_join
+
+    bands = _acctbal_bands(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_acctbal"])
+    out = range_join(ds, bands, "c_acctbal", payload=["band_id"],
+                     closed="left").to_pandas()
+    out = out.sort_values(["c_custkey", "band_id"]).reset_index(drop=True)
+    out["c_acctbal"] = out["c_acctbal"].round(2)
+    return out[["c_custkey", "c_acctbal", "band_id"]]
+
+
+def q_range_join_big(sf_dir: str):
+    """Big x big range join (value-axis bucketing + one hash shuffle);
+    same bands, same answer as q_range_join, through the groupby path."""
+    import ray.data as rd
+
+    from ..stages.range_join import range_join_bucketed
+
+    bands = _acctbal_bands(sf_dir)
+    pts = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_acctbal"])
+    out = range_join_bucketed(
+        pts, rd.from_arrow(bands), "c_acctbal", bucket_width=500.0,
+        point_payload=["c_custkey"], interval_payload=["band_id"],
+        closed="left").to_pandas()
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    out["band_id"] = out["band_id"].astype(np.int64)
+    out = out.sort_values(["c_custkey", "band_id"]).reset_index(drop=True)
+    out["c_acctbal"] = out["c_acctbal"].round(2)
+    return out[["c_custkey", "c_acctbal", "band_id"]]
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF approximate top-k (rows-only: recall < 1 by construction;
     pytest pins nprobe==n_centroids == exact brute-force ranking)."""
@@ -900,6 +954,20 @@ def build_oracles() -> Dict[str, str]:
             "SELECT p.user_id, p.event_id, p.value, "
             "v.event_id AS view_event_id, v.value AS view_value "
             "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
+        "range_join": (
+            "WITH bands AS (SELECT CAST(n_nationkey AS BIGINT) AS band_id, "
+            "n_nationkey * 400.0 - 1000.0 AS lo, "
+            "n_nationkey * 400.0 - 300.0 AS hi FROM nation) "
+            "SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, band_id "
+            "FROM customer JOIN bands "
+            "ON c_acctbal >= lo AND c_acctbal < hi"),
+        "range_join_big": (
+            "WITH bands AS (SELECT CAST(n_nationkey AS BIGINT) AS band_id, "
+            "n_nationkey * 400.0 - 1000.0 AS lo, "
+            "n_nationkey * 400.0 - 300.0 AS hi FROM nation) "
+            "SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, band_id "
+            "FROM customer JOIN bands "
+            "ON c_acctbal >= lo AND c_acctbal < hi"),
         "session_windows": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events), "
             "m AS (SELECT user_id, t, value, CASE WHEN "
@@ -974,6 +1042,8 @@ def build_queries() -> Dict[str, Callable]:
         "window_agg": q_window_agg,
         "asof_join": q_asof_join,
         "session_windows": q_session_windows,
+        "range_join": q_range_join,
+        "range_join_big": q_range_join_big,
         "ann_ivf": q_ann_ivf,
         "lookup_join": q_lookup_join,
         "hash_join": q_hash_join,
