@@ -652,6 +652,21 @@ def q_session_windows(sf_dir: str):
     return out[["user_id", "session_start", "n", "sum_value"]]
 
 
+def q_raster_zonal(sf_dir: str):
+    """Raster<->vector zonal stats (stages/raster.py): a deterministic
+    64x64 dyadic-valued world raster sampled at every geotagged page,
+    aggregated per res-4 zone cell.  Values are multiples of 2^-10 so
+    partial sums are exact in any order — the SQL oracle matches with no
+    rounding."""
+    from ..stages.raster import make_test_raster, raster_zonal
+
+    ds = _pages_geo(sf_dir)
+    out = raster_zonal(ds, make_test_raster(64, 64), res=4).to_pandas()
+    out = out.sort_values("cell").reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["cell", "n", "sum_value", "mean_value"]]
+
+
 def _acctbal_bands(sf_dir: str) -> pa.Table:
     """Deterministic overlapping value bands derived from `nation` (step
     400 < width 700, so adjacent bands overlap and customers can land in
@@ -894,6 +909,17 @@ def build_oracles() -> Dict[str, str]:
             f"SELECT doc_id, site_id, "
             f"row_number() OVER (PARTITION BY doc_id ORDER BY d2, site_id) AS rank "
             f"FROM d) WHERE rank <= 3"),
+        "raster_zonal": (
+            f"WITH base AS ({geo}), v AS (SELECT "
+            f"(CAST(least(greatest(floor((lat + 90.0) / 180.0 * 16), 0), 15) AS BIGINT) * 16 "
+            f"+ CAST(least(greatest(floor((lng + 180.0) / 360.0 * 16), 0), 15) AS BIGINT)) AS cell, "
+            f"((CAST(least(greatest(floor((lat + 90.0) / 180.0 * 64), 0), 63) AS BIGINT) * 31 "
+            f"+ CAST(least(greatest(floor((lng + 180.0) / 360.0 * 64), 0), 63) AS BIGINT) * 17) "
+            f"% 1000) / 1024.0 AS rv "
+            f"FROM base WHERE lat IS NOT NULL) "
+            f"SELECT cell, CAST(count(*) AS BIGINT) AS n, "
+            f"sum(rv) AS sum_value, sum(rv) / count(*) AS mean_value "
+            f"FROM v GROUP BY cell"),
         "zonal": (
             f"WITH base AS ({geo}) SELECT {cell} AS cell, "
             f"CAST(count(*) AS BIGINT) AS n, sum(weight) AS sumw, "
@@ -1042,6 +1068,7 @@ def build_queries() -> Dict[str, Callable]:
         "window_agg": q_window_agg,
         "asof_join": q_asof_join,
         "session_windows": q_session_windows,
+        "raster_zonal": q_raster_zonal,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
         "ann_ivf": q_ann_ivf,

@@ -1,0 +1,141 @@
+"""Raster sampling + raster<->vector zonal stats.
+
+The north star names "raster<->vector zonal tiling" as a first-class engine
+capability.  ``ZonalAggregate`` (stages/zonal.py) covers the vector->tile
+direction (aggregate point rows per grid cell); this module adds the
+raster side:
+
+* :class:`WorldRaster` — an equal-angle global grid of float64 values
+  (rows = latitude bands south->north, cols = longitude west->east), the
+  in-memory stand-in for a reprojected GeoTIFF band.  Real raster IO
+  (rasterio/GDAL) is not in this sandbox; the loader seam is
+  :func:`WorldRaster.from_array` and everything downstream is format-
+  agnostic.  The grid math reuses the exact floor arithmetic of
+  ``geo/cells.py`` so a DuckDB SQL oracle reproduces sampling bit-for-bit.
+
+* :func:`raster_sample` — broadcast the raster ONCE via ``ray.put`` and
+  append ``value_col`` to a streaming Dataset by vectorized nearest-cell
+  lookup per batch (two integer index ops + one fancy-index gather; no
+  Python row loop).  Tasks read the broadcast array zero-copy from the
+  local object store — it is never re-shipped per batch.
+
+* :func:`raster_zonal` — raster values aggregated per vector zone
+  (grid-cell tile): sample, then the ZonalAggregate partial/combine path.
+  100-TB shape: the only shuffle is the zonal combine's (tiny, per-cell
+  partials); the raster itself never moves after the one broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["WorldRaster", "raster_sample", "raster_zonal", "make_test_raster"]
+
+
+class WorldRaster:
+    """Global equal-angle raster: ``values[iy, ix]`` with
+    ``iy = floor((lat+90)/180*ny)``, ``ix = floor((lng+180)/360*nx)``
+    (clamped) — the same IEEE-754 op order as ``geo.cells.cell_xy`` so the
+    SQL oracle matches bit-for-bit."""
+
+    def __init__(self, values: np.ndarray):
+        values = np.asarray(values, dtype=np.float64)
+        if values.ndim != 2:
+            raise ValueError("WorldRaster: values must be 2-D [ny, nx]")
+        self.values = values
+        self.ny, self.nx = values.shape
+
+    @classmethod
+    def from_array(cls, values) -> "WorldRaster":
+        return cls(np.asarray(values))
+
+    def sample(self, lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
+        """Vectorized value lookup; NaN coordinates -> NaN."""
+        lat = np.asarray(lat, dtype=np.float64)
+        lng = np.asarray(lng, dtype=np.float64)
+        fy = np.floor((lat + 90.0) / 180.0 * self.ny)
+        fx = np.floor((lng + 180.0) / 360.0 * self.nx)
+        with np.errstate(invalid="ignore"):
+            iy = np.clip(fy, 0, self.ny - 1)
+            ix = np.clip(fx, 0, self.nx - 1)
+        bad = ~(np.isfinite(fy) & np.isfinite(fx))
+        out = self.values[np.where(bad, 0, iy).astype(np.int64),
+                          np.where(bad, 0, ix).astype(np.int64)]
+        return np.where(bad, np.nan, out)
+
+
+def make_test_raster(ny: int = 64, nx: int = 64) -> WorldRaster:
+    """Deterministic synthetic raster (no external data in this sandbox):
+    ``value[iy, ix] = ((iy*31 + ix*17) % 1000) / 1024.0`` — integer
+    arithmetic, reproducible in ANSI SQL for the oracle."""
+    iy, ix = np.meshgrid(np.arange(ny, dtype=np.int64),
+                         np.arange(nx, dtype=np.int64), indexing="ij")
+    return WorldRaster(((iy * 31 + ix * 17) % 1000) / 1024.0)
+
+
+def raster_sample(ds, raster: WorldRaster, lat_col: str = "lat",
+                  lng_col: str = "lng", value_col: str = "raster_value"):
+    """Append ``value_col`` (float64; null where coordinates are null/NaN)
+    by nearest-cell raster lookup.  The raster array is ``ray.put`` once;
+    each task reads it zero-copy from the local object store."""
+    import ray
+
+    ny, nx = raster.ny, raster.nx
+    ref = ray.put(raster.values)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        grid = WorldRaster(ray.get(ref))
+        assert grid.ny == ny and grid.nx == nx
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lng = batch[lng_col].to_numpy(zero_copy_only=False)
+        v = grid.sample(lat, lng)
+        return batch.append_column(
+            value_col, pa.array(v, type=pa.float64(), from_pandas=True))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def raster_zonal(ds, raster: WorldRaster, res: int,
+                 lat_col: str = "lat", lng_col: str = "lng",
+                 mode: str = "tree",
+                 max_driver_rows: Optional[int] = None):
+    """Zonal statistics of a raster over grid-cell zones: per cell,
+    ``n`` samples, ``sum`` and ``mean`` of the raster value at each
+    point's location.  Points with null coordinates are dropped (their
+    cell id is -1)."""
+    from ..geo.cells import cell_id
+    from ..agg import combine_partials
+
+    sampled = raster_sample(ds, raster, lat_col, lng_col, "_rv")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lng = batch[lng_col].to_numpy(zero_copy_only=False)
+        cell = cell_id(lat, lng, res)
+        v = batch["_rv"].to_numpy(zero_copy_only=False)
+        ok = cell >= 0
+        cell, v = cell[ok], v[ok]
+        import pandas as pd
+
+        df = pd.DataFrame({"cell": cell, "sum_value": v})
+        out = df.groupby("cell", sort=False).agg(
+            sum_value=("sum_value", "sum"), n=("sum_value", "size")
+        ).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = sampled.map_batches(partial, batch_format="pyarrow")
+    kwargs = {} if max_driver_rows is None else {
+        "max_driver_rows": max_driver_rows}
+    combined = combine_partials(parts, keys=["cell"],
+                                value_cols=["sum_value", "n"],
+                                mode=mode, **kwargs)
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["sum_value"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return batch.append_column("mean_value", pa.array(s / n))
+
+    return combined.map_batches(finish, batch_format="pyarrow")
