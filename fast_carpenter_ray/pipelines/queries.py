@@ -652,6 +652,23 @@ def q_session_windows(sf_dir: str):
     return out[["user_id", "session_start", "n", "sum_value"]]
 
 
+def q_hop_window(sf_dir: str):
+    """Hopping-window aggregate (stages/windows.py): 1-hour windows
+    sliding every 15 minutes over the events stream — per-batch window
+    expansion fused with partial aggregation, one hash combine."""
+    import ray.data as rd
+
+    from ..stages.windows import hop_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    out = hop_windows(ds, ts="ts", width_us=3_600_000_000,
+                      slide_us=900_000_000, mode="hash").to_pandas()
+    out = out.sort_values("win").reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(6)
+    return out[["win", "window_start", "n", "sum_value"]]
+
+
 def q_raster_zonal(sf_dir: str):
     """Raster<->vector zonal stats (stages/raster.py): a deterministic
     64x64 dyadic-valued world raster sampled at every geotagged page,
@@ -980,6 +997,17 @@ def build_oracles() -> Dict[str, str]:
             "SELECT p.user_id, p.event_id, p.value, "
             "v.event_id AS view_event_id, v.value AS view_value "
             "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
+        "hop_window": (
+            "WITH e AS (SELECT epoch_us(ts) AS t, value FROM events), "
+            "wins AS (SELECT unnest(generate_series("
+            "(SELECT min(t) FROM e) // 900000000 - 3, "
+            "(SELECT max(t) FROM e) // 900000000)) AS win) "
+            "SELECT win, win * 900000000 AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value "
+            "FROM e JOIN wins "
+            "ON win BETWEEN (e.t - 3600000000) // 900000000 + 1 "
+            "AND e.t // 900000000 "
+            "GROUP BY win"),
         "range_join": (
             "WITH bands AS (SELECT CAST(n_nationkey AS BIGINT) AS band_id, "
             "n_nationkey * 400.0 - 1000.0 AS lo, "
@@ -1068,6 +1096,7 @@ def build_queries() -> Dict[str, Callable]:
         "window_agg": q_window_agg,
         "asof_join": q_asof_join,
         "session_windows": q_session_windows,
+        "hop_window": q_hop_window,
         "raster_zonal": q_raster_zonal,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,

@@ -24,7 +24,62 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["session_windows"]
+__all__ = ["session_windows", "hop_windows"]
+
+
+def hop_windows(ds, ts: str = "ts", width_us: int = 3_600_000_000,
+                slide_us: int = 900_000_000,
+                value: Optional[str] = "value", mode: str = "hash"):
+    """Hopping (sliding) window aggregate: window ``w`` covers
+    ``[w*slide, w*slide + width)``; every event lands in
+    ``width/slide`` overlapping windows.
+
+    Shape: per-batch vectorized window expansion (``np.repeat`` — each
+    event's window ids are ``(t-width)//slide + 1 .. t//slide``) fused
+    with a per-batch partial aggregate, then ONE hash combine keyed on the
+    window id.  The window key space grows with the data's time span, so
+    the default combine is ``mode="hash"`` (never a driver merge);
+    ``mode="tree"`` is allowed for short spans.  Returns
+    ``win, window_start, n, sum_<value>``.
+    """
+    if width_us <= 0 or slide_us <= 0 or width_us % slide_us:
+        raise ValueError("hop_windows: width_us must be a positive "
+                         "multiple of slide_us")
+    from ..agg import combine_partials
+
+    val_col = f"sum_{value}" if value else None
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = batch[ts]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        t = t.to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t // slide_us                      # numpy floor division ==
+        lo = (t - width_us) // slide_us + 1     # DuckDB // on any sign
+        reps = hi - lo + 1
+        idx = np.repeat(np.arange(len(t)), reps)
+        off = np.arange(reps.sum()) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        win = lo[idx] + off
+        frame = pd.DataFrame({"win": win})
+        agg = {"n": ("win", "size")}
+        if value:
+            frame["_v"] = batch[value].to_numpy(zero_copy_only=False)[idx]
+            agg[val_col] = ("_v", "sum")
+        out = frame.groupby("win", sort=False).agg(**agg).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(expand, batch_format="pyarrow")
+    vcols = ["n"] + ([val_col] if value else [])
+    combined = combine_partials(parts, keys=["win"], value_cols=vcols,
+                                mode=mode)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        win = batch["win"].to_numpy(zero_copy_only=False)
+        return batch.append_column("window_start", pa.array(win * slide_us))
+
+    return combined.map_batches(finish, batch_format="pyarrow")
 
 
 def session_windows(ds, key: str = "user_id", ts: str = "ts",

@@ -161,3 +161,46 @@ def test_train_centroids_deterministic():
     np.testing.assert_array_equal(a, b)
     assert a.shape == (8, 16)
     np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0, rtol=1e-9)
+
+
+def _hops_brute(t, v, width, slide):
+    rows = {}
+    for ti, vi in zip(t, v):
+        hi = ti // slide
+        lo = (ti - width) // slide + 1
+        for w in range(lo, hi + 1):
+            n, s = rows.get(w, (0, 0.0))
+            rows[w] = (n + 1, s + vi)
+    return rows
+
+
+def test_hop_windows_match_brute(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import hop_windows
+
+    rng = np.random.default_rng(13)
+    n = 400
+    t = rng.integers(0, 100_000, n).astype(np.int64)
+    v = rng.standard_normal(n)
+    ds = rd.from_arrow(pa.table({"ts": t, "value": v})).repartition(4)
+    got = hop_windows(ds, ts="ts", width_us=30_000, slide_us=10_000,
+                      mode="hash").to_pandas()
+    got = got.sort_values("win").reset_index(drop=True)
+    exp = _hops_brute(t, v, 30_000, 10_000)
+    assert got["win"].tolist() == sorted(exp)
+    for _, r in got.iterrows():
+        en, es = exp[r["win"]]
+        assert r["n"] == en
+        np.testing.assert_allclose(r["sum_value"], es)
+        assert r["window_start"] == r["win"] * 10_000
+
+
+def test_hop_windows_rejects_bad_width(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import hop_windows
+
+    ds = rd.from_arrow(pa.table({"ts": [1], "value": [1.0]}))
+    with pytest.raises(ValueError, match="multiple"):
+        hop_windows(ds, width_us=25_000, slide_us=10_000)
