@@ -100,7 +100,8 @@ def run_bench() -> dict:
     # ---- representative queries ---------------------------------------
     queries = build_queries()
     for name in ("zonal", "cutflow", "binned_lineitem", "dedup_exact",
-                 "token_count", "ann_cosine", "window_agg"):
+                 "token_count", "ann_cosine", "window_agg", "asof_join",
+                 "hop_window", "raster_zonal", "vocab", "top_docs"):
         t0 = time.perf_counter()
         result = queries[name](SF_DIR)
         if hasattr(result, "to_pandas"):

@@ -652,6 +652,62 @@ def q_session_windows(sf_dir: str):
     return out[["user_id", "session_start", "n", "sum_value"]]
 
 
+def q_profile(sf_dir: str):
+    """One-pass dataset profile (stages/profile.py): per-column
+    n/nulls/min/max/sum over integer columns — exact in float64, so the
+    oracle needs no rounding."""
+    import ray.data as rd
+
+    from ..stages.profile import profile_columns
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    out = profile_columns(ds).to_pandas()
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic hash sampling (stages/sample.py): 37% of documents by
+    doc_id hash — same row set on any partitioning / resume."""
+    import ray.data as rd
+
+    from ..stages.sample import hash_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    out = hash_sample(ds, "doc_id", 0.37).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_top_docs(sf_dir: str):
+    """Per-group top-k (stages/sample.py): 5 longest documents per
+    language — partial top-k per block, one hash shuffle, final top-k."""
+    import ray.data as rd
+
+    from ..stages.sample import group_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    out = group_topk(ds, group="lang", order_by="n_chars", k=5,
+                     tie_break="doc_id").to_pandas()
+    out = out.sort_values(["lang", "rank"]).reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["lang", "doc_id", "n_chars", "rank"]]
+
+
+def q_vocab(sf_dir: str):
+    """Corpus vocabulary (stages/text.py vocab_count): token frequency
+    table, n >= 10 — per-block distinct-token partials, one hash combine."""
+    import ray.data as rd
+
+    from ..stages.text import vocab_count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = vocab_count(ds, min_count=10).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("token").reset_index(drop=True)
+
+
 def q_hop_window(sf_dir: str):
     """Hopping-window aggregate (stages/windows.py): 1-hour windows
     sliding every 15 minutes over the events stream — per-batch window
@@ -997,6 +1053,31 @@ def build_oracles() -> Dict[str, str]:
             "SELECT p.user_id, p.event_id, p.value, "
             "v.event_id AS view_event_id, v.value AS view_value "
             "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
+        "profile": (
+            "SELECT 'doc_id' AS \"column\", CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) - count(doc_id) AS BIGINT) AS n_null, "
+            "CAST(min(doc_id) AS DOUBLE) AS min, "
+            "CAST(max(doc_id) AS DOUBLE) AS max, "
+            "CAST(sum(doc_id) AS DOUBLE) AS sum FROM documents "
+            "UNION ALL "
+            "SELECT 'n_chars', CAST(count(*) AS BIGINT), "
+            "CAST(count(*) - count(n_chars) AS BIGINT), "
+            "CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE), "
+            "CAST(sum(n_chars) AS DOUBLE) FROM documents"),
+        "doc_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE ((doc_id * 2654435761 + 40503 + 0) % 1000000) < 370000"),
+        "top_docs": (
+            "WITH r AS (SELECT lang, doc_id, n_chars, "
+            "row_number() OVER (PARTITION BY lang "
+            "ORDER BY n_chars DESC, doc_id DESC) AS rank FROM documents) "
+            "SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 5"),
+        "vocab": (
+            "WITH w AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) "
+            "AS token FROM documents) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS n FROM w "
+            "WHERE token != '' GROUP BY token HAVING count(*) >= 10"),
         "hop_window": (
             "WITH e AS (SELECT epoch_us(ts) AS t, value FROM events), "
             "wins AS (SELECT unnest(generate_series("
@@ -1096,6 +1177,10 @@ def build_queries() -> Dict[str, Callable]:
         "window_agg": q_window_agg,
         "asof_join": q_asof_join,
         "session_windows": q_session_windows,
+        "profile": q_profile,
+        "doc_sample": q_doc_sample,
+        "top_docs": q_top_docs,
+        "vocab": q_vocab,
         "hop_window": q_hop_window,
         "raster_zonal": q_raster_zonal,
         "range_join": q_range_join,

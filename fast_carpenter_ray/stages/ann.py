@@ -143,48 +143,55 @@ def train_centroids(matrix: np.ndarray, n_centroids: int, iters: int = 10,
     return cents
 
 
-class _LocalIVFTopK:
-    """Per-batch IVF probe: rows are assigned to their nearest centroid;
-    each query scores ONLY rows whose centroid is in its nprobe shortlist.
-    At scale the win is the skipped distance computations (and, with a
-    centroid-partitioned layout, skipped blocks entirely); recall < 1 by
-    construction — nprobe == n_centroids degenerates to the exact scan."""
+def ivf_topk(ds, queries: dict, k: int = 5, n_centroids: int = 16,
+             nprobe: int = 4, sample_size: int = 4096, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_self: bool = True, batch_size: int = 4096):
+    """IVF (inverted-file) approximate cosine top-k — the scale path next
+    to :func:`ann_topk`'s exact scan.
 
-    def __init__(self, state_ref, k: int, id_col: str, vec_col: str,
-                 exclude_self: bool):
-        import ray
+    Coarse quantizer: Lloyd k-means on a deterministic driver-side sample
+    (``ds.limit(sample_size)``).  Each batch scores each query only
+    against rows assigned to the query's ``nprobe`` nearest centroids —
+    the per-batch win is the skipped distance computations, and with a
+    centroid-partitioned layout whole blocks are skipped.  Recall < 1 for
+    nprobe < n_centroids (documented approximation); ``nprobe ==
+    n_centroids`` is exactly the brute-force ranking (pytest pins both
+    properties).
 
-        st = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
-        self.query_ids = np.asarray(st["query_ids"], dtype=np.int64)
-        self.qm = _normalize(np.asarray(st["query_matrix"], dtype=np.float64))
-        self.cents = np.asarray(st["centroids"], dtype=np.float64)
-        self.nprobe = int(st["nprobe"])
-        # per-query probe shortlist: nprobe nearest centroids
-        order = np.argsort(-(self.qm @ self.cents.T), axis=1, kind="stable")
-        self.probe = order[:, :self.nprobe]  # [n_queries, nprobe]
-        self.k = k
-        self.id_col = id_col
-        self.vec_col = vec_col
-        self.exclude_self = exclude_self
+    The probe state (query matrix + centroids + per-query shortlists,
+    computed once on the driver) is a few KB — shipped in the task closure
+    per BASELINE.md lesson 5 (broadcast-state stages run as stateless
+    tasks unless per-actor state is genuinely heavy; an actor pool here
+    also trips Ray's constructor-args-in-object-store restart hazard,
+    ray-project/ray#53727)."""
+    sample = ds.limit(sample_size).to_pandas()
+    sm = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    cents = train_centroids(sm, n_centroids, seed=seed)
+    query_ids = np.asarray(queries["id"], dtype=np.int64)
+    qm = _normalize(np.asarray(queries["matrix"], dtype=np.float64))
+    # per-query probe shortlist: nprobe nearest centroids
+    order = np.argsort(-(qm @ cents.T), axis=1, kind="stable")
+    probe = order[:, :int(nprobe)]  # [n_queries, nprobe]
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _normalize(_matrix(batch, self.vec_col))
-        assign = np.argmax(m @ self.cents.T, axis=1)  # [n_rows]
+    def local_ivf(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_matrix(batch, vec_col))
+        assign = np.argmax(m @ cents.T, axis=1)  # [n_rows]
         out_q, out_i, out_s = [], [], []
         order_ids = np.argsort(ids, kind="stable")
-        m, ids, assign = m[order_ids], ids[order_ids], assign[order_ids]
-        for qi in range(len(self.query_ids)):
-            cand = np.isin(assign, self.probe[qi])
-            if self.exclude_self:
-                cand &= ids != self.query_ids[qi]
+        m2, ids2, assign2 = m[order_ids], ids[order_ids], assign[order_ids]
+        for qi in range(len(query_ids)):
+            cand = np.isin(assign2, probe[qi])
+            if exclude_self:
+                cand &= ids2 != query_ids[qi]
             if not cand.any():
                 continue
-            sims = m[cand] @ self.qm[qi]
-            cids = ids[cand]
-            kk = min(self.k, len(sims))
+            sims = m2[cand] @ qm[qi]
+            cids = ids2[cand]
+            kk = min(k, len(sims))
             top = np.argsort(-sims, kind="stable")[:kk]  # stable => id ties
-            out_q.extend([int(self.query_ids[qi])] * kk)
+            out_q.extend([int(query_ids[qi])] * kk)
             out_i.extend(cids[top].tolist())
             out_s.extend(sims[top].tolist())
         return pa.table({
@@ -193,44 +200,8 @@ class _LocalIVFTopK:
             "cosine": pa.array(out_s, type=pa.float64()),
         })
 
-
-def ivf_topk(ds, queries: dict, k: int = 5, n_centroids: int = 16,
-             nprobe: int = 4, sample_size: int = 4096, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             exclude_self: bool = True, concurrency=(1, 4),
-             batch_size: int = 4096):
-    """IVF (inverted-file) approximate cosine top-k — the scale path next
-    to :func:`ann_topk`'s exact scan.
-
-    Coarse quantizer: Lloyd k-means on a deterministic driver-side sample
-    (``ds.limit(sample_size)``); centroids broadcast once via ``ray.put``.
-    Each batch scores each query only against rows assigned to the query's
-    ``nprobe`` nearest centroids.  Recall < 1 for nprobe < n_centroids
-    (documented approximation); ``nprobe == n_centroids`` is exactly the
-    brute-force ranking (pytest pins both properties).
-    """
-    import ray
-
-    sample = ds.limit(sample_size).to_pandas()
-    sm = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
-    cents = train_centroids(sm, n_centroids, seed=seed)
-    state = {
-        "query_ids": np.asarray(queries["id"], dtype=np.int64),
-        "query_matrix": np.asarray(queries["matrix"], dtype=np.float64),
-        "centroids": cents,
-        "nprobe": int(nprobe),
-    }
-    # State is small (queries + n_centroids vectors) and constructor kwargs
-    # ship once per actor, so pass it inline — an ObjectRef here would trip
-    # Ray's actor-restart hazard (ray-project/ray#53727).
-    local = ds.map_batches(
-        _LocalIVFTopK,
-        fn_constructor_kwargs={"state_ref": state, "k": k, "id_col": id_col,
-                               "vec_col": vec_col, "exclude_self": exclude_self},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    local = ds.map_batches(local_ivf, batch_format="pyarrow",
+                           batch_size=batch_size)
     import ray.data as rd
 
     local_df = local.to_pandas()  # bounded: partial top-ks only

@@ -1,0 +1,90 @@
+"""Deterministic sampling + per-group top-k.
+
+Neither exists in the reference (SURVEY.md §2.5: "no sorts, no top-k, no
+sampling"); both are staples of a 100-TB training-data pipeline (corpus
+subsetting for eval/dev splits; "best k documents per language/domain"
+curation).
+
+* :func:`hash_sample` — DETERMINISTIC row sampling keyed on an id column:
+  keep rows where ``(id*A + B) % M < fraction*M``.  Pure per-batch filter
+  — no shuffle, no RNG state, resumable (the same row always makes the
+  same decision, so a re-run or a resumed checkpoint samples identically).
+  The hash is plain int64 arithmetic so a SQL oracle reproduces the exact
+  row set.
+
+* :func:`group_topk` — top ``k`` rows per group by a sort column.  Shape:
+  per-batch partial top-k (each block contributes at most ``k`` rows per
+  group it contains — the shuffle then moves O(groups x k x blocks) rows,
+  independent of total row count), then one ``groupby(group)`` shuffle and
+  a per-group vectorized final top-k.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["hash_sample", "group_topk"]
+
+_A = 2654435761  # Knuth multiplicative constant
+_B = 40503
+_M = 1_000_000
+
+
+def hash_sample(ds, id_col: str, fraction: float, seed: int = 0):
+    """Keep a deterministic ``fraction`` of rows keyed on int ``id_col``.
+
+    ``seed`` shifts the hash so independent samples can be drawn from the
+    same corpus.  Fraction resolution is 1/1e6.
+    """
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("hash_sample: fraction must be in [0, 1]")
+    thresh = int(round(fraction * _M))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * _A + _B + np.int64(seed)) % _M
+        return batch.filter(pa.array(h < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_sql(id_col: str, fraction: float, seed: int = 0) -> str:
+    """The WHERE predicate reproducing :func:`hash_sample` in DuckDB."""
+    thresh = int(round(fraction * _M))
+    return f"(({id_col} * {_A} + {_B} + {seed}) % {_M}) < {thresh}"
+
+
+def group_topk(ds, group: str, order_by: str, k: int,
+               tie_break: Optional[str] = None, descending: bool = True,
+               cols: Optional[Sequence[str]] = None):
+    """Top ``k`` rows per ``group`` ordered by ``order_by`` (ties broken
+    by ``tie_break`` descending-consistently, so the result is unique when
+    (order_by, tie_break) is unique per group).
+
+    Two-phase: per-batch partial top-k (bounds shuffle volume to
+    O(groups-per-block x k)), then one hash shuffle + per-group final
+    top-k.
+    """
+    sort_cols: List[str] = [order_by] + ([tie_break] if tie_break else [])
+    asc = [not descending] * len(sort_cols)
+    if cols:
+        keep = list(dict.fromkeys([group, *sort_cols, *cols]))
+        ds = ds.select_columns(keep)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.sort_values(sort_cols, ascending=asc, kind="stable")
+                .groupby(group, sort=False).head(k))
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(sort_cols, ascending=asc, kind="stable").head(k)
+        out = out.copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return parts.groupby(group).map_groups(final, batch_format="pandas")

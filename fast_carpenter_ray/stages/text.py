@@ -148,3 +148,43 @@ class Fingerprint:
 
     def apply(self, ds):
         return ds.map_batches(self, batch_format="pyarrow")
+
+
+def vocab_count(ds, text_col: str = "text", min_count: int = 1,
+                mode: str = "hash"):
+    """Corpus-wide token frequency table (vocabulary building).
+
+    Per-batch tokenize + local ``value_counts`` partial (so the shuffle
+    moves one row per DISTINCT token per block, not one per token
+    occurrence), then one hash combine keyed on the token — the vocabulary
+    grows with the corpus, so the combine defaults to ``mode="hash"``
+    (distributed; never a driver merge).  Returns ``token, n`` with
+    ``n >= min_count``.
+
+    Tokenization is the explicit class ``[ \\t\\n\\r\\f]+`` — exactly RE2's
+    ``\\s`` (which, unlike Python's, excludes ``\\v`` and unicode spaces) —
+    so a DuckDB ``regexp_split_to_array(text, '\\s+')`` oracle produces
+    the identical token stream.
+    """
+    from ..agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        toks = s.str.split(r"[ \t\n\r\f]+", regex=True).explode()
+        toks = toks[(toks != "") & toks.notna()]
+        out = toks.value_counts().rename_axis("token").rename("n").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    combined = combine_partials(parts, keys=["token"], value_cols=["n"],
+                                mode=mode)
+
+    if min_count > 1:
+        def thresh(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.greater_equal(batch["n"], min_count))
+
+        combined = combined.map_batches(thresh, batch_format="pyarrow")
+    return combined

@@ -1,0 +1,127 @@
+"""hash_sample, group_topk, vocab_count — correctness vs local compute."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fast_carpenter_ray.stages.sample import group_topk, hash_sample, sample_sql
+from fast_carpenter_ray.stages.text import vocab_count
+
+
+def test_hash_sample_deterministic_and_fractional(ray_session):
+    import ray.data as rd
+
+    ids = np.arange(10_000, dtype=np.int64)
+    tab = pa.table({"doc_id": ids})
+    ds = rd.from_arrow(tab).repartition(4)
+    a = hash_sample(ds, "doc_id", 0.25).to_pandas()
+    b = hash_sample(rd.from_arrow(tab).repartition(7), "doc_id", 0.25).to_pandas()
+    # identical row set regardless of partitioning (determinism / resume)
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert abs(len(a) / len(ids) - 0.25) < 0.02
+    # different seed -> different sample
+    c = hash_sample(ds, "doc_id", 0.25, seed=99).to_pandas()
+    assert sorted(c["doc_id"]) != sorted(a["doc_id"])
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(ds, "doc_id", 1.5)
+
+
+def test_hash_sample_matches_sql_predicate(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    ids = np.arange(5_000, dtype=np.int64)
+    got = hash_sample(rd.from_arrow(pa.table({"doc_id": ids})), "doc_id",
+                      0.1).to_pandas()
+    exp = duckdb.sql(
+        f"SELECT i AS doc_id FROM range(5000) t(i) WHERE {sample_sql('i', 0.1)}"
+    ).fetchdf()
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+
+
+def test_group_topk_matches_pandas(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    n = 2_000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 12, n).astype(np.int64),
+        "score": rng.integers(0, 500, n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+        "payload": rng.standard_normal(n),
+    })
+    ds = rd.from_pandas(df).repartition(6)
+    got = group_topk(ds, group="g", order_by="score", k=4,
+                     tie_break="id").to_pandas()
+    got = got.sort_values(["g", "rank"]).reset_index(drop=True)
+
+    exp_rows = []
+    for g, sub in df.groupby("g"):
+        top = sub.sort_values(["score", "id"], ascending=False).head(4)
+        top = top.copy()
+        top["rank"] = np.arange(1, len(top) + 1)
+        exp_rows.append(top)
+    exp = (pd.concat(exp_rows).sort_values(["g", "rank"])
+           .reset_index(drop=True))
+    np.testing.assert_array_equal(got["g"], exp["g"])
+    np.testing.assert_array_equal(got["id"], exp["id"])
+    np.testing.assert_array_equal(got["score"], exp["score"])
+    np.testing.assert_array_equal(got["rank"], exp["rank"])
+
+
+def test_group_topk_partial_bounds_rows(ray_session):
+    """The partial stage emits at most k rows per group per block."""
+    import ray.data as rd
+
+    df = pd.DataFrame({"g": np.zeros(1000, dtype=np.int64),
+                       "score": np.arange(1000, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(1)
+    got = group_topk(ds, group="g", order_by="score", k=3).to_pandas()
+    assert len(got) == 3
+    assert got["score"].tolist() == [999, 998, 997]
+
+
+def test_vocab_count_matches_local(ray_session):
+    import ray.data as rd
+
+    texts = ["the cat sat", "the dog\tsat  down", "", "cat cat dog", None]
+    tab = pa.table({"text": pa.array(texts, type=pa.string())})
+    got = vocab_count(rd.from_arrow(tab).repartition(3)).to_pandas()
+    got = got.sort_values("token").reset_index(drop=True)
+    exp = {"the": 2, "cat": 3, "sat": 2, "dog": 2, "down": 1}
+    assert dict(zip(got["token"], got["n"])) == exp
+
+    got2 = vocab_count(rd.from_arrow(tab), min_count=2).to_pandas()
+    assert set(got2["token"]) == {"the", "cat", "sat", "dog"}
+
+
+def test_profile_columns_matches_local(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.profile import profile_columns
+
+    rng = np.random.default_rng(23)
+    v = rng.standard_normal(500)
+    v[::7] = np.nan
+    tab = pa.table({"a": pa.array(np.arange(500), type=pa.int64()), "b": v})
+    got = profile_columns(rd.from_arrow(tab).repartition(5)).to_pandas()
+    got = got.set_index("column")
+    assert got.loc["a", "n"] == 500 and got.loc["a", "n_null"] == 0
+    assert got.loc["a", "min"] == 0.0 and got.loc["a", "max"] == 499.0
+    assert got.loc["a", "sum"] == float(np.arange(500).sum())
+    ok = ~np.isnan(v)
+    assert got.loc["b", "n_null"] == int((~ok).sum())
+    np.testing.assert_allclose(got.loc["b", "min"], v[ok].min())
+    np.testing.assert_allclose(got.loc["b", "max"], v[ok].max())
+    np.testing.assert_allclose(got.loc["b", "sum"], v[ok].sum())
+
+
+def test_profile_columns_rejects_non_numeric(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.profile import profile_columns
+
+    tab = pa.table({"s": ["x", "y"]})
+    with pytest.raises(ValueError, match="not numeric"):
+        profile_columns(rd.from_arrow(tab))
