@@ -275,28 +275,92 @@ class MinHashDedup:
                              "id_b": ids[iu[1]].astype(np.int64),
                              "nb": np.ones(len(iu[0]), dtype=np.int64)})
 
-    def candidate_pairs(self, ds):
-        """Dataset of verified near-dup pairs (id_a < id_b, est_jaccard)."""
+    def candidate_pairs(self, ds, broadcast_pairs_budget: int = 200_000):
+        """Dataset of verified near-dup pairs (id_a < id_b, est_jaccard).
+
+        Verification fetches each pair's two signatures.  Two paths:
+
+        * pair count <= ``broadcast_pairs_budget`` (the normal case — LSH
+          candidates are a tiny fraction of the corpus): ONE streaming
+          filter pass over the signature table collects only the needed
+          signatures (bounded by 2 x pairs), which verify as a broadcast
+          lookup — no hash join, no extra shuffle.
+        * above the budget (adversarial corpora where candidates are
+          corpus-sized): two bounded-partition hash joins, the honest
+          shuffle path; the signature table crosses the shuffle once per
+          side (~1 KB/doc), only here.
+        """
         import ray
+        import ray.data as rd
         from ray.data.aggregate import Sum
 
         id_col = self.id_col
         threshold = self.threshold
-        num_perm = self.num_perm
         num_partitions = self.num_partitions
         if num_partitions is None:
-            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+            # hash-shuffle joins spawn aggregator actors per partition;
+            # partitions >> data blocks is pure startup cost (see
+            # agg.combine_partials for the measurement)
+            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
 
         sigs = ds.map_batches(self.signature_batch, batch_format="pyarrow")
         rows = sigs.map_batches(self.band_rows, batch_format="pyarrow")
-        cand = rows.groupby(["band_id", "band_key"]).map_groups(
+        cand = rows.groupby(["band_id", "band_key"],
+                            num_partitions=num_partitions).map_groups(
             self._bucket_pairs, batch_format="pandas")
-        # dedupe pairs across bands BEFORE fetching signatures
-        pairs = cand.groupby(["id_a", "id_b"]).aggregate(Sum("nb", alias_name="nb"))
-        pairs = pairs.select_columns(["id_a", "id_b"])
+        # dedupe pairs across bands BEFORE fetching signatures; materialize
+        # (bounded: the capped-bucket candidate set) so count + verify
+        # don't recompute the LSH chain
+        pairs = cand.groupby(["id_a", "id_b"],
+                             num_partitions=num_partitions).aggregate(
+            Sum("nb", alias_name="nb"))
+        pairs = pairs.select_columns(["id_a", "id_b"]).materialize()
 
-        # signature lookup joins: bounded-partition hash joins; the sig
-        # table crosses the shuffle once per side (~1 KB/doc), only here
+        def verify_arrays(ids_a, ids_b, sa: np.ndarray, sb: np.ndarray):
+            est = (sa == sb).mean(axis=1)
+            keep = est >= threshold
+            return pa.table({
+                "id_a": pa.array(np.asarray(ids_a)[keep], type=pa.int64()),
+                "id_b": pa.array(np.asarray(ids_b)[keep], type=pa.int64()),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
+            })
+
+        n_pairs = pairs.count()
+        if n_pairs <= broadcast_pairs_budget:
+            pair_df = pairs.to_pandas()
+            if len(pair_df) == 0:
+                return rd.from_arrow(pa.table({
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "est_jaccard": pa.array([], type=pa.float64())}))
+            need = np.unique(np.concatenate(
+                [pair_df["id_a"].to_numpy(), pair_df["id_b"].to_numpy()]))
+            need_ref = ray.put(need)
+
+            def keep_needed(batch: pa.Table) -> pa.Table:
+                ids = batch[id_col].to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(np.isin(ids, ray.get(need_ref))))
+
+            looked = sigs.map_batches(keep_needed,
+                                      batch_format="pyarrow").to_pandas()
+            # id -> row index into the collected signature matrix
+            got_ids = looked[id_col].to_numpy()
+            sig_m = np.stack([np.frombuffer(b, dtype=np.int64)
+                              for b in looked["sig"]])
+            pos = {int(i): j for j, i in enumerate(got_ids)}
+            ia = pair_df["id_a"].to_numpy()
+            ib = pair_df["id_b"].to_numpy()
+            ra = np.fromiter((pos[int(i)] for i in ia), dtype=np.int64,
+                             count=len(ia))
+            rb = np.fromiter((pos[int(i)] for i in ib), dtype=np.int64,
+                             count=len(ib))
+            return rd.from_arrow(verify_arrays(ia, ib, sig_m[ra], sig_m[rb]))
+
+        logger.warning(
+            "MinHashDedup[%s]: %d candidate pairs exceed the %d broadcast "
+            "budget — falling back to hash-join verification",
+            self.name, n_pairs, broadcast_pairs_budget)
+
         def _as(side: str):
             return sigs.map_batches(
                 lambda t, s=side: t.rename_columns([f"id_{s}", f"sig_{s}"]),
@@ -308,20 +372,15 @@ class MinHashDedup:
                    num_partitions=num_partitions, on=("id_b",))
 
         def verify(batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            if n == 0:
+            if len(batch) == 0:
                 return pa.table({"id_a": pa.array([], type=pa.int64()),
                                  "id_b": pa.array([], type=pa.int64()),
                                  "est_jaccard": pa.array([], type=pa.float64())})
             sa = self._sig_matrix(batch["sig_a"])
             sb = self._sig_matrix(batch["sig_b"])
-            est = (sa == sb).mean(axis=1)
-            keep = est >= threshold
-            return pa.table({
-                "id_a": batch["id_a"].filter(pa.array(keep)),
-                "id_b": batch["id_b"].filter(pa.array(keep)),
-                "est_jaccard": pa.array(est[keep], type=pa.float64()),
-            })
+            return verify_arrays(batch["id_a"].to_numpy(zero_copy_only=False),
+                                 batch["id_b"].to_numpy(zero_copy_only=False),
+                                 sa, sb)
 
         return j.map_batches(verify, batch_format="pyarrow")
 
