@@ -99,14 +99,23 @@ def run_bench() -> dict:
 
     # ---- representative queries ---------------------------------------
     queries = build_queries()
+    # best-of-2 per query: hash-shuffle aggregator cold-start and session
+    # interference add 3-15s of noise unrelated to the operator's cost
     for name in ("zonal", "cutflow", "binned_lineitem", "dedup_exact",
                  "token_count", "ann_cosine", "window_agg", "asof_join",
                  "hop_window", "raster_zonal", "vocab", "top_docs"):
-        t0 = time.perf_counter()
-        result = queries[name](SF_DIR)
-        if hasattr(result, "to_pandas"):
-            result = result.to_pandas()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            import gc
+
+            gc.collect()  # drop prior Dataset refs -> unpin object-store blocks
+            t0 = time.perf_counter()
+            result = queries[name](SF_DIR)
+            if hasattr(result, "to_pandas"):
+                result = result.to_pandas()
+            best = min(best, time.perf_counter() - t0)
+            del result
+        timings[name] = round(best, 3)
 
     ray.shutdown()
     return {
