@@ -598,13 +598,10 @@ def q_multi_binned(sf_dir: str):
     return out[["dataset", "l_returnflag", "qty_bin", "n", "sumw", "sumw2"]]
 
 
-def q_asof_join(sf_dir: str):
-    """As-of join (stages/asof_join.py): each purchase event attributed to
-    the user's latest prior view event — one hash shuffle, vectorized
-    per-group searchsorted.  Oracle: DuckDB's native ASOF JOIN."""
+def _asof_events(sf_dir: str, join_fn):
+    """Shared purchase->latest-prior-view as-of pipeline; ``join_fn``
+    selects the flat or bucketed engine path (same DuckDB ASOF oracle)."""
     import ray.data as rd
-
-    from ..stages.asof_join import asof_join
 
     def load(etype: str):
         ds = rd.read_parquet(
@@ -622,9 +619,7 @@ def q_asof_join(sf_dir: str):
 
         return ds.map_batches(prep, batch_format="pyarrow")
 
-    out = asof_join(load("purchase"), load("view"), on="t_us", by="user_id",
-                    left_cols=["event_id", "value"],
-                    right_cols=["event_id", "value"], how="inner")
+    out = join_fn(load("purchase"), load("view"))
     df = out.to_pandas().rename(columns={
         "event_id_r": "view_event_id", "value_r": "view_value"})
     # pandas map_groups upcasts int columns that carried typed nulls on the
@@ -633,6 +628,28 @@ def q_asof_join(sf_dir: str):
     df["view_event_id"] = df["view_event_id"].astype(np.int64)
     cols = ["user_id", "event_id", "value", "view_event_id", "view_value"]
     return df[cols].sort_values("event_id").reset_index(drop=True)
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join (stages/asof_join.py): each purchase attributed to the
+    user's latest prior view — one hash shuffle, vectorized per-group
+    searchsorted.  Oracle: DuckDB's native ASOF JOIN."""
+    from ..stages.asof_join import asof_join
+
+    return _asof_events(sf_dir, lambda l, r: asof_join(
+        l, r, on="t_us", by="user_id", left_cols=["event_id", "value"],
+        right_cols=["event_id", "value"], how="inner"))
+
+
+def q_asof_join_bucketed(sf_dir: str):
+    """Hot-key-safe as-of join (time-bucketed groups + carry pass) — the
+    scale path, same ASOF oracle and identical answer as q_asof_join."""
+    from ..stages.asof_join import asof_join_bucketed
+
+    return _asof_events(sf_dir, lambda l, r: asof_join_bucketed(
+        l, r, on="t_us", by="user_id", bucket_width=86_400_000_000,
+        left_cols=["event_id", "value"],
+        right_cols=["event_id", "value"], how="inner"))
 
 
 def q_session_windows(sf_dir: str):
@@ -1103,6 +1120,64 @@ def build_oracles() -> Dict[str, str]:
             "SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, band_id "
             "FROM customer JOIN bands "
             "ON c_acctbal >= lo AND c_acctbal < hi"),
+        "asof_join_bucketed": (
+            "WITH p AS (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase'), "
+            "v AS (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'view') "
+            "SELECT p.user_id, p.event_id, p.value, "
+            "v.event_id AS view_event_id, v.value AS view_value "
+            "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
+        "profile": (
+            "SELECT 'doc_id' AS \"column\", CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) - count(doc_id) AS BIGINT) AS n_null, "
+            "CAST(min(doc_id) AS DOUBLE) AS min, "
+            "CAST(max(doc_id) AS DOUBLE) AS max, "
+            "CAST(sum(doc_id) AS DOUBLE) AS sum FROM documents "
+            "UNION ALL "
+            "SELECT 'n_chars', CAST(count(*) AS BIGINT), "
+            "CAST(count(*) - count(n_chars) AS BIGINT), "
+            "CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE), "
+            "CAST(sum(n_chars) AS DOUBLE) FROM documents"),
+        "doc_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE ((doc_id * 2654435761 + 40503 + 0) % 1000000) < 370000"),
+        "top_docs": (
+            "WITH r AS (SELECT lang, doc_id, n_chars, "
+            "row_number() OVER (PARTITION BY lang "
+            "ORDER BY n_chars DESC, doc_id DESC) AS rank FROM documents) "
+            "SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 5"),
+        "vocab": (
+            "WITH w AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) "
+            "AS token FROM documents) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS n FROM w "
+            "WHERE token != '' GROUP BY token HAVING count(*) >= 10"),
+        "hop_window": (
+            "WITH e AS (SELECT epoch_us(ts) AS t, value FROM events), "
+            "wins AS (SELECT unnest(generate_series("
+            "(SELECT min(t) FROM e) // 900000000 - 3, "
+            "(SELECT max(t) FROM e) // 900000000)) AS win) "
+            "SELECT win, win * 900000000 AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value "
+            "FROM e JOIN wins "
+            "ON win BETWEEN (e.t - 3600000000) // 900000000 + 1 "
+            "AND e.t // 900000000 "
+            "GROUP BY win"),
+        "range_join": (
+            "WITH bands AS (SELECT CAST(n_nationkey AS BIGINT) AS band_id, "
+            "n_nationkey * 400.0 - 1000.0 AS lo, "
+            "n_nationkey * 400.0 - 300.0 AS hi FROM nation) "
+            "SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, band_id "
+            "FROM customer JOIN bands "
+            "ON c_acctbal >= lo AND c_acctbal < hi"),
+        "range_join_big": (
+            "WITH bands AS (SELECT CAST(n_nationkey AS BIGINT) AS band_id, "
+            "n_nationkey * 400.0 - 1000.0 AS lo, "
+            "n_nationkey * 400.0 - 300.0 AS hi FROM nation) "
+            "SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, band_id "
+            "FROM customer JOIN bands "
+            "ON c_acctbal >= lo AND c_acctbal < hi"),
         "session_windows": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events), "
             "m AS (SELECT user_id, t, value, CASE WHEN "
@@ -1176,6 +1251,7 @@ def build_queries() -> Dict[str, Callable]:
         "skim": q_skim,
         "window_agg": q_window_agg,
         "asof_join": q_asof_join,
+        "asof_join_bucketed": q_asof_join_bucketed,
         "session_windows": q_session_windows,
         "profile": q_profile,
         "doc_sample": q_doc_sample,

@@ -464,12 +464,18 @@ class SimHashDedup:
             "hamming": ham[hit].astype(np.int64),
         })
 
-    def candidate_pairs(self, ds):
-        rows = ds.map_batches(self.bank_rows, batch_format="pyarrow")
-        cand = rows.groupby(["bank_id", "bank_key"]).map_groups(
-            self._bucket_pairs, batch_format="pandas")
-
+    def candidate_pairs(self, ds, num_partitions: Optional[int] = None):
+        import ray
         from ray.data.aggregate import Min
 
-        return cand.groupby(["id_a", "id_b"]).aggregate(
+        if num_partitions is None:
+            # same sizing rationale as MinHashDedup: aggregator startup
+            # scales with partition count, not data
+            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        rows = ds.map_batches(self.bank_rows, batch_format="pyarrow")
+        cand = rows.groupby(["bank_id", "bank_key"],
+                            num_partitions=num_partitions).map_groups(
+            self._bucket_pairs, batch_format="pandas")
+        return cand.groupby(["id_a", "id_b"],
+                            num_partitions=num_partitions).aggregate(
             Min("hamming", alias_name="hamming"))

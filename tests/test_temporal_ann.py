@@ -204,3 +204,54 @@ def test_hop_windows_rejects_bad_width(ray_session):
     ds = rd.from_arrow(pa.table({"ts": [1], "value": [1.0]}))
     with pytest.raises(ValueError, match="multiple"):
         hop_windows(ds, width_us=25_000, slide_us=10_000)
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_asof_join_bucketed_equals_flat(ray_session, how):
+    """The bucketed (hot-key-safe) as-of join must reproduce the flat
+    one-task-per-key result exactly — including across-bucket matches
+    (bucket width chosen so most matches cross bucket boundaries)."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.asof_join import asof_join_bucketed
+
+    left, right = _streams()
+    flat = asof_join(rd.from_arrow(left).repartition(4),
+                     rd.from_arrow(right).repartition(3),
+                     on="t", by="k", how=how).to_pandas()
+    buck = asof_join_bucketed(rd.from_arrow(left).repartition(4),
+                              rd.from_arrow(right).repartition(3),
+                              on="t", by="k", bucket_width=500,
+                              how=how).to_pandas()
+    f = flat.sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    b = buck.sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    assert len(f) == len(b)
+    np.testing.assert_array_equal(b["k"], f["k"])
+    np.testing.assert_array_equal(b["t"], f["t"])
+    np.testing.assert_allclose(b["lv"], f["lv"])
+    np.testing.assert_allclose(b["t_r"].astype(float), f["t_r"].astype(float))
+    np.testing.assert_allclose(b["rv_r"].astype(float), f["rv_r"].astype(float))
+
+
+def test_asof_join_bucketed_tiny_buckets(ray_session):
+    """Degenerate bucket width (1 unit: every row its own bucket) forces
+    every match through the carry path."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.asof_join import asof_join_bucketed
+
+    left = pa.table({"k": pa.array([1, 1, 2], type=pa.int64()),
+                     "t": pa.array([10, 50, 10], type=pa.int64()),
+                     "lv": [1.0, 2.0, 3.0]})
+    right = pa.table({"k": pa.array([1, 1], type=pa.int64()),
+                      "t": pa.array([5, 40], type=pa.int64()),
+                      "rv": [0.5, 0.9]})
+    got = asof_join_bucketed(rd.from_arrow(left), rd.from_arrow(right),
+                             on="t", by="k", bucket_width=1,
+                             how="left").to_pandas()
+    got = got.sort_values(["k", "t"]).reset_index(drop=True)
+    assert got["t_r"].tolist()[:2] == [5, 40]
+    assert bool(pd.isna(got["t_r"].iloc[2]))
+    with pytest.raises(ValueError, match="bucket_width"):
+        asof_join_bucketed(rd.from_arrow(left), rd.from_arrow(right),
+                           on="t", by="k", bucket_width=0)
