@@ -33,7 +33,22 @@ from typing import List, Optional, Sequence
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["combine_partials"]
+__all__ = ["combine_partials", "default_partitions"]
+
+
+def default_partitions(divisor: int = 2) -> int:
+    """Cluster-sized hash-shuffle partition count.
+
+    Ray 2.49's ``default_hash_shuffle_parallelism`` is 200; aggregator
+    actor startup scales with the partition count, not the data (measured:
+    13.9 s vs 1.5 s for the same aggregate; MinHash verification 59 s vs
+    13 s).  Every engine ``groupby`` therefore passes an explicit
+    ``num_partitions`` sized to the cluster; large multi-node runs can
+    still override per call to bound reducer memory.
+    """
+    import ray
+
+    return max(2, int(ray.cluster_resources().get("CPU", 8)) // divisor)
 
 #: tree-mode driver-merge budget: (#blocks x #keys) rows above this raise.
 #: ~5M rows of a few numeric columns is < 1 GiB driver heap — generous for

@@ -811,6 +811,25 @@ def q_range_join_big(sf_dir: str):
     return out[["c_custkey", "c_acctbal", "band_id"]]
 
 
+def q_session_windows_bucketed(sf_dir: str):
+    """Hot-key-safe sessionization (local sessions per time bucket +
+    summary merge) — same answer and window-function oracle as
+    q_session_windows."""
+    import ray.data as rd
+
+    from ..stages.windows import session_windows_bucketed
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = session_windows_bucketed(ds, key="user_id", ts="ts",
+                                   gap_us=7_200_000_000,
+                                   value="value").to_pandas()
+    out = out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(6)
+    return out[["user_id", "session_start", "n", "sum_value"]]
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF approximate top-k (rows-only: recall < 1 by construction;
     pytest pins nprobe==n_centroids == exact brute-force ranking)."""
@@ -1190,6 +1209,18 @@ def build_oracles() -> Dict[str, str]:
             "SELECT user_id, min(t) AS session_start, "
             "CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value "
             "FROM s GROUP BY user_id, sid"),
+        "session_windows_bucketed": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events), "
+            "m AS (SELECT user_id, t, value, CASE WHEN "
+            "t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 7200000000 "
+            "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL "
+            "THEN 1 ELSE 0 END AS new FROM e), "
+            "s AS (SELECT user_id, t, value, sum(new) OVER ("
+            "PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM m) "
+            "SELECT user_id, min(t) AS session_start, "
+            "CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value "
+            "FROM s GROUP BY user_id, sid"),
         "lookup_join": (
             "SELECT o_orderkey, o_custkey AS c_custkey, "
             "o_totalprice, c_mktsegment "
@@ -1253,6 +1284,7 @@ def build_queries() -> Dict[str, Callable]:
         "asof_join": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
         "session_windows": q_session_windows,
+        "session_windows_bucketed": q_session_windows_bucketed,
         "profile": q_profile,
         "doc_sample": q_doc_sample,
         "top_docs": q_top_docs,

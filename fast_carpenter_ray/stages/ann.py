@@ -270,8 +270,13 @@ def near_dup_cosine(ds, threshold: float = 0.9, id_col: str = "vec_id",
             "cosine": sims[iu][hit].astype(np.float64),
         })
 
-    cand = bucketed.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas")
+    from ..agg import default_partitions
+
+    np_ = default_partitions(4)
+    cand = bucketed.groupby("lsh_bucket", num_partitions=np_).map_groups(
+        pairs, batch_format="pandas")
 
     from ray.data.aggregate import Max
 
-    return cand.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    return cand.groupby(["id_a", "id_b"], num_partitions=np_).aggregate(
+        Max("cosine", alias_name="cosine"))

@@ -112,7 +112,10 @@ def asof_join(left, right, on: str, by: str,
             out = out[matched]
         return out.reindex(columns=out_cols)
 
-    return tagged.groupby(by).map_groups(resolve, batch_format="pandas")
+    from ..agg import default_partitions
+
+    return tagged.groupby(by, num_partitions=default_partitions()).map_groups(
+        resolve, batch_format="pandas")
 
 
 def asof_join_bucketed(left, right, on: str, by: str, bucket_width: int,
@@ -213,7 +216,11 @@ def asof_join_bucketed(left, right, on: str, by: str, bucket_width: int,
             out[c] = src[c].to_numpy()
         return out
 
-    carries = shrunk.groupby(by).map_groups(carry, batch_format="pandas")
+    from ..agg import default_partitions
+
+    np_ = default_partitions()
+    carries = shrunk.groupby(by, num_partitions=np_).map_groups(
+        carry, batch_format="pandas")
 
     # ---- pass 3: bucket-keyed resolution -------------------------------
     def tag_left(batch: pa.Table) -> pa.Table:
@@ -281,4 +288,5 @@ def asof_join_bucketed(left, right, on: str, by: str, bucket_width: int,
             out = out[matched]
         return out.reindex(columns=out_cols)
 
-    return tagged.groupby([by, _B]).map_groups(resolve, batch_format="pandas")
+    return tagged.groupby([by, _B], num_partitions=np_).map_groups(
+        resolve, batch_format="pandas")

@@ -113,7 +113,11 @@ class ExactDedup:
         def first(group: pd.DataFrame) -> pd.DataFrame:
             return group.nsmallest(1, id_col)
 
-        return hashed.groupby("_content_hash").map_groups(first, batch_format="pandas")
+        from ..agg import default_partitions
+
+        return hashed.groupby(
+            "_content_hash", num_partitions=default_partitions()).map_groups(
+            first, batch_format="pandas")
 
     def survivors(self, ds, num_partitions: Optional[int] = None):
         """Lighter variant: just the surviving ids (min id per hash).
@@ -136,7 +140,8 @@ class ExactDedup:
         keep = keep.map_batches(partial_min, batch_format="pyarrow")
         if num_partitions:
             keep = keep.repartition(num_partitions)
-        return keep.groupby("_content_hash").aggregate(
+        return keep.groupby("_content_hash",
+                            num_partitions=num_partitions).aggregate(
             Min(self.id_col, alias_name=self.id_col))
 
 

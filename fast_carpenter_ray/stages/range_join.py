@@ -185,7 +185,10 @@ def range_join_bucketed(points, intervals, point_col: str,
         ivl_sel = ivl.iloc[c][["_lo", "_hi"] + ipay].reset_index(drop=True)
         return pd.concat([out, ivl_sel], axis=1).reindex(columns=out_cols)
 
-    out = tagged.groupby(_B).map_groups(match, batch_format="pandas")
+    from ..agg import default_partitions
+
+    out = tagged.groupby(_B, num_partitions=default_partitions()).map_groups(
+        match, batch_format="pandas")
 
     def rename(batch: pa.Table) -> pa.Table:
         names = [{"_lo": lo_col, "_hi": hi_col}.get(n, n)

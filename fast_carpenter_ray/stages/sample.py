@@ -87,4 +87,7 @@ def group_topk(ds, group: str, order_by: str, k: int,
         out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
         return out
 
-    return parts.groupby(group).map_groups(final, batch_format="pandas")
+    from ..agg import default_partitions
+
+    return parts.groupby(group, num_partitions=default_partitions()).map_groups(
+        final, batch_format="pandas")

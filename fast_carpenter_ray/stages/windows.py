@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["session_windows", "hop_windows"]
+__all__ = ["session_windows", "session_windows_bucketed", "hop_windows"]
 
 
 def hop_windows(ds, ts: str = "ts", width_us: int = 3_600_000_000,
@@ -122,4 +122,89 @@ def session_windows(ds, key: str = "user_id", ts: str = "ts",
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    return slim.groupby(key).map_groups(sessionize, batch_format="pandas")
+    from ..agg import default_partitions
+
+    return slim.groupby(key, num_partitions=default_partitions()).map_groups(
+        sessionize, batch_format="pandas")
+
+
+def session_windows_bucketed(ds, key: str = "user_id", ts: str = "ts",
+                             gap_us: int = 3_600_000_000,
+                             value: Optional[str] = "value",
+                             bucket_width: Optional[int] = None):
+    """Hot-key-safe session windows: no task ever holds one key's full
+    event sequence.
+
+    1. ``groupby(key, ts // bucket_width)``: local sessionization inside
+       each time bucket -> SESSION SUMMARY rows (start, end, n, sum);
+    2. ``groupby(key)`` over the summaries (span/width + sessions rows per
+       key, independent of event count): sort by start, re-check every
+       boundary (``start - prev_end > gap``), ``cumsum`` merge — sessions
+       split at bucket edges fuse back exactly.
+
+    Identical output to :func:`session_windows` (pytest pins equality).
+    ``bucket_width`` defaults to ``16 * gap_us``.
+    """
+    w = int(bucket_width if bucket_width is not None else 16 * gap_us)
+    if w <= 0:
+        raise ValueError("session_windows_bucketed: bucket_width must be > 0")
+    val_col = f"sum_{value}" if value else None
+    _B = "__sw_bucket"
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        t = batch[ts]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        tv = t.to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {key: batch[key], _B: pa.array(tv // w), "_t": pa.array(tv)}
+        if value:
+            cols["_v"] = batch[value]
+        return pa.table(cols)
+
+    slim = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def local_sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("_t", kind="stable")
+        t = g["_t"].to_numpy()
+        new = np.ones(len(t), dtype=np.int64)
+        if len(t) > 1:
+            new[1:] = (np.diff(t) > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        frame = pd.DataFrame({key: g[key].to_numpy(), "_t": t, "_sid": sid})
+        agg = {"_start": ("_t", "min"), "_end": ("_t", "max"),
+               "n": ("_t", "size")}
+        if value:
+            frame["_v"] = g["_v"].to_numpy()
+            agg["_sumv"] = ("_v", "sum")
+        out = (frame.groupby([key, "_sid"], sort=True)
+               .agg(**agg).reset_index().drop(columns="_sid"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from ..agg import default_partitions
+
+    np_ = default_partitions()
+    partial = slim.groupby([key, _B], num_partitions=np_).map_groups(
+        local_sessions, batch_format="pandas")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("_start", kind="stable")
+        start = g["_start"].to_numpy()
+        end = g["_end"].to_numpy()
+        new = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new[1:] = (start[1:] - end[:-1] > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        frame = pd.DataFrame({key: g[key].to_numpy(), "_sid": sid,
+                              "_start": start, "n": g["n"].to_numpy()})
+        agg = {"session_start": ("_start", "min"), "n": ("n", "sum")}
+        if value:
+            frame["_sumv"] = g["_sumv"].to_numpy()
+            agg[val_col] = ("_sumv", "sum")
+        out = (frame.groupby([key, "_sid"], sort=True)
+               .agg(**agg).reset_index().drop(columns="_sid"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return partial.groupby(key, num_partitions=np_).map_groups(
+        merge, batch_format="pandas")

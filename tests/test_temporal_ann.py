@@ -255,3 +255,32 @@ def test_asof_join_bucketed_tiny_buckets(ray_session):
     with pytest.raises(ValueError, match="bucket_width"):
         asof_join_bucketed(rd.from_arrow(left), rd.from_arrow(right),
                            on="t", by="k", bucket_width=0)
+
+
+@pytest.mark.parametrize("bucket_width", [7_000, 1_000])
+def test_session_windows_bucketed_equals_flat(ray_session, bucket_width):
+    """Bucketed sessionization (local sessions + summary merge) must equal
+    the flat one-task-per-key result, including sessions spanning many
+    buckets (width 1000 < gap 5000 forces heavy cross-bucket merging)."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import session_windows_bucketed
+
+    rng = np.random.default_rng(29)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 6, n).astype(np.int64),
+        "ts": rng.integers(0, 80_000, n).astype(np.int64),
+        "value": rng.standard_normal(n),
+    }).drop_duplicates(["user_id", "ts"])
+    ds = rd.from_pandas(df).repartition(4)
+    flat = session_windows(ds, gap_us=5_000).to_pandas()
+    buck = session_windows_bucketed(ds, gap_us=5_000,
+                                    bucket_width=bucket_width).to_pandas()
+    f = flat.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    b = buck.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    assert len(f) == len(b)
+    np.testing.assert_array_equal(b["user_id"], f["user_id"])
+    np.testing.assert_array_equal(b["session_start"], f["session_start"])
+    np.testing.assert_array_equal(b["n"], f["n"])
+    np.testing.assert_allclose(b["sum_value"], f["sum_value"])
