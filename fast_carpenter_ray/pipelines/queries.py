@@ -669,6 +669,21 @@ def q_session_windows(sf_dir: str):
     return out[["user_id", "session_start", "n", "sum_value"]]
 
 
+def q_hot_cells(sf_dir: str):
+    """Heavy-hitter cells (stages/sketch.py): Misra-Gries sketch pass +
+    exact verification pass — EXACT items >= 2% of geotagged pages (the
+    three hot-city cells plus any dense base cells), no shuffle at all."""
+    from ..stages.sketch import heavy_hitters
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["cell"], 0)),
+        batch_format="pyarrow").select_columns(["cell"])
+    out = heavy_hitters(ds, "cell", min_frac=0.02)
+    return out.rename(columns={"item": "cell"})
+
+
 def q_profile(sf_dir: str):
     """One-pass dataset profile (stages/profile.py): per-column
     n/nulls/min/max/sum over integer columns — exact in float64, so the
@@ -1089,6 +1104,11 @@ def build_oracles() -> Dict[str, str]:
             "SELECT p.user_id, p.event_id, p.value, "
             "v.event_id AS view_event_id, v.value AS view_value "
             "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
+        "hot_cells": (
+            f"WITH base AS ({geo}), c AS (SELECT {cell} AS cell FROM base "
+            f"WHERE lat IS NOT NULL), tot AS (SELECT count(*) AS t FROM c) "
+            f"SELECT cell, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY cell "
+            f"HAVING count(*) >= ceil((SELECT t FROM tot) * 0.02)"),
         "profile": (
             "SELECT 'doc_id' AS \"column\", CAST(count(*) AS BIGINT) AS n, "
             "CAST(count(*) - count(doc_id) AS BIGINT) AS n_null, "
@@ -1285,6 +1305,7 @@ def build_queries() -> Dict[str, Callable]:
         "asof_join_bucketed": q_asof_join_bucketed,
         "session_windows": q_session_windows,
         "session_windows_bucketed": q_session_windows_bucketed,
+        "hot_cells": q_hot_cells,
         "profile": q_profile,
         "doc_sample": q_doc_sample,
         "top_docs": q_top_docs,

@@ -1,0 +1,115 @@
+"""Heavy-hitter detection via a mergeable Misra-Gries sketch.
+
+Skew is the central scaling hazard of this engine (hot cells, hot LSH
+buckets, hot users): every salted/bucketed path needs to KNOW the heavy
+keys.  Counting every distinct key to find them is itself a full shuffle;
+a Misra-Gries summary finds them in one streaming pass with k counters
+per block and no shuffle at all.
+
+Shape (the agg.py tree pattern, sketch-shaped):
+
+1. per-batch exact ``value_counts`` compressed to a k-counter Misra-Gries
+   summary (decrement by the (k+1)-th largest count; memory bounded by k
+   regardless of batch cardinality);
+2. driver merge of the per-block summaries — MG summaries are mergeable
+   (add counters, re-compress; Agarwal et al., "Mergeable Summaries",
+   PODS 2012): any item with true frequency > n/(k+1) survives;
+3. optional EXACT second pass: broadcast the surviving candidates, count
+   them exactly per batch (vectorized ``isin``), sum on the driver.
+
+With pass 3 and ``min_frac > 1/(k+1)`` the output is EXACT — every item
+with count >= ceil(n*min_frac), with its exact count — which is what the
+DuckDB oracle checks; the sketch only bounds the candidate set size.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["mg_compress", "mg_merge", "heavy_hitters"]
+
+#: reserved item key carrying the per-batch row count through the same
+#: partial pass (never a valid item: engine item ids are >= -1)
+_TOTAL_KEY = np.iinfo(np.int64).min
+
+
+def mg_compress(counts: Dict[int, int], k: int) -> Dict[int, int]:
+    """Compress exact counts to at most ``k`` Misra-Gries counters."""
+    if len(counts) <= k:
+        return dict(counts)
+    vals = np.sort(np.fromiter(counts.values(), dtype=np.int64))[::-1]
+    dec = int(vals[k])  # (k+1)-th largest
+    return {i: c - dec for i, c in counts.items() if c > dec}
+
+
+def mg_merge(a: Dict[int, int], b: Dict[int, int], k: int) -> Dict[int, int]:
+    """Merge two MG summaries (add counters, re-compress)."""
+    out = dict(a)
+    for i, c in b.items():
+        out[i] = out.get(i, 0) + c
+    return mg_compress(out, k)
+
+
+def heavy_hitters(ds, col: str, min_frac: float, k: Optional[int] = None,
+                  exact: bool = True) -> pd.DataFrame:
+    """Items of integer column ``col`` with frequency >= ceil(n*min_frac),
+    as a pandas DataFrame (item, n) — a driver-sized result by
+    construction (at most 1/min_frac rows).
+
+    ``k`` defaults to ``ceil(2/min_frac)`` so the MG guarantee
+    (frequency > n/(k+1) survives) covers the threshold with margin.
+    ``exact=False`` skips the verification pass and returns lower-bound
+    counts (item set may then include sub-threshold items).
+    """
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError("heavy_hitters: min_frac must be in (0, 1]")
+    if k is None:
+        k = int(np.ceil(2.0 / min_frac))
+    if k + 1 <= 1.0 / min_frac:
+        raise ValueError("heavy_hitters: k too small for min_frac "
+                         "(need k+1 > 1/min_frac for the MG guarantee)")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        items, counts = np.unique(v, return_counts=True)
+        summary = mg_compress(dict(zip(items.tolist(), counts.tolist())), k)
+        out_items = list(summary.keys()) + [_TOTAL_KEY]
+        out_counts = list(summary.values()) + [len(v)]
+        return pa.table({"item": pa.array(out_items, type=pa.int64()),
+                         "n": pa.array(out_counts, type=pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    total = int(parts.loc[parts["item"] == _TOTAL_KEY, "n"].sum())
+    merged: Dict[int, int] = {}
+    for item, n in zip(parts["item"], parts["n"]):
+        if item != _TOTAL_KEY:
+            merged[int(item)] = merged.get(int(item), 0) + int(n)
+    merged = mg_compress(merged, k)
+    thresh = int(np.ceil(total * min_frac))
+
+    if not exact:
+        out = pd.DataFrame({"item": list(merged.keys()),
+                            "n": list(merged.values())})
+        return (out[out["n"] >= thresh]
+                .sort_values("item").reset_index(drop=True)
+                .astype({"item": np.int64, "n": np.int64}))
+
+    cand = np.array(sorted(merged.keys()), dtype=np.int64)
+
+    def count_cand(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = v[np.isin(v, cand)]
+        items, counts = np.unique(sel, return_counts=True)
+        return pa.table({"item": pa.array(items, type=pa.int64()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    ex = ds.map_batches(count_cand, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    ex = ex.groupby("item", sort=True)["n"].sum().reset_index()
+    out = ex[ex["n"] >= thresh].sort_values("item").reset_index(drop=True)
+    return out.astype({"item": np.int64, "n": np.int64})

@@ -1,0 +1,62 @@
+"""Misra-Gries heavy hitters — guarantee, mergeability, exactness."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fast_carpenter_ray.stages.sketch import heavy_hitters, mg_compress, mg_merge
+
+
+def test_mg_compress_bounds_and_guarantee():
+    counts = {i: 1 for i in range(100)}
+    counts[500] = 60  # heavy: 60/160 of the stream
+    c = mg_compress(counts, 8)
+    assert len(c) <= 8
+    assert 500 in c  # freq > n/(k+1) must survive
+    # counters are lower bounds under-estimating by <= n/(k+1)
+    assert c[500] <= 60
+
+
+def test_mg_merge_keeps_heavy():
+    rng = np.random.default_rng(31)
+    stream = np.concatenate([rng.integers(0, 1000, 5000),
+                             np.full(2000, 7), np.full(1500, 13)])
+    rng.shuffle(stream)
+    halves = np.array_split(stream, 2)
+    summaries = []
+    for h in halves:
+        items, counts = np.unique(h, return_counts=True)
+        summaries.append(mg_compress(dict(zip(items.tolist(), counts.tolist())), 16))
+    merged = mg_merge(summaries[0], summaries[1], 16)
+    assert 7 in merged and 13 in merged
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_heavy_hitters_finds_planted(ray_session, exact):
+    import ray.data as rd
+
+    rng = np.random.default_rng(37)
+    light = rng.integers(0, 10_000, 20_000)
+    heavy = np.concatenate([np.full(5_000, 42), np.full(3_000, 99)])
+    v = np.concatenate([light, heavy])
+    rng.shuffle(v)
+    ds = rd.from_arrow(pa.table({"x": v.astype(np.int64)})).repartition(8)
+    out = heavy_hitters(ds, "x", min_frac=0.05, exact=exact)
+    assert set(out["item"]) == {42, 99}
+    if exact:
+        n = len(v)
+        exp42 = int((v == 42).sum())
+        exp99 = int((v == 99).sum())
+        assert out.set_index("item").loc[42, "n"] == exp42
+        assert out.set_index("item").loc[99, "n"] == exp99
+
+
+def test_heavy_hitters_validates_params(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([1, 2], type=pa.int64())}))
+    with pytest.raises(ValueError, match="min_frac"):
+        heavy_hitters(ds, "x", min_frac=0.0)
+    with pytest.raises(ValueError, match="k too small"):
+        heavy_hitters(ds, "x", min_frac=0.1, k=5)
