@@ -669,6 +669,17 @@ def q_session_windows(sf_dir: str):
     return out[["user_id", "session_start", "n", "sum_value"]]
 
 
+def q_quantiles(sf_dir: str):
+    """Exact distributed quantiles of document length (stages/quantile.py):
+    per-block value-count shrink + one hash combine + driver read-off."""
+    import ray.data as rd
+
+    from ..stages.quantile import exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.9, 0.99])
+
+
 def q_hot_cells(sf_dir: str):
     """Heavy-hitter cells (stages/sketch.py): Misra-Gries sketch pass +
     exact verification pass — EXACT items >= 2% of geotagged pages (the
@@ -1104,6 +1115,9 @@ def build_oracles() -> Dict[str, str]:
             "SELECT p.user_id, p.event_id, p.value, "
             "v.event_id AS view_event_id, v.value AS view_value "
             "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
+        "quantiles": (
+            "WITH c AS (SELECT n_chars AS v, count(*) OVER (ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, (SELECT count(*) FROM documents) AS n FROM documents) "
+            "SELECT 0.25 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.25 * n) UNION ALL SELECT 0.5 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.5 * n) UNION ALL SELECT 0.9 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.9 * n) UNION ALL SELECT 0.99 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.99 * n)"),
         "hot_cells": (
             f"WITH base AS ({geo}), c AS (SELECT {cell} AS cell FROM base "
             f"WHERE lat IS NOT NULL), tot AS (SELECT count(*) AS t FROM c) "
@@ -1305,6 +1319,7 @@ def build_queries() -> Dict[str, Callable]:
         "asof_join_bucketed": q_asof_join_bucketed,
         "session_windows": q_session_windows,
         "session_windows_bucketed": q_session_windows_bucketed,
+        "quantiles": q_quantiles,
         "hot_cells": q_hot_cells,
         "profile": q_profile,
         "doc_sample": q_doc_sample,

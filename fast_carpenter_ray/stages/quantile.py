@@ -1,0 +1,69 @@
+"""Exact distributed quantiles over integer columns.
+
+Quantiles drive curation thresholds (length cutoffs, quality-score
+percentiles).  For integer-valued columns the exact answer needs no
+sketch: per-batch ``value_counts`` shrink each block to its distinct
+values, ONE hash combine keyed on the value merges them, and the quantile
+is read off the cumulative distribution.
+
+Definition (chosen to be expressible in ANSI SQL for the oracle):
+``quantile(q)`` = the smallest value ``v`` with
+``count(rows <= v) >= ceil(q * n)``.
+
+Scale note: the combined histogram is DISTINCT-VALUE-sized.  For genuinely
+unbounded domains the driver read-off is guarded by ``max_driver_rows``
+(same regime-boundary contract as ``agg.combine_partials`` tree mode);
+above it, quantize the column upstream (e.g. ``v // scale``) — exact
+quantiles of an unbounded continuous domain need a sort or a KLL sketch,
+which is out of scope here and documented as such.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["exact_quantiles"]
+
+
+def exact_quantiles(ds, col: str, qs: Sequence[float],
+                    max_driver_rows: int = 5_000_000) -> pd.DataFrame:
+    """Exact quantiles of integer column ``col`` at fractions ``qs``.
+
+    Returns a DataFrame (q, value) with one row per requested fraction.
+    """
+    qs = list(qs)
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("exact_quantiles: fractions must be in (0, 1]")
+
+    from ..agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        items, counts = np.unique(v, return_counts=True)
+        return pa.table({"value": pa.array(items, type=pa.int64()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    hist = combine_partials(parts, keys=["value"], value_cols=["n"],
+                            mode="hash").to_pandas()
+    if len(hist) > max_driver_rows:
+        raise ValueError(
+            f"exact_quantiles: {len(hist)} distinct values exceed the "
+            f"{max_driver_rows}-row driver budget — quantize the column "
+            f"upstream (v // scale) or use a sketch")
+    hist = hist.sort_values("value").reset_index(drop=True)
+    cum = hist["n"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        raise ValueError("exact_quantiles: empty input")
+    vals = hist["value"].to_numpy()
+    out = []
+    for q in qs:
+        target = int(np.ceil(q * n))
+        idx = int(np.searchsorted(cum, target, side="left"))
+        out.append({"q": float(q), "value": int(vals[idx])})
+    return pd.DataFrame(out)

@@ -60,3 +60,30 @@ def test_heavy_hitters_validates_params(ray_session):
         heavy_hitters(ds, "x", min_frac=0.0)
     with pytest.raises(ValueError, match="k too small"):
         heavy_hitters(ds, "x", min_frac=0.1, k=5)
+
+
+def test_exact_quantiles_match_numpy_definition(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.quantile import exact_quantiles
+
+    rng = np.random.default_rng(41)
+    v = rng.integers(0, 500, 10_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(8)
+    got = exact_quantiles(ds, "x", [0.25, 0.5, 0.9, 1.0])
+    sv = np.sort(v)
+    for _, r in got.iterrows():
+        target = int(np.ceil(r["q"] * len(v)))
+        assert r["value"] == sv[target - 1]
+
+
+def test_exact_quantiles_validates(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.quantile import exact_quantiles
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([1, 2, 3], type=pa.int64())}))
+    with pytest.raises(ValueError, match="fractions"):
+        exact_quantiles(ds, "x", [0.0])
+    with pytest.raises(ValueError, match="driver budget"):
+        exact_quantiles(ds, "x", [0.5], max_driver_rows=1)
