@@ -117,6 +117,11 @@ def combine_partials(parts, keys: Sequence[str], value_cols: Sequence[str],
 
     shrunk = parts.map_batches(combine, batch_format="pyarrow", batch_size=None)
     local = shrunk.to_pandas()  # bounded: (#blocks x #keys) rows, guarded below
+    if len(local) == 0:
+        # all partials empty: to_pandas() loses the schema — rebuild it so
+        # downstream column access still works
+        local = pd.DataFrame({c: pd.Series([], dtype="float64")
+                              for c in [*keys, *value_cols]})
     if len(local) > max_driver_rows:
         raise ValueError(
             f"combine_partials(mode='tree'): driver merge of {len(local)} "

@@ -1,0 +1,106 @@
+"""Empty/degenerate inputs through every round-2 operator.
+
+At 100 TB some partition somewhere WILL be empty (a filter that kills a
+whole block, a dataset with no rows for one key range); operators must
+pass empties through, not crash."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _empty_events():
+    return pa.table({
+        "k": pa.array([], type=pa.int64()),
+        "t": pa.array([], type=pa.int64()),
+        "v": pa.array([], type=pa.float64()),
+    })
+
+
+def test_asof_join_empty_sides(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.asof_join import asof_join
+
+    empty = _empty_events()
+    full = pa.table({"k": pa.array([1], type=pa.int64()),
+                     "t": pa.array([5], type=pa.int64()),
+                     "v": [1.0]})
+    # empty left -> empty out
+    out = asof_join(rd.from_arrow(empty), rd.from_arrow(full),
+                    on="t", by="k", how="inner").to_pandas()
+    assert len(out) == 0
+    # empty right, how=left -> left rows with null payload
+    out = asof_join(rd.from_arrow(full), rd.from_arrow(empty),
+                    on="t", by="k", how="left").to_pandas()
+    assert len(out) == 1
+    assert pd.isna(out["v_r"].iloc[0])
+
+
+def test_session_and_hop_windows_empty(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import (
+        hop_windows, session_windows, session_windows_bucketed)
+
+    ds = rd.from_arrow(_empty_events())
+    assert session_windows(ds, key="k", ts="t", value="v").count() == 0
+    assert session_windows_bucketed(ds, key="k", ts="t", value="v").count() == 0
+    assert hop_windows(ds, ts="t", value="v", width_us=20, slide_us=10,
+                       mode="hash").count() == 0
+
+
+def test_range_join_empty_points(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.range_join import (
+        range_join, range_join_bucketed)
+
+    pts = pa.table({"x": pa.array([], type=pa.float64())})
+    ivl = pa.table({"band": pa.array([0], type=pa.int64()),
+                    "lo": [0.0], "hi": [1.0]})
+    assert range_join(rd.from_arrow(pts), ivl, "x").count() == 0
+    out = range_join_bucketed(rd.from_arrow(pts), rd.from_arrow(ivl), "x",
+                              bucket_width=1.0,
+                              interval_payload=["band"]).to_pandas()
+    assert len(out) == 0
+
+
+def test_vocab_and_topk_empty(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.sample import group_topk, hash_sample
+    from fast_carpenter_ray.stages.text import vocab_count
+
+    docs = pa.table({"text": pa.array([], type=pa.string())})
+    assert vocab_count(rd.from_arrow(docs)).count() == 0
+
+    rows = pa.table({"g": pa.array([], type=pa.int64()),
+                     "s": pa.array([], type=pa.int64())})
+    assert group_topk(rd.from_arrow(rows), group="g", order_by="s",
+                      k=3).count() == 0
+    assert hash_sample(rd.from_arrow(rows), "g", 0.5).count() == 0
+
+
+def test_raster_zonal_all_nan(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.raster import make_test_raster, raster_zonal
+
+    tab = pa.table({"lat": pa.array([np.nan, np.nan]),
+                    "lng": pa.array([np.nan, np.nan])})
+    out = raster_zonal(rd.from_arrow(tab), make_test_raster(8, 8),
+                       res=3).to_pandas()
+    assert len(out) == 0
+
+
+def test_heavy_hitters_single_block(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.sketch import heavy_hitters
+
+    tab = pa.table({"x": pa.array([7] * 10, type=pa.int64())})
+    out = heavy_hitters(rd.from_arrow(tab), "x", min_frac=0.5)
+    assert out["item"].tolist() == [7]
+    assert out["n"].tolist() == [10]
