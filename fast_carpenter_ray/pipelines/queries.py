@@ -453,6 +453,19 @@ def _neardup_corpus(sf_dir: str):
     return base.union(base.map_batches(perturb, batch_format="pyarrow"))
 
 
+def q_near_dedup(sf_dir: str):
+    """End-to-end near-duplicate removal (stages/dedup.py near_dedup):
+    LSH pairs -> union-find clusters -> min-id survivor per cluster.
+    Rows-only (survivor set depends on MinHash; clustering pinned in
+    pytest against the planted-dup golden)."""
+    ds = _neardup_corpus(sf_dir)
+    from ..stages.dedup import near_dedup
+
+    mh = MinHashDedup("near_dedup", threshold=0.5)
+    out = near_dedup(ds, mh).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_minhash_pairs(sf_dir: str):
     ds = _neardup_corpus(sf_dir)
     mh = MinHashDedup("minhash", threshold=0.5)
@@ -1338,6 +1351,7 @@ def build_queries() -> Dict[str, Callable]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "near_dedup": q_near_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,

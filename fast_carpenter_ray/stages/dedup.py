@@ -484,3 +484,61 @@ class SimHashDedup:
         return cand.groupby(["id_a", "id_b"],
                             num_partitions=num_partitions).aggregate(
             Min("hamming", alias_name="hamming"))
+
+
+def cluster_pairs(pairs: pd.DataFrame, id_a: str = "id_a",
+                  id_b: str = "id_b") -> pd.DataFrame:
+    """Connected components over a near-dup pair list (union-find):
+    (doc_id, cluster_id) with ``cluster_id`` = min doc_id in the component.
+
+    Driver-side by design: the pair list is the VERIFIED near-dup set —
+    tiny relative to the corpus (and the LSH stages bound it via
+    ``max_bucket``/``broadcast_pairs_budget``).  Path-halving union-find,
+    O(pairs * α)."""
+    a = pairs[id_a].to_numpy().astype(np.int64)
+    b = pairs[id_b].to_numpy().astype(np.int64)
+    ids = np.unique(np.concatenate([a, b]))
+    index = {int(i): j for j, i in enumerate(ids)}
+    parent = np.arange(len(ids))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(index[int(x)]), find(index[int(y)])
+        if rx != ry:
+            # union by id order so the root is always the smallest id
+            if ids[rx] < ids[ry]:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(i) for i in range(len(ids))])
+    return pd.DataFrame({"doc_id": ids,
+                         "cluster_id": ids[roots]}).astype(np.int64)
+
+
+def near_dedup(ds, dedup: "MinHashDedup"):
+    """End-to-end near-duplicate removal: LSH candidate pairs -> verified
+    pairs -> connected components -> drop every doc that is not its
+    cluster's minimum id.  Returns the SURVIVOR Dataset (same schema as
+    the input) — the streaming side never shuffles; the drop set ships as
+    a broadcast numpy array."""
+    import ray
+
+    pairs = dedup.candidate_pairs(ds).to_pandas()
+    if len(pairs) == 0:
+        return ds
+    clusters = cluster_pairs(pairs)
+    drop = clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                        "doc_id"].to_numpy()
+    drop_ref = ray.put(np.sort(drop))
+    id_col = dedup.id_col
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(ids, ray.get(drop_ref))))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -159,3 +159,37 @@ def test_simhash_lsh_pairs(ray_session):
     found = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (0, 1) in found
     assert (0, 2) not in found and (1, 2) not in found
+
+
+def test_cluster_pairs_union_find():
+    from fast_carpenter_ray.stages.dedup import cluster_pairs
+
+    pairs = pd.DataFrame({"id_a": [1, 2, 10, 20], "id_b": [2, 3, 11, 10]})
+    c = cluster_pairs(pairs).set_index("doc_id")["cluster_id"]
+    assert c[1] == c[2] == c[3] == 1        # chain 1-2-3
+    assert c[10] == c[11] == c[20] == 10    # chain 10-11, 20-10
+    assert set(c.index) == {1, 2, 3, 10, 11, 20}
+
+
+def test_near_dedup_end_to_end(ray_session):
+    """Planted dup groups: near_dedup keeps exactly one (min-id) survivor
+    per cluster plus all singletons, streaming side unshuffled."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.dedup import near_dedup
+
+    docs = docs_with_dups()
+    ds = rd.from_arrow(docs).repartition(3)
+    mh = MinHashDedup("nd", threshold=0.5)
+    survivors = near_dedup(ds, mh).to_pandas()
+    kept = set(survivors["doc_id"])
+    # docs 0,1 identical; 2 near-dup of them; 6 = base + tail overlaps
+    pairs = mh.candidate_pairs(rd.from_arrow(docs)).to_pandas()
+    from fast_carpenter_ray.stages.dedup import cluster_pairs
+
+    clusters = cluster_pairs(pairs)
+    expected_dropped = set(
+        clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"])
+    assert kept == set(docs["doc_id"].to_pylist()) - expected_dropped
+    assert 0 in kept  # min id of the base cluster survives
+    assert 1 not in kept  # identical twin dropped
