@@ -12,7 +12,7 @@ from .text import TokenCount, QualityScore, LangId, Fingerprint  # noqa: F401
 from .ann import ann_topk, ivf_topk, near_dup_cosine, LSHBuckets  # noqa: F401
 from .asof_join import asof_join  # noqa: F401
 from .windows import session_windows  # noqa: F401
-from .multimodal import ImageDecode, FrameSample, media_schema  # noqa: F401
+from .multimodal import ImageDecode, FrameSample, AudioResample, media_schema  # noqa: F401
 from .joins import lookup_join, hash_join  # noqa: F401
 from .range_join import range_join, range_join_bucketed  # noqa: F401
 from .raster import WorldRaster, raster_sample, raster_zonal, make_test_raster  # noqa: F401

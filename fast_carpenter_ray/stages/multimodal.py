@@ -16,7 +16,7 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["ImageDecode", "FrameSample", "media_schema"]
+__all__ = ["ImageDecode", "FrameSample", "AudioResample", "media_schema"]
 
 
 def media_schema() -> pa.Schema:
@@ -101,6 +101,47 @@ class FrameSample:
             pa.array([int.from_bytes(f, "little") & ((1 << 63) - 1) for f in feats],
                      type=pa.int64()))
         return out
+
+    @classmethod
+    def apply(cls, ds, concurrency=(1, 2), batch_size: int = 64, **kwargs):
+        return ds.map_batches(
+            cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
+            batch_size=batch_size, concurrency=concurrency)
+
+
+class AudioResample:
+    """Audio resample + feature stage (stubbed codec, real plumbing):
+    payload -> ``n_windows`` mel-like window energies at ``target_hz``.
+    Same actor-pool contract as :class:`ImageDecode`: codec loads once per
+    actor in ``__init__`` (the real path imports soundfile/librosa there);
+    per-batch work is vectorized over the window axis."""
+
+    N_WINDOWS = 8
+
+    def __init__(self, target_hz: int = 16_000, fake: bool = False):
+        self.target_hz = int(target_hz)
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "audio decode requires soundfile/librosa (not in this "
+                "sandbox); construct with fake=True for the deterministic "
+                "test double")
+
+    def _windows_fake(self, payload: bytes) -> np.ndarray:
+        digest = hashlib.shake_256(
+            (payload or b"") + self.target_hz.to_bytes(4, "little")
+        ).digest(self.N_WINDOWS * 8)
+        raw = np.frombuffer(digest, dtype=np.uint64).astype(np.float64)
+        return raw / np.float64(2**64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._windows_fake(p) for p in batch["payload"].to_pylist()]
+        col = pa.array([f.tolist() for f in feats], type=pa.list_(pa.float64()))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("sample_rate",
+                                pa.array([self.target_hz] * len(batch),
+                                         type=pa.int32()))
+        return out.append_column("window_energy", col)
 
     @classmethod
     def apply(cls, ds, concurrency=(1, 2), batch_size: int = 64, **kwargs):
