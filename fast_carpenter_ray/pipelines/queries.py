@@ -735,6 +735,21 @@ def q_doc_sample(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-language rebalancing (stages/sample.py stratified_sample):
+    en 50%, de 20%, everything else 5% — deterministic id-hash predicate
+    reproduced exactly in the SQL oracle."""
+    import ray.data as rd
+
+    from ..stages.sample import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    out = stratified_sample(ds, "doc_id", "lang",
+                            {"en": 0.5, "de": 0.2}, default=0.05).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_top_docs(sf_dir: str):
     """Per-group top-k (stages/sample.py): 5 longest documents per
     language — partial top-k per block, one hash shuffle, final top-k."""
@@ -1150,6 +1165,11 @@ def build_oracles() -> Dict[str, str]:
         "doc_sample": (
             "SELECT doc_id, lang FROM documents "
             "WHERE ((doc_id * 2654435761 + 40503 + 0) % 1000000) < 370000"),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE ((doc_id * 2654435761 + 40503 + 0) % 1000000) < "
+            "(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 "
+            "ELSE 50000 END)"),
         "top_docs": (
             "WITH r AS (SELECT lang, doc_id, n_chars, "
             "row_number() OVER (PARTITION BY lang "
@@ -1336,6 +1356,7 @@ def build_queries() -> Dict[str, Callable]:
         "hot_cells": q_hot_cells,
         "profile": q_profile,
         "doc_sample": q_doc_sample,
+        "stratified_sample": q_stratified_sample,
         "top_docs": q_top_docs,
         "vocab": q_vocab,
         "hop_window": q_hop_window,

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["hash_sample", "group_topk"]
+__all__ = ["hash_sample", "stratified_sample", "group_topk"]
 
 _A = 2654435761  # Knuth multiplicative constant
 _B = 40503
@@ -91,3 +91,29 @@ def group_topk(ds, group: str, order_by: str, k: int,
 
     return parts.groupby(group, num_partitions=default_partitions()).map_groups(
         final, batch_format="pandas")
+
+
+def stratified_sample(ds, id_col: str, group_col: str,
+                      fractions: dict, default: float = 0.0, seed: int = 0):
+    """Deterministic per-group sampling: group ``g`` keeps
+    ``fractions.get(g, default)`` of its rows, by the same id-hash
+    predicate as :func:`hash_sample` (partition/resume-invariant; groups
+    not listed fall back to ``default``).  Pure per-batch filter — the
+    standard rebalancing move for skewed corpora (downsample the dominant
+    language/domain without a shuffle)."""
+    for g, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"stratified_sample: fraction for {g!r} not in [0, 1]")
+    if not (0.0 <= default <= 1.0):
+        raise ValueError("stratified_sample: default not in [0, 1]")
+    thresh = {g: int(round(f * _M)) for g, f in fractions.items()}
+    dthresh = int(round(default * _M))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * _A + _B + np.int64(seed)) % _M
+        groups = batch[group_col].to_pandas()
+        t = groups.map(thresh).fillna(dthresh).to_numpy(dtype=np.int64)
+        return batch.filter(pa.array(h < t))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -125,3 +125,26 @@ def test_profile_columns_rejects_non_numeric(ray_session):
     tab = pa.table({"s": ["x", "y"]})
     with pytest.raises(ValueError, match="not numeric"):
         profile_columns(rd.from_arrow(tab))
+
+
+def test_stratified_sample_per_group_fractions(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.sample import stratified_sample
+
+    n = 30_000
+    ids = np.arange(n, dtype=np.int64)
+    groups = np.where(ids % 3 == 0, "a", np.where(ids % 3 == 1, "b", "c"))
+    tab = pa.table({"id": ids, "g": groups})
+    out = stratified_sample(rd.from_arrow(tab).repartition(5), "id", "g",
+                            {"a": 0.5, "b": 0.1}, default=0.0).to_pandas()
+    by = out.groupby("g").size()
+    assert abs(by.get("a", 0) / 10_000 - 0.5) < 0.03
+    assert abs(by.get("b", 0) / 10_000 - 0.1) < 0.03
+    assert by.get("c", 0) == 0
+    # deterministic across partitionings
+    out2 = stratified_sample(rd.from_arrow(tab).repartition(11), "id", "g",
+                             {"a": 0.5, "b": 0.1}, default=0.0).to_pandas()
+    assert sorted(out["id"]) == sorted(out2["id"])
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(rd.from_arrow(tab), "id", "g", {"a": 2.0})
