@@ -177,6 +177,24 @@ def q_knn_haversine(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_radius_join(sf_dir: str):
+    """Radius (within-distance) join (stages/radius_join.py): every site
+    within 15 squared-degrees' root of each page, euclid metric — the
+    ring-cover candidate machinery under a bit-exact non-equi SQL oracle."""
+    from ..stages.radius_join import radius_join
+
+    ds = _pages_geo(sf_dir)
+    out = radius_join(ds, sites_table(), radius=15.0, res=RES,
+                      metric="euclid")
+    out = out.select_columns(["doc_id", "site_id", "dist"])
+    # DuckDB's and NumPy's dx*dx + dy*dy differ by 1-2 ulp (the membership
+    # test itself is unaffected at this radius); round for the value hash
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("dist"), "dist",
+                               pa.compute.round(t["dist"], 6)),
+        batch_format="pyarrow")
+
+
 def q_zonal(sf_dir: str):
     from ..stages import ZonalAggregate
 
@@ -1072,6 +1090,14 @@ def build_oracles() -> Dict[str, str]:
             f"SELECT doc_id, site_id, "
             f"row_number() OVER (PARTITION BY doc_id ORDER BY d2, site_id) AS rank "
             f"FROM d) WHERE rank <= 3"),
+        "radius_join": (
+            f"WITH base AS ({geo}), "
+            f"d AS (SELECT doc_id, site_id, "
+            f"(lat - site_lat)*(lat - site_lat) + (lng - site_lng)*(lng - site_lng) AS dist "
+            f"FROM base, {sites} WHERE lat IS NOT NULL) "
+            f"SELECT doc_id, CAST(site_id AS BIGINT) AS site_id, "
+            f"round(dist, 6) AS dist "
+            f"FROM d WHERE dist <= 225.0"),
         "raster_zonal": (
             f"WITH base AS ({geo}), v AS (SELECT "
             f"(CAST(least(greatest(floor((lat + 90.0) / 180.0 * 16), 0), 15) AS BIGINT) * 16 "
@@ -1337,6 +1363,7 @@ def build_queries() -> Dict[str, Callable]:
         "pip_anti": q_pip_anti,
         "knn_euclid": q_knn_euclid,
         "knn_haversine": q_knn_haversine,
+        "radius_join": q_radius_join,
         "zonal": q_zonal,
         "topk_cells": q_topk_cells,
         "cutflow": q_cutflow,

@@ -1,0 +1,90 @@
+"""Radius join — exactness vs brute force for both metrics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fast_carpenter_ray.geo.distance import haversine_m
+from fast_carpenter_ray.stages.radius_join import radius_join
+
+
+def _fixture(n_pts=300, n_sites=40, seed=19):
+    rng = np.random.default_rng(seed)
+    pts = pa.table({
+        "pid": pa.array(np.arange(n_pts), type=pa.int64()),
+        "lat": rng.uniform(-85, 85, n_pts),
+        "lng": rng.uniform(-180, 180, n_pts),
+    })
+    sites = pa.table({
+        "site_id": pa.array(np.arange(n_sites), type=pa.int64()),
+        "lat": rng.uniform(-85, 85, n_sites),
+        "lng": rng.uniform(-180, 180, n_sites),
+    })
+    return pts, sites
+
+
+def _brute(pts, sites, radius, metric):
+    p = pts.to_pandas()
+    s = sites.to_pandas()
+    rows = []
+    for _, pr in p.iterrows():
+        if metric == "euclid":
+            d = ((pr["lat"] - s["lat"]) ** 2 + (pr["lng"] - s["lng"]) ** 2)
+            hit = d <= radius * radius
+        else:
+            d = haversine_m(pr["lat"], pr["lng"], s["lat"].to_numpy(),
+                            s["lng"].to_numpy())
+            d = pd.Series(d, index=s.index)
+            hit = d <= radius
+        for i in s.index[hit]:
+            rows.append({"pid": int(pr["pid"]), "site_id": int(s.loc[i, "site_id"]),
+                         "dist": float(d[i])})
+    return (pd.DataFrame(rows, columns=["pid", "site_id", "dist"])
+            .sort_values(["pid", "site_id"]).reset_index(drop=True))
+
+
+@pytest.mark.parametrize("radius,metric", [
+    (8.0, "euclid"), (25.0, "euclid"),
+    (800_000.0, "haversine"), (3_000_000.0, "haversine"),
+])
+def test_radius_join_matches_brute(ray_session, radius, metric):
+    import ray.data as rd
+
+    pts, sites = _fixture()
+    got = radius_join(rd.from_arrow(pts).repartition(4), sites, radius,
+                      res=5, metric=metric).to_pandas()
+    got = got.sort_values(["pid", "site_id"]).reset_index(drop=True)
+    exp = _brute(pts, sites, radius, metric)
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["pid"], exp["pid"])
+    np.testing.assert_array_equal(got["site_id"], exp["site_id"])
+    np.testing.assert_allclose(got["dist"], exp["dist"], rtol=1e-12)
+
+
+def test_radius_join_near_pole_haversine(ray_session):
+    """Query discs touching the pole fall back to a full candidate scan —
+    still exact."""
+    import ray.data as rd
+
+    pts = pa.table({"pid": pa.array([0, 1], type=pa.int64()),
+                    "lat": [89.5, -89.5], "lng": [10.0, -170.0]})
+    sites = pa.table({"site_id": pa.array([0, 1, 2], type=pa.int64()),
+                      "lat": [89.0, -89.0, 0.0],
+                      "lng": [-170.0, 10.0, 0.0]})
+    got = radius_join(rd.from_arrow(pts), sites, 300_000.0, res=5,
+                      metric="haversine").to_pandas()
+    exp = _brute(pts, sites, 300_000.0, "haversine")
+    g = got.sort_values(["pid", "site_id"]).reset_index(drop=True)
+    np.testing.assert_array_equal(g["pid"], exp["pid"])
+    np.testing.assert_array_equal(g["site_id"], exp["site_id"])
+
+
+def test_radius_join_validates(ray_session):
+    import ray.data as rd
+
+    pts, sites = _fixture(10, 5)
+    with pytest.raises(ValueError, match="radius"):
+        radius_join(rd.from_arrow(pts), sites, 0.0)
+    with pytest.raises(ValueError, match="metric"):
+        radius_join(rd.from_arrow(pts), sites, 1.0, metric="manhattan")
