@@ -177,6 +177,19 @@ def q_knn_haversine(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_hotspots(sf_dir: str):
+    """Hotspot cells (stages/hotspot.py): per-cell counts + ring-1
+    neighborhood sums (wrap/clamp semantics) — scatter-groupby, no join."""
+    from ..stages.hotspot import hotspot_cells
+
+    ds = _pages_geo(sf_dir)
+    out = hotspot_cells(ds, res=RES, ring=1).to_pandas()
+    out = out.sort_values("cell").reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["nbhd_n"] = out["nbhd_n"].astype(np.int64)
+    return out[["cell", "n", "nbhd_n"]]
+
+
 def q_radius_join(sf_dir: str):
     """Radius (within-distance) join (stages/radius_join.py): every site
     within 15 squared-degrees' root of each page, euclid metric — the
@@ -1090,6 +1103,20 @@ def build_oracles() -> Dict[str, str]:
             f"SELECT doc_id, site_id, "
             f"row_number() OVER (PARTITION BY doc_id ORDER BY d2, site_id) AS rank "
             f"FROM d) WHERE rank <= 3"),
+        "hotspots": (
+            f"WITH base AS ({geo}), "
+            f"pts AS (SELECT CAST(least(greatest(floor((lat + 90.0) / 180.0 * 64), 0), 63) AS BIGINT) AS iy, CAST(least(greatest(floor((lng + 180.0) / 360.0 * 64), 0), 63) AS BIGINT) AS ix "
+            f"FROM base WHERE lat IS NOT NULL), "
+            f"c AS (SELECT iy, ix, CAST(count(*) AS BIGINT) AS n "
+            f"FROM pts GROUP BY iy, ix), "
+            f"offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),"
+            f"(0,1),(1,-1),(1,0),(1,1)) "
+            f"SELECT t.iy * 64 + t.ix AS cell, t.n, "
+            f"CAST(sum(s.n) AS BIGINT) AS nbhd_n "
+            f"FROM c t CROSS JOIN offs o JOIN c s "
+            f"ON s.iy = t.iy + o.dy "
+            f"AND s.ix = ((t.ix + o.dx) % 64 + 64) % 64 "
+            f"GROUP BY t.iy, t.ix, t.n"),
         "radius_join": (
             f"WITH base AS ({geo}), "
             f"d AS (SELECT doc_id, site_id, "
@@ -1363,6 +1390,7 @@ def build_queries() -> Dict[str, Callable]:
         "pip_anti": q_pip_anti,
         "knn_euclid": q_knn_euclid,
         "knn_haversine": q_knn_haversine,
+        "hotspots": q_hotspots,
         "radius_join": q_radius_join,
         "zonal": q_zonal,
         "topk_cells": q_topk_cells,

@@ -88,3 +88,44 @@ def test_radius_join_validates(ray_session):
         radius_join(rd.from_arrow(pts), sites, 0.0)
     with pytest.raises(ValueError, match="metric"):
         radius_join(rd.from_arrow(pts), sites, 1.0, metric="manhattan")
+
+
+def test_hotspot_cells_matches_brute(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.geo.cells import cell_id, k_ring
+    from fast_carpenter_ray.stages.hotspot import hotspot_cells
+
+    rng = np.random.default_rng(43)
+    n = 2000
+    lat = rng.uniform(-89.9, 89.9, n)
+    lng = rng.uniform(-180, 180, n)
+    lat[::100] = np.nan
+    res, ring = 4, 1
+    ds = rd.from_arrow(pa.table({"lat": lat, "lng": lng})).repartition(4)
+    got = hotspot_cells(ds, res=res, ring=ring).to_pandas()
+    got = got.sort_values("cell").reset_index(drop=True)
+
+    cells = cell_id(lat, lng, res)
+    cells = cells[cells >= 0]
+    from collections import Counter
+
+    counts = Counter(cells.tolist())
+    exp = []
+    for c, cn in sorted(counts.items()):
+        nb = sum(counts.get(int(x), 0) for x in k_ring(int(c), res, ring))
+        exp.append({"cell": c, "n": cn, "nbhd_n": nb})
+    exp = pd.DataFrame(exp)
+    np.testing.assert_array_equal(got["cell"], exp["cell"])
+    np.testing.assert_array_equal(got["n"], exp["n"])
+    np.testing.assert_array_equal(got["nbhd_n"], exp["nbhd_n"])
+
+
+def test_hotspot_rejects_bad_ring(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.hotspot import hotspot_cells
+
+    ds = rd.from_arrow(pa.table({"lat": [0.0], "lng": [0.0]}))
+    with pytest.raises(ValueError, match="ring"):
+        hotspot_cells(ds, ring=0)
