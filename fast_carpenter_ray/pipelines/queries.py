@@ -724,6 +724,44 @@ def q_quantiles(sf_dir: str):
     return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.9, 0.99])
 
 
+def q_curation_pipeline(sf_dir: str):
+    """Composite curation pipeline: exact median document length
+    (stages/quantile.py) -> broadcast-scalar filter -> token counting
+    (stages/text.py) -> per-language totals.  Demonstrates operator
+    composition: the quantile is a driver scalar, the stream is filtered
+    and aggregated without materializing."""
+    import ray.data as rd
+
+    from ..stages.quantile import exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text", "n_chars"])
+    p50 = int(exact_quantiles(ds, "n_chars", [0.5])["value"].iloc[0])
+
+    filtered = ds.map_batches(
+        lambda t, p=p50: t.filter(pa.compute.greater(t["n_chars"], p)),
+        batch_format="pyarrow")
+    counted = TokenCount().apply(filtered)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("lang", sort=False).agg(
+            n_docs=("doc_id", "size"),
+            total_tokens=("n_tokens", "sum")).reset_index()
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["total_tokens"] = out["total_tokens"].astype(np.int64)
+        return out
+
+    from ..agg import combine_partials
+
+    parts = counted.map_batches(partial, batch_format="pandas")
+    out = combine_partials(parts, keys=["lang"],
+                           value_cols=["n_docs", "total_tokens"],
+                           mode="tree").to_pandas()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_tokens"] = out["total_tokens"].astype(np.int64)
+    return out[["lang", "n_docs", "total_tokens"]]
+
+
 def q_hot_cells(sf_dir: str):
     """Heavy-hitter cells (stages/sketch.py): Misra-Gries sketch pass +
     exact verification pass — EXACT items >= 2% of geotagged pages (the
@@ -1199,6 +1237,15 @@ def build_oracles() -> Dict[str, str]:
         "quantiles": (
             "WITH c AS (SELECT n_chars AS v, count(*) OVER (ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, (SELECT count(*) FROM documents) AS n FROM documents) "
             "SELECT 0.25 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.25 * n) UNION ALL SELECT 0.5 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.5 * n) UNION ALL SELECT 0.9 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.9 * n) UNION ALL SELECT 0.99 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.99 * n)"),
+        "curation_pipeline": (
+            "WITH c AS (SELECT n_chars AS v, count(*) OVER (ORDER BY n_chars "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            "(SELECT count(*) FROM documents) AS n FROM documents), "
+            "p AS (SELECT min(v) AS p50 FROM c WHERE cum >= ceil(0.5 * n)) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)) AS BIGINT) AS total_tokens "
+            "FROM documents WHERE n_chars > (SELECT p50 FROM p) "
+            "GROUP BY lang"),
         "hot_cells": (
             f"WITH base AS ({geo}), c AS (SELECT {cell} AS cell FROM base "
             f"WHERE lat IS NOT NULL), tot AS (SELECT count(*) AS t FROM c) "
@@ -1408,6 +1455,7 @@ def build_queries() -> Dict[str, Callable]:
         "session_windows": q_session_windows,
         "session_windows_bucketed": q_session_windows_bucketed,
         "quantiles": q_quantiles,
+        "curation_pipeline": q_curation_pipeline,
         "hot_cells": q_hot_cells,
         "profile": q_profile,
         "doc_sample": q_doc_sample,
