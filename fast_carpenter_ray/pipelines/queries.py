@@ -724,6 +724,20 @@ def q_quantiles(sf_dir: str):
     return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.9, 0.99])
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event type (stages/sample.py
+    count_distinct): per-block pair dedup, one hash shuffle."""
+    import ray.data as rd
+
+    from ..stages.sample import count_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    out = count_distinct(ds, "event_type", "user_id").to_pandas()
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_curation_pipeline(sf_dir: str):
     """Composite curation pipeline: exact median document length
     (stages/quantile.py) -> broadcast-scalar filter -> token counting
@@ -1237,6 +1251,10 @@ def build_oracles() -> Dict[str, str]:
         "quantiles": (
             "WITH c AS (SELECT n_chars AS v, count(*) OVER (ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, (SELECT count(*) FROM documents) AS n FROM documents) "
             "SELECT 0.25 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.25 * n) UNION ALL SELECT 0.5 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.5 * n) UNION ALL SELECT 0.9 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.9 * n) UNION ALL SELECT 0.99 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.99 * n)"),
+        "distinct_users": (
+            "SELECT event_type, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events GROUP BY event_type"),
         "curation_pipeline": (
             "WITH c AS (SELECT n_chars AS v, count(*) OVER (ORDER BY n_chars "
             "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
@@ -1455,6 +1473,7 @@ def build_queries() -> Dict[str, Callable]:
         "session_windows": q_session_windows,
         "session_windows_bucketed": q_session_windows_bucketed,
         "quantiles": q_quantiles,
+        "distinct_users": q_distinct_users,
         "curation_pipeline": q_curation_pipeline,
         "hot_cells": q_hot_cells,
         "profile": q_profile,

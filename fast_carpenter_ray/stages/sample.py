@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["hash_sample", "stratified_sample", "group_topk"]
+__all__ = ["hash_sample", "stratified_sample", "group_topk", "count_distinct"]
 
 _A = 2654435761  # Knuth multiplicative constant
 _B = 40503
@@ -117,3 +117,28 @@ def stratified_sample(ds, id_col: str, group_col: str,
         return batch.filter(pa.array(h < t))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def count_distinct(ds, group: str, value: str):
+    """Exact distinct-value counts per group (``COUNT(DISTINCT value)``):
+    per-batch pair dedup shrinks the shuffle to distinct (group, value)
+    pairs per block, ONE hash shuffle dedups globally, and a per-group
+    count reduces in the same shuffle's output — never a row-level
+    shuffle of the raw stream."""
+    import pandas as pd
+
+    from ..agg import default_partitions
+
+    def pair_dedup(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[group, value]].drop_duplicates()
+
+    pairs = ds.map_batches(pair_dedup, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            group: [g[group].iloc[0]],
+            "n_distinct": np.array([g[value].nunique()], dtype=np.int64),
+        })
+
+    return pairs.groupby(group, num_partitions=default_partitions()).map_groups(
+        final, batch_format="pandas")

@@ -148,3 +148,19 @@ def test_stratified_sample_per_group_fractions(ray_session):
     assert sorted(out["id"]) == sorted(out2["id"])
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample(rd.from_arrow(tab), "id", "g", {"a": 2.0})
+
+
+def test_count_distinct_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.sample import count_distinct
+
+    rng = np.random.default_rng(47)
+    n = 5000
+    df = pd.DataFrame({"g": rng.integers(0, 6, n).astype(np.int64),
+                       "v": rng.integers(0, 200, n).astype(np.int64)})
+    got = count_distinct(rd.from_pandas(df).repartition(5), "g", "v").to_pandas()
+    got = got.sort_values("g").reset_index(drop=True)
+    exp = df.groupby("g")["v"].nunique().reset_index(name="n_distinct")
+    np.testing.assert_array_equal(got["g"], exp["g"])
+    np.testing.assert_array_equal(got["n_distinct"], exp["n_distinct"])
