@@ -862,6 +862,20 @@ def q_vocab(sf_dir: str):
     return out.sort_values("token").reset_index(drop=True)
 
 
+def q_doc_frequency(sf_dir: str):
+    """Token document frequency (stages/text.py doc_frequency) — the exact
+    DF leg of TF-IDF, df >= 10."""
+    import ray.data as rd
+
+    from ..stages.text import doc_frequency
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = doc_frequency(ds, min_df=10).to_pandas()
+    out["df"] = out["df"].astype(np.int64)
+    return out.sort_values("token").reset_index(drop=True)
+
+
 def q_hop_window(sf_dir: str):
     """Hopping-window aggregate (stages/windows.py): 1-hour windows
     sliding every 15 minutes over the events stream — per-batch window
@@ -1299,6 +1313,13 @@ def build_oracles() -> Dict[str, str]:
             "AS token FROM documents) "
             "SELECT token, CAST(count(*) AS BIGINT) AS n FROM w "
             "WHERE token != '' GROUP BY token HAVING count(*) >= 10"),
+        "doc_frequency": (
+            "WITH w AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents) "
+            "SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+            "FROM w WHERE token != '' GROUP BY token "
+            "HAVING count(DISTINCT doc_id) >= 10"),
         "hop_window": (
             "WITH e AS (SELECT epoch_us(ts) AS t, value FROM events), "
             "wins AS (SELECT unnest(generate_series("
@@ -1481,6 +1502,7 @@ def build_queries() -> Dict[str, Callable]:
         "stratified_sample": q_stratified_sample,
         "top_docs": q_top_docs,
         "vocab": q_vocab,
+        "doc_frequency": q_doc_frequency,
         "hop_window": q_hop_window,
         "raster_zonal": q_raster_zonal,
         "range_join": q_range_join,

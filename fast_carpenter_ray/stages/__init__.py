@@ -17,5 +17,5 @@ from .joins import lookup_join, hash_join  # noqa: F401
 from .range_join import range_join, range_join_bucketed  # noqa: F401
 from .raster import WorldRaster, raster_sample, raster_zonal, make_test_raster  # noqa: F401
 from .sample import hash_sample, group_topk  # noqa: F401
-from .text import vocab_count  # noqa: F401
+from .text import vocab_count, doc_frequency  # noqa: F401
 from .profile import profile_columns  # noqa: F401

@@ -188,3 +188,42 @@ def vocab_count(ds, text_col: str = "text", min_count: int = 1,
 
         combined = combined.map_batches(thresh, batch_format="pyarrow")
     return combined
+
+
+def doc_frequency(ds, text_col: str = "text", id_col: str = "doc_id",
+                  min_df: int = 1):
+    """Document frequency per token (the exact DF leg of TF-IDF): the
+    number of DISTINCT documents containing each token.
+
+    Per-batch (token, doc) pair dedup (a doc's repeated token counts
+    once), then one hash shuffle keyed on the token and a per-group
+    distinct-doc count.  Same RE2-compatible tokenizer as
+    :func:`vocab_count`.  Returns ``token, df`` with ``df >= min_df``.
+    """
+    from ..agg import default_partitions
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        toks = s.str.split(r"[ \t\n\r\f]+", regex=True)
+        out = pd.DataFrame({id_col: batch[id_col], "token": toks}).explode("token")
+        out = out[(out["token"] != "") & out["token"].notna()]
+        return out.drop_duplicates()
+
+    dedup = ds.map_batches(pairs, batch_format="pandas")
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "token": [g["token"].iloc[0]],
+            "df": np.array([g[id_col].nunique()], dtype=np.int64),
+        })
+
+    out = dedup.groupby("token", num_partitions=default_partitions()).map_groups(
+        count, batch_format="pandas")
+    if min_df > 1:
+        def thresh(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.greater_equal(batch["df"], min_df))
+
+        out = out.map_batches(thresh, batch_format="pyarrow")
+    return out

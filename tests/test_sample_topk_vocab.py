@@ -164,3 +164,18 @@ def test_count_distinct_matches_pandas(ray_session):
     exp = df.groupby("g")["v"].nunique().reset_index(name="n_distinct")
     np.testing.assert_array_equal(got["g"], exp["g"])
     np.testing.assert_array_equal(got["n_distinct"], exp["n_distinct"])
+
+
+def test_doc_frequency_matches_local(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.text import doc_frequency
+
+    texts = ["cat cat dog", "dog bird", "cat", None, ""]
+    tab = pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    got = doc_frequency(rd.from_arrow(tab).repartition(3)).to_pandas()
+    exp = {"cat": 2, "dog": 2, "bird": 1}
+    assert dict(zip(got["token"], got["df"])) == exp
+    got2 = doc_frequency(rd.from_arrow(tab), min_df=2).to_pandas()
+    assert set(got2["token"]) == {"cat", "dog"}
