@@ -776,6 +776,21 @@ def q_curation_pipeline(sf_dir: str):
     return out[["lang", "n_docs", "total_tokens"]]
 
 
+def q_lang_quantiles(sf_dir: str):
+    """Per-language exact length quantiles (stages/quantile.py
+    grouped_quantiles): (lang, value) count partials -> hash combine ->
+    per-group cumulative read-off."""
+    import ray.data as rd
+
+    from ..stages.quantile import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    out = grouped_quantiles(ds, "lang", "n_chars", [0.5, 0.9]).to_pandas()
+    out["value"] = out["value"].astype(np.int64)
+    return out.sort_values(["lang", "q"]).reset_index(drop=True)
+
+
 def q_hot_cells(sf_dir: str):
     """Heavy-hitter cells (stages/sketch.py): Misra-Gries sketch pass +
     exact verification pass — EXACT items >= 2% of geotagged pages (the
@@ -1278,6 +1293,12 @@ def build_oracles() -> Dict[str, str]:
             "CAST(sum(CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)) AS BIGINT) AS total_tokens "
             "FROM documents WHERE n_chars > (SELECT p50 FROM p) "
             "GROUP BY lang"),
+        "lang_quantiles": (
+            "WITH c AS (SELECT lang AS g, n_chars AS v, "
+            "count(*) OVER (PARTITION BY lang ORDER BY n_chars "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+            "SELECT g AS lang, 0.5 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.5 * n) GROUP BY g UNION ALL SELECT g AS lang, 0.9 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.9 * n) GROUP BY g"),
         "hot_cells": (
             f"WITH base AS ({geo}), c AS (SELECT {cell} AS cell FROM base "
             f"WHERE lat IS NOT NULL), tot AS (SELECT count(*) AS t FROM c) "
@@ -1494,6 +1515,7 @@ def build_queries() -> Dict[str, Callable]:
         "session_windows": q_session_windows,
         "session_windows_bucketed": q_session_windows_bucketed,
         "quantiles": q_quantiles,
+        "lang_quantiles": q_lang_quantiles,
         "distinct_users": q_distinct_users,
         "curation_pipeline": q_curation_pipeline,
         "hot_cells": q_hot_cells,

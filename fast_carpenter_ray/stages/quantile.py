@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["exact_quantiles"]
+__all__ = ["exact_quantiles", "grouped_quantiles"]
 
 
 def exact_quantiles(ds, col: str, qs: Sequence[float],
@@ -67,3 +67,48 @@ def exact_quantiles(ds, col: str, qs: Sequence[float],
         idx = int(np.searchsorted(cum, target, side="left"))
         out.append({"q": float(q), "value": int(vals[idx])})
     return pd.DataFrame(out)
+
+
+def grouped_quantiles(ds, group: str, col: str,
+                      qs: Sequence[float]) -> "object":
+    """Exact per-group quantiles of integer ``col`` (same definition as
+    :func:`exact_quantiles`).  Per-batch (group, value) count partials,
+    one hash combine keyed on the pair, then a per-group cumulative
+    read-off (group tasks see distinct-values-per-group rows, never raw
+    rows).  Returns a Dataset of (group, q, value)."""
+    qs = list(qs)
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("grouped_quantiles: fractions must be in (0, 1]")
+
+    from ..agg import combine_partials, default_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            group: batch[group].to_numpy(zero_copy_only=False),
+            "value": batch[col].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        out = (df.groupby([group, "value"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    hist = combine_partials(parts, keys=[group, "value"], value_cols=["n"],
+                            mode="hash")
+
+    def read_off(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value")
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["value"].to_numpy()
+        rows = []
+        for q in qs:
+            idx = int(np.searchsorted(cum, int(np.ceil(q * n)), side="left"))
+            rows.append({group: g[group].iloc[0], "q": float(q),
+                         "value": np.int64(vals[idx])})
+        out = pd.DataFrame(rows)
+        out["value"] = out["value"].astype(np.int64)
+        return out
+
+    return hist.groupby(group, num_partitions=default_partitions()).map_groups(
+        read_off, batch_format="pandas")

@@ -87,3 +87,21 @@ def test_exact_quantiles_validates(ray_session):
         exact_quantiles(ds, "x", [0.0])
     with pytest.raises(ValueError, match="driver budget"):
         exact_quantiles(ds, "x", [0.5], max_driver_rows=1)
+
+
+def test_grouped_quantiles_match_numpy(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.quantile import grouped_quantiles
+
+    rng = np.random.default_rng(53)
+    n = 8000
+    g = rng.integers(0, 4, n).astype(np.int64)
+    v = rng.integers(0, 300, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(6)
+    got = grouped_quantiles(ds, "g", "v", [0.5, 0.9]).to_pandas()
+    got = got.sort_values(["g", "q"]).reset_index(drop=True)
+    for _, r in got.iterrows():
+        sub = np.sort(v[g == r["g"]])
+        target = int(np.ceil(r["q"] * len(sub)))
+        assert r["value"] == sub[target - 1]
