@@ -696,6 +696,20 @@ def q_asof_join_bucketed(sf_dir: str):
         right_cols=["event_id", "value"], how="inner"))
 
 
+def q_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel (stages/windows.py funnel):
+    one hash shuffle of slimmed (key, step, t) rows, per-key sequential
+    min-search, cumulative step counts."""
+    import ray.data as rd
+
+    from ..stages.windows import funnel
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    out = funnel(ds, ["view", "click", "purchase"])
+    return out[["step", "step_name", "n_keys"]]
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based session windows (stages/windows.py): per-user sessions
     with a 2-hour idle gap; one shuffle, vectorized sessionization."""
@@ -1424,6 +1438,23 @@ def build_oracles() -> Dict[str, str]:
             "SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, band_id "
             "FROM customer JOIN bands "
             "ON c_acctbal >= lo AND c_acctbal < hi"),
+        "funnel": (
+            "WITH u0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "u1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e "
+            "JOIN u0 ON e.user_id = u0.user_id "
+            "WHERE e.event_type = 'click' AND epoch_us(e.ts) > u0.t "
+            "GROUP BY e.user_id), "
+            "u2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e "
+            "JOIN u1 ON e.user_id = u1.user_id "
+            "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u1.t "
+            "GROUP BY e.user_id) "
+            "SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM u0) AS n_keys "
+            "UNION ALL SELECT 1, 'click', "
+            "(SELECT CAST(count(*) AS BIGINT) FROM u1) "
+            "UNION ALL SELECT 2, 'purchase', "
+            "(SELECT CAST(count(*) AS BIGINT) FROM u2)"),
         "session_windows": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events), "
             "m AS (SELECT user_id, t, value, CASE WHEN "
@@ -1512,6 +1543,7 @@ def build_queries() -> Dict[str, Callable]:
         "window_agg": q_window_agg,
         "asof_join": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
+        "funnel": q_funnel,
         "session_windows": q_session_windows,
         "session_windows_bucketed": q_session_windows_bucketed,
         "quantiles": q_quantiles,

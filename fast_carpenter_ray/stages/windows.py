@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["session_windows", "session_windows_bucketed", "hop_windows"]
+__all__ = ["session_windows", "session_windows_bucketed", "hop_windows", "funnel"]
 
 
 def hop_windows(ds, ts: str = "ts", width_us: int = 3_600_000_000,
@@ -208,3 +208,65 @@ def session_windows_bucketed(ds, key: str = "user_id", ts: str = "ts",
 
     return partial.groupby(key, num_partitions=np_).map_groups(
         merge, batch_format="pandas")
+
+
+def funnel(ds, steps, key: str = "user_id", ts: str = "ts",
+           type_col: str = "event_type"):
+    """Ordered funnel analysis: how many keys completed each prefix of
+    ``steps`` IN ORDER (step i+1 strictly after the earliest qualifying
+    step i — the standard product-analytics funnel).
+
+    One hash shuffle co-locates each key's (type, time) pairs — slimmed
+    per batch to the relevant steps only — then a vectorized per-key
+    sequential min-search assigns the deepest completed prefix; a tiny
+    driver reduction turns depth counts into the cumulative funnel table
+    ``(step, step_name, n_keys)``.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least 2 steps")
+    _S = "__funnel_step"
+
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch[ts]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        types = batch[type_col].to_pandas()
+        si = types.map(step_idx).to_numpy(na_value=-1, dtype=np.int64)
+        keep = si >= 0
+        return pa.table({
+            key: batch[key].filter(pa.array(keep)),
+            _S: pa.array(si[keep]),
+            "_t": t.filter(pa.array(keep)),
+        })
+
+    slimmed = ds.map_batches(slim, batch_format="pyarrow")
+
+    def depth(group: pd.DataFrame) -> pd.DataFrame:
+        t = group["_t"].to_numpy()
+        s = group[_S].to_numpy()
+        reached = -1
+        cutoff = -np.inf
+        for i in range(len(steps)):
+            mask = (s == i) & (t > cutoff)
+            if not mask.any():
+                break
+            cutoff = t[mask].min()
+            reached = i
+        return pd.DataFrame({key: [group[key].iloc[0]],
+                             "_depth": np.array([reached], dtype=np.int64)})
+
+    from ..agg import default_partitions
+
+    depths = slimmed.groupby(key, num_partitions=default_partitions()).map_groups(
+        depth, batch_format="pandas").to_pandas()
+    # cumulative funnel: keys reaching step i = depth >= i
+    d = depths["_depth"].to_numpy()
+    return pd.DataFrame({
+        "step": np.arange(len(steps), dtype=np.int64),
+        "step_name": steps,
+        "n_keys": np.array([(d >= i).sum() for i in range(len(steps))],
+                           dtype=np.int64),
+    })

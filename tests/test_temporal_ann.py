@@ -284,3 +284,33 @@ def test_session_windows_bucketed_equals_flat(ray_session, bucket_width):
     np.testing.assert_array_equal(b["session_start"], f["session_start"])
     np.testing.assert_array_equal(b["n"], f["n"])
     np.testing.assert_allclose(b["sum_value"], f["sum_value"])
+
+
+def test_funnel_matches_brute(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import funnel
+
+    rng = np.random.default_rng(59)
+    n = 1200
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "ts": rng.integers(0, 100_000, n).astype(np.int64),
+        "event_type": rng.choice(["view", "click", "purchase", "other"], n),
+    })
+    steps = ["view", "click", "purchase"]
+    got = funnel(rd.from_pandas(df).repartition(4), steps)
+
+    exp = [0, 0, 0]
+    for _, g in df.groupby("user_id"):
+        cutoff = -np.inf
+        for i, s in enumerate(steps):
+            t = g.loc[(g["event_type"] == s) & (g["ts"] > cutoff), "ts"]
+            if t.empty:
+                break
+            cutoff = t.min()
+            exp[i] += 1
+    assert got["n_keys"].tolist() == exp
+    assert got["step_name"].tolist() == steps
+    with pytest.raises(ValueError, match="steps"):
+        funnel(rd.from_pandas(df), ["view"])
