@@ -96,12 +96,7 @@ def combine_partials(parts, keys: Sequence[str], value_cols: Sequence[str],
         shrunk = parts.map_batches(combine, batch_format="pyarrow",
                                    batch_size=None)
         if num_partitions is None:
-            # Ray's default hash-shuffle parallelism (200) is pure
-            # aggregator-startup overhead for a single-node run (measured:
-            # 13.9 s vs 1.5 s on the same aggregate); size to the cluster.
-            # Large multi-node runs should pass num_partitions explicitly
-            # so reducer memory is bounded by keys/num_partitions.
-            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+            num_partitions = default_partitions()
         return shrunk.groupby(list(keys), num_partitions=num_partitions).aggregate(*aggs)
     if mode != "tree":
         raise ValueError(f"unknown combine mode {mode!r}")

@@ -1331,10 +1331,11 @@ def build_oracles() -> Dict[str, str]:
             "CAST(sum(n_chars) AS DOUBLE) FROM documents"),
         "doc_sample": (
             "SELECT doc_id, lang FROM documents "
-            "WHERE ((doc_id * 2654435761 + 40503 + 0) % 1000000) < 370000"),
+            "WHERE (((doc_id % 1000000) * 435761 + 40503 + 0) % 1000000) "
+            "< 370000"),
         "stratified_sample": (
             "SELECT doc_id, lang FROM documents "
-            "WHERE ((doc_id * 2654435761 + 40503 + 0) % 1000000) < "
+            "WHERE (((doc_id % 1000000) * 435761 + 40503 + 0) % 1000000) < "
             "(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 "
             "ELSE 50000 END)"),
         "top_docs": (
@@ -1388,56 +1389,6 @@ def build_oracles() -> Dict[str, str]:
             "SELECT p.user_id, p.event_id, p.value, "
             "v.event_id AS view_event_id, v.value AS view_value "
             "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
-        "profile": (
-            "SELECT 'doc_id' AS \"column\", CAST(count(*) AS BIGINT) AS n, "
-            "CAST(count(*) - count(doc_id) AS BIGINT) AS n_null, "
-            "CAST(min(doc_id) AS DOUBLE) AS min, "
-            "CAST(max(doc_id) AS DOUBLE) AS max, "
-            "CAST(sum(doc_id) AS DOUBLE) AS sum FROM documents "
-            "UNION ALL "
-            "SELECT 'n_chars', CAST(count(*) AS BIGINT), "
-            "CAST(count(*) - count(n_chars) AS BIGINT), "
-            "CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE), "
-            "CAST(sum(n_chars) AS DOUBLE) FROM documents"),
-        "doc_sample": (
-            "SELECT doc_id, lang FROM documents "
-            "WHERE ((doc_id * 2654435761 + 40503 + 0) % 1000000) < 370000"),
-        "top_docs": (
-            "WITH r AS (SELECT lang, doc_id, n_chars, "
-            "row_number() OVER (PARTITION BY lang "
-            "ORDER BY n_chars DESC, doc_id DESC) AS rank FROM documents) "
-            "SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank "
-            "FROM r WHERE rank <= 5"),
-        "vocab": (
-            "WITH w AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) "
-            "AS token FROM documents) "
-            "SELECT token, CAST(count(*) AS BIGINT) AS n FROM w "
-            "WHERE token != '' GROUP BY token HAVING count(*) >= 10"),
-        "hop_window": (
-            "WITH e AS (SELECT epoch_us(ts) AS t, value FROM events), "
-            "wins AS (SELECT unnest(generate_series("
-            "(SELECT min(t) FROM e) // 900000000 - 3, "
-            "(SELECT max(t) FROM e) // 900000000)) AS win) "
-            "SELECT win, win * 900000000 AS window_start, "
-            "CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value "
-            "FROM e JOIN wins "
-            "ON win BETWEEN (e.t - 3600000000) // 900000000 + 1 "
-            "AND e.t // 900000000 "
-            "GROUP BY win"),
-        "range_join": (
-            "WITH bands AS (SELECT CAST(n_nationkey AS BIGINT) AS band_id, "
-            "n_nationkey * 400.0 - 1000.0 AS lo, "
-            "n_nationkey * 400.0 - 300.0 AS hi FROM nation) "
-            "SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, band_id "
-            "FROM customer JOIN bands "
-            "ON c_acctbal >= lo AND c_acctbal < hi"),
-        "range_join_big": (
-            "WITH bands AS (SELECT CAST(n_nationkey AS BIGINT) AS band_id, "
-            "n_nationkey * 400.0 - 1000.0 AS lo, "
-            "n_nationkey * 400.0 - 300.0 AS hi FROM nation) "
-            "SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, band_id "
-            "FROM customer JOIN bands "
-            "ON c_acctbal >= lo AND c_acctbal < hi"),
         "funnel": (
             "WITH u0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events "
             "WHERE event_type = 'view' GROUP BY user_id), "

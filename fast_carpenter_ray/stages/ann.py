@@ -33,6 +33,25 @@ def _matrix(batch: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
+def _merge_topk(local_df: pd.DataFrame, k: int):
+    """Driver-side re-top-k of per-batch partial (query_id, neighbor_id,
+    cosine) rows — the agg.py tree pattern; ties broken by neighbor_id."""
+    import ray.data as rd
+
+    out = []
+    for _, g in local_df.groupby("query_id", sort=True):
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    merged = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        {"query_id": pd.Series([], dtype="int64"),
+         "neighbor_id": pd.Series([], dtype="int64"),
+         "cosine": pd.Series([], dtype="float64"),
+         "rank": pd.Series([], dtype="int32")})
+    return rd.from_pandas(merged)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -110,19 +129,7 @@ def ann_topk(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
     # object-store warnings in the round-1 bench log.
     import ray.data as rd
 
-    local_df = local.to_pandas()  # bounded: partial top-ks only, never embeddings
-    out = []
-    for qid, g in local_df.groupby("query_id", sort=True):
-        g = g.sort_values(["cosine", "neighbor_id"],
-                          ascending=[False, True]).head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        out.append(g)
-    merged = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-        {"query_id": pd.Series([], dtype="int64"),
-         "neighbor_id": pd.Series([], dtype="int64"),
-         "cosine": pd.Series([], dtype="float64"),
-         "rank": pd.Series([], dtype="int32")})
-    return rd.from_pandas(merged)
+    return _merge_topk(local.to_pandas(), k)  # bounded: partials only
 
 
 def train_centroids(matrix: np.ndarray, n_centroids: int, iters: int = 10,
@@ -204,19 +211,7 @@ def ivf_topk(ds, queries: dict, k: int = 5, n_centroids: int = 16,
                            batch_size=batch_size)
     import ray.data as rd
 
-    local_df = local.to_pandas()  # bounded: partial top-ks only
-    out = []
-    for qid, g in local_df.groupby("query_id", sort=True):
-        g = g.sort_values(["cosine", "neighbor_id"],
-                          ascending=[False, True]).head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        out.append(g)
-    merged = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-        {"query_id": pd.Series([], dtype="int64"),
-         "neighbor_id": pd.Series([], dtype="int64"),
-         "cosine": pd.Series([], dtype="float64"),
-         "rank": pd.Series([], dtype="int32")})
-    return rd.from_pandas(merged)
+    return _merge_topk(local.to_pandas(), k)  # bounded: partials only
 
 
 class LSHBuckets:

@@ -306,7 +306,9 @@ class MinHashDedup:
             # hash-shuffle joins spawn aggregator actors per partition;
             # partitions >> data blocks is pure startup cost (see
             # agg.combine_partials for the measurement)
-            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+            from ..agg import default_partitions
+
+            num_partitions = default_partitions(4)
 
         sigs = ds.map_batches(self.signature_batch, batch_format="pyarrow")
         rows = sigs.map_batches(self.band_rows, batch_format="pyarrow")
@@ -476,7 +478,9 @@ class SimHashDedup:
         if num_partitions is None:
             # same sizing rationale as MinHashDedup: aggregator startup
             # scales with partition count, not data
-            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+            from ..agg import default_partitions
+
+            num_partitions = default_partitions(4)
         rows = ds.map_batches(self.bank_rows, batch_format="pyarrow")
         cand = rows.groupby(["bank_id", "bank_key"],
                             num_partitions=num_partitions).map_groups(

@@ -98,16 +98,19 @@ def radius_join(ds, sites, radius: float, res: int = 6,
                 rr = ring
             else:
                 # longitude extent grows with |lat|; conservative cosine at
-                # the disc's pole-most latitude
+                # the disc's pole-most latitude.  NEVER clamp phi downward
+                # (that would under-size the ring and silently drop
+                # matches); discs reaching within 1 deg of a pole take the
+                # full-scan fallback instead.
                 iy = int(cell) // n
                 lat0 = abs(iy / n * 180.0 - 90.0)
                 lat1 = abs((iy + 1) / n * 180.0 - 90.0)
-                phi = min(89.9, max(lat0, lat1) + lat_extent_deg)
-                cosphi = math.cos(math.radians(phi))
-                if cosphi < 1e-3:
+                phi = max(lat0, lat1) + lat_extent_deg
+                if phi >= 89.0:
                     cand = np.arange(len(s_id))
                     rr = None
                 else:
+                    cosphi = math.cos(math.radians(phi))
                     ry = math.ceil(lat_extent_deg / cell_h_deg)
                     rx = math.ceil(lat_extent_deg / (cell_w_deg * cosphi))
                     rr = int(max(rx, ry)) + 1

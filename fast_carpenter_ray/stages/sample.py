@@ -32,6 +32,10 @@ __all__ = ["hash_sample", "stratified_sample", "group_topk", "count_distinct"]
 _A = 2654435761  # Knuth multiplicative constant
 _B = 40503
 _M = 1_000_000
+_A_MOD = _A % _M  # reduce BEFORE multiplying: (id%M)*(A%M) never exceeds
+                  # ~4.4e11, so the hash is exact int64 for ANY nonneg id
+                  # (id*A would wrap above ~3.5e9 ids and break the SQL
+                  # oracle, which errors on BIGINT overflow instead)
 
 
 def hash_sample(ds, id_col: str, fraction: float, seed: int = 0):
@@ -46,7 +50,7 @@ def hash_sample(ds, id_col: str, fraction: float, seed: int = 0):
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * _A + _B + np.int64(seed)) % _M
+        h = ((ids % _M) * _A_MOD + _B + np.int64(seed)) % _M
         return batch.filter(pa.array(h < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -55,7 +59,8 @@ def hash_sample(ds, id_col: str, fraction: float, seed: int = 0):
 def sample_sql(id_col: str, fraction: float, seed: int = 0) -> str:
     """The WHERE predicate reproducing :func:`hash_sample` in DuckDB."""
     thresh = int(round(fraction * _M))
-    return f"(({id_col} * {_A} + {_B} + {seed}) % {_M}) < {thresh}"
+    return (f"((({id_col} % {_M}) * {_A_MOD} + {_B} + {seed}) "
+            f"% {_M}) < {thresh}")
 
 
 def group_topk(ds, group: str, order_by: str, k: int,
@@ -111,7 +116,7 @@ def stratified_sample(ds, id_col: str, group_col: str,
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * _A + _B + np.int64(seed)) % _M
+        h = ((ids % _M) * _A_MOD + _B + np.int64(seed)) % _M
         groups = batch[group_col].to_pandas()
         t = groups.map(thresh).fillna(dthresh).to_numpy(dtype=np.int64)
         return batch.filter(pa.array(h < t))

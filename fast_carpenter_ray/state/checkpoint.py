@@ -113,6 +113,11 @@ def checkpoint_write(ds, out_dir: str, id_col: Optional[str] = None,
 
     The validated partition set is recorded in ``_manifest.json``.
     """
+    if on_stale not in ("error", "delete", "ignore"):
+        # validate UP FRONT: a typo must fail on the first (clean) run,
+        # not on the stale-layout run where the recovery path is needed
+        raise ValueError(f"unknown on_stale={on_stale!r}")
+
     sink = CheckpointSink(out_dir, id_col)
     lineage = ds.map_batches(sink, batch_format="pyarrow").to_pandas()
 

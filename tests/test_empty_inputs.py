@@ -104,3 +104,13 @@ def test_heavy_hitters_single_block(ray_session):
     out = heavy_hitters(rd.from_arrow(tab), "x", min_frac=0.5)
     assert out["item"].tolist() == [7]
     assert out["n"].tolist() == [10]
+
+
+def test_checkpoint_rejects_bad_on_stale_up_front(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fast_carpenter_ray.state.checkpoint import checkpoint_write
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], type=pa.int64())}))
+    with pytest.raises(ValueError, match="on_stale"):
+        checkpoint_write(ds, str(tmp_path / "out"), on_stale="delte")

@@ -129,3 +129,18 @@ def test_hotspot_rejects_bad_ring(ray_session):
     ds = rd.from_arrow(pa.table({"lat": [0.0], "lng": [0.0]}))
     with pytest.raises(ValueError, match="ring"):
         hotspot_cells(ds, ring=0)
+
+
+def test_radius_join_tiny_radius_at_extreme_pole(ray_session):
+    """Regression: a tiny disc at lat 89.999 spans ~all longitudes; the
+    longitude-ring math must not under-size (the old code clamped phi to
+    89.9 and missed the site 40 deg of longitude away, ~78 m distant)."""
+    import ray.data as rd
+
+    pts = pa.table({"pid": pa.array([0], type=pa.int64()),
+                    "lat": [89.999], "lng": [0.0]})
+    sites = pa.table({"site_id": pa.array([0, 1], type=pa.int64()),
+                      "lat": [89.999, 0.0], "lng": [40.0, 0.0]})
+    got = radius_join(rd.from_arrow(pts), sites, 200.0, res=6,
+                      metric="haversine").to_pandas()
+    assert got["site_id"].tolist() == [0]

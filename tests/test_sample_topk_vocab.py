@@ -179,3 +179,19 @@ def test_doc_frequency_matches_local(ray_session):
     assert dict(zip(got["token"], got["df"])) == exp
     got2 = doc_frequency(rd.from_arrow(tab), min_df=2).to_pandas()
     assert set(got2["token"]) == {"cat", "dog"}
+
+
+def test_hash_sample_no_overflow_for_huge_ids(ray_session):
+    """ids above ~3.5e9 would wrap id*A in int64; the reduced-multiply
+    hash must stay exact and match the SQL predicate."""
+    import duckdb
+    import ray.data as rd
+
+    ids = np.array([4_000_000_000, 2**62, 2**62 + 123457], dtype=np.int64)
+    got = hash_sample(rd.from_arrow(pa.table({"doc_id": ids})), "doc_id",
+                      0.5).to_pandas()
+    exp = duckdb.sql(
+        "SELECT doc_id FROM (VALUES (CAST(4000000000 AS BIGINT)), "
+        f"(CAST({2**62} AS BIGINT)), (CAST({2**62+123457} AS BIGINT))) "
+        f"t(doc_id) WHERE {sample_sql('doc_id', 0.5)}").fetchdf()
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
