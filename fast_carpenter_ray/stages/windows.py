@@ -258,15 +258,30 @@ def funnel(ds, steps, key: str = "user_id", ts: str = "ts",
         return pd.DataFrame({key: [group[key].iloc[0]],
                              "_depth": np.array([reached], dtype=np.int64)})
 
-    from ..agg import default_partitions
+    from ..agg import combine_partials, default_partitions
 
     depths = slimmed.groupby(key, num_partitions=default_partitions()).map_groups(
-        depth, batch_format="pandas").to_pandas()
+        depth, batch_format="pandas")
+
+    # depth histogram DISTRIBUTIVELY (key count scales with the data; one
+    # row per key must never land on the driver) — the depth domain is
+    # len(steps)+1 values, a summary-sized tree combine
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (batch.groupby("_depth", sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = depths.map_batches(hist, batch_format="pandas")
+    local = combine_partials(parts, keys=["_depth"], value_cols=["n"],
+                             mode="tree").to_pandas()
+    counts = dict(zip(local["_depth"].astype(np.int64),
+                      local["n"].astype(np.int64)))
     # cumulative funnel: keys reaching step i = depth >= i
-    d = depths["_depth"].to_numpy()
     return pd.DataFrame({
         "step": np.arange(len(steps), dtype=np.int64),
         "step_name": steps,
-        "n_keys": np.array([(d >= i).sum() for i in range(len(steps))],
-                           dtype=np.int64),
+        "n_keys": np.array(
+            [sum(v for d, v in counts.items() if d >= i)
+             for i in range(len(steps))], dtype=np.int64),
     })
