@@ -727,6 +727,36 @@ def q_session_windows(sf_dir: str):
     return out[["user_id", "session_start", "n", "sum_value"]]
 
 
+def _window_funcs_events(sf_dir: str, fn):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+    return fn(ds)
+
+
+def q_window_funcs(sf_dir: str):
+    """Per-key ordered window functions (stages/windows.py window_funcs):
+    row_number / running int-quantized sum / lag gap per event — one hash
+    shuffle, per-group vectorized cumsum."""
+    from ..stages.windows import window_funcs
+
+    return _window_funcs_events(
+        sf_dir, lambda ds: window_funcs(
+            ds, key="user_id", ts="ts", id_col="event_id", value="value"))
+
+
+def q_window_funcs_bucketed(sf_dir: str):
+    """Hot-key-safe window functions (time-bucketed groups + integer
+    offset pass); bit-identical to q_window_funcs, same SQL oracle."""
+    from ..stages.windows import window_funcs_bucketed
+
+    return _window_funcs_events(
+        sf_dir, lambda ds: window_funcs_bucketed(
+            ds, key="user_id", ts="ts", id_col="event_id", value="value",
+            bucket_width=86_400_000_000))
+
+
 def q_quantiles(sf_dir: str):
     """Exact distributed quantiles of document length (stages/quantile.py):
     per-block value-count shrink + one hash combine + driver read-off."""
@@ -1158,6 +1188,23 @@ def _multi_cutflow_sql() -> str:
         + " UNION ALL ".join(rows))
 
 
+#: Shared oracle for q_window_funcs / q_window_funcs_bucketed.  The
+#: running sum is over the int64 quantization floor(value * 64) (power-of-
+#: two scale => exact f64 product), so every output column is integer and
+#: the hash compare is FP-order-independent.  DuckDB's sum(BIGINT) widens
+#: to HUGEINT — cast back.
+_WINDOW_FUNCS_SQL = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+    "CAST(floor(value * 64) AS BIGINT) AS v FROM events) "
+    "SELECT user_id, event_id, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn, "
+    "CAST(sum(v) OVER (PARTITION BY user_id ORDER BY t, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_v, "
+    "coalesce(t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id), "
+    "-1) AS gap_us "
+    "FROM e")
+
+
 def build_oracles() -> Dict[str, str]:
     geo = _geo_sql_base()
     cell = _cell_sql()
@@ -1430,6 +1477,8 @@ def build_oracles() -> Dict[str, str]:
             "SELECT user_id, min(t) AS session_start, "
             "CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value "
             "FROM s GROUP BY user_id, sid"),
+        "window_funcs": _WINDOW_FUNCS_SQL,
+        "window_funcs_bucketed": _WINDOW_FUNCS_SQL,
         "lookup_join": (
             "SELECT o_orderkey, o_custkey AS c_custkey, "
             "o_totalprice, c_mktsegment "
@@ -1497,6 +1546,8 @@ def build_queries() -> Dict[str, Callable]:
         "funnel": q_funnel,
         "session_windows": q_session_windows,
         "session_windows_bucketed": q_session_windows_bucketed,
+        "window_funcs": q_window_funcs,
+        "window_funcs_bucketed": q_window_funcs_bucketed,
         "quantiles": q_quantiles,
         "lang_quantiles": q_lang_quantiles,
         "distinct_users": q_distinct_users,

@@ -24,7 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["session_windows", "session_windows_bucketed", "hop_windows", "funnel"]
+__all__ = ["session_windows", "session_windows_bucketed", "hop_windows",
+           "funnel", "window_funcs", "window_funcs_bucketed"]
 
 
 def hop_windows(ds, ts: str = "ts", width_us: int = 3_600_000_000,
@@ -285,3 +286,188 @@ def funnel(ds, steps, key: str = "user_id", ts: str = "ts",
             [sum(v for d, v in counts.items() if d >= i)
              for i in range(len(steps))], dtype=np.int64),
     })
+
+
+def window_funcs(ds, key: str = "user_id", ts: str = "ts",
+                 id_col: str = "event_id", value: str = "value",
+                 scale: int = 64):
+    """Per-key ordered window functions — the running/cumulative analytics
+    leg (``row_number`` / running ``sum`` / ``lag`` gap) the reference's
+    per-event Define stages cannot express (they are stateless per row;
+    cf. ``fast_carpenter/define/variables.py`` one-row-in-one-row-out).
+
+    For every input event emits ``(key, id_col, rn, running_v, gap_us)``:
+
+    - ``rn``       1-based rank within the key, ordered by ``(ts, id)``;
+    - ``running_v`` inclusive running sum of ``floor(value * scale)`` as
+      int64 — ``scale`` must be a power of two so the product is exact in
+      f64 and the integer running sum is associative, i.e. bit-exact
+      against SQL no matter the accumulation order;
+    - ``gap_us``   microseconds since the key's previous event (``-1``
+      sentinel on the first event — gaps are always >= 0, and a non-null
+      int64 keeps the engine/SQL schema compare exact, since DuckDB's
+      pandas export widens nullable BIGINT to float64).
+
+    Shape: slim per-batch projection, ONE hash shuffle (``groupby(key)``),
+    per-group vectorized sort + ``cumsum`` — no Python row loop.
+    Partitioning assumption: one key's events fit in a group task; use
+    :func:`window_funcs_bucketed` when keys can be hot.
+    """
+    if scale & (scale - 1):
+        raise ValueError("window_funcs: scale must be a power of two")
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch[ts]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        v = batch[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            key: batch[key], id_col: batch[id_col], "_t": t,
+            "_v": pa.array(np.floor(v * scale).astype(np.int64)),
+        })
+
+    def wf(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_t", id_col], kind="stable")
+        t = g["_t"].to_numpy()
+        gap = np.empty(len(g), dtype=np.int64)
+        if len(g):
+            gap[0] = -1
+            gap[1:] = np.diff(t)
+        return pd.DataFrame({
+            key: g[key].to_numpy(), id_col: g[id_col].to_numpy(),
+            "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+            "running_v": np.cumsum(g["_v"].to_numpy()),
+            "gap_us": gap,
+        })
+
+    from ..agg import default_partitions
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby(key, num_partitions=default_partitions())
+            .map_groups(wf, batch_format="pandas"))
+
+
+def window_funcs_bucketed(ds, key: str = "user_id", ts: str = "ts",
+                          id_col: str = "event_id", value: str = "value",
+                          scale: int = 64,
+                          bucket_width: int = 86_400_000_000):
+    """Hot-key-safe :func:`window_funcs`: group tasks are keyed on
+    ``(key, ts // bucket_width)`` so no task ever holds one key's full
+    event sequence; exactness across bucket edges via an offsets pass.
+
+    1. per-batch partial shrink of the slim projection to one row per
+       ``(key, bucket)`` (count, int-sum, last ts) + ONE small shuffle
+       (``groupby(key)`` over summaries — span/width rows per key,
+       independent of event count) computing per-bucket OFFSETS: events
+       and int-sum in strictly-earlier buckets, and the previous present
+       bucket's last timestamp (for the first-row gap);
+    2. row pass: local rank/cumsum/gap inside each ``(key, bucket)``
+       group, then the tagged offset row (unioned into the same shuffle)
+       shifts them — pure integer adds, so the result is bit-identical
+       to the flat operator (pytest pins equality).
+    """
+    if scale & (scale - 1):
+        raise ValueError("window_funcs_bucketed: scale must be a power of two")
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("window_funcs_bucketed: bucket_width must be > 0")
+    _B = "__wf_bucket"
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch[ts]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        tv = t.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            key: batch[key], id_col: batch[id_col],
+            _B: pa.array(tv // w), "_t": pa.array(tv),
+            "_v": pa.array(np.floor(v * scale).astype(np.int64)),
+        })
+
+    from ..agg import default_partitions
+
+    np_ = default_partitions()
+    slimmed = ds.map_batches(slim, batch_format="pyarrow")
+
+    # ---- offsets: per-(key, bucket) summaries -> per-key prefix scan ---
+    def summarize(batch: pa.Table) -> pa.Table:
+        df = pa.Table.to_pandas(batch)
+        out = (df.groupby([key, _B], sort=False)
+               .agg(_n=("_v", "size"), _s=("_v", "sum"), _lt=("_t", "max"))
+               .reset_index())
+        out["_n"] = out["_n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def offsets(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(_B, sort=True)
+             .agg(_n=("_n", "sum"), _s=("_s", "sum"), _lt=("_lt", "max"))
+             .reset_index())
+        n = g["_n"].to_numpy()
+        s = g["_s"].to_numpy()
+        lt = g["_lt"].to_numpy()
+        return pd.DataFrame({
+            key: group[key].iloc[0], _B: g[_B].to_numpy(),
+            "_rn_off": np.concatenate(([0], np.cumsum(n)[:-1])),
+            "_v_off": np.concatenate(([0], np.cumsum(s)[:-1])),
+            # previous PRESENT bucket's last ts; sentinel -1 on the first
+            "_plt": np.concatenate(([-1], lt[:-1])),
+        })
+
+    offs = (slimmed.map_batches(summarize, batch_format="pyarrow")
+            .groupby(key, num_partitions=np_)
+            .map_groups(offsets, batch_format="pandas"))
+
+    # ---- row pass: union(tagged offsets, rows) -> one grouped shuffle --
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            key: batch[key], _B: batch[_B], id_col: batch[id_col],
+            "_t": batch["_t"], "_v": batch["_v"],
+            "_rn_off": pa.nulls(n, type=pa.int64()),
+            "_v_off": pa.nulls(n, type=pa.int64()),
+            "_plt": pa.nulls(n, type=pa.int64()),
+        })
+
+    def tag_offs(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            key: batch[key], _B: batch[_B],
+            id_col: pa.nulls(n, type=pa.int64()),
+            "_t": pa.nulls(n, type=pa.int64()),
+            "_v": pa.nulls(n, type=pa.int64()),
+            "_rn_off": batch["_rn_off"], "_v_off": batch["_v_off"],
+            "_plt": batch["_plt"],
+        })
+
+    unioned = (slimmed.map_batches(tag_rows, batch_format="pyarrow")
+               .union(offs.map_batches(tag_offs, batch_format="pyarrow")))
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        is_off = group[id_col].isna().to_numpy()
+        off = group[is_off]
+        rows = group[~is_off]
+        if not len(rows):
+            z = np.array([], dtype=np.int64)
+            return pd.DataFrame({key: z, id_col: z, "rn": z,
+                                 "running_v": z, "gap_us": z})
+        rn_off = int(off["_rn_off"].iloc[0]) if len(off) else 0
+        v_off = int(off["_v_off"].iloc[0]) if len(off) else 0
+        plt = int(off["_plt"].iloc[0]) if len(off) else -1
+        g = rows.sort_values(["_t", id_col], kind="stable")
+        t = g["_t"].to_numpy().astype(np.int64)
+        gap = np.empty(len(g), dtype=np.int64)
+        # no earlier bucket => key's first event ever => -1 sentinel
+        gap[0] = t[0] - plt if plt >= 0 else -1
+        if len(g) > 1:
+            gap[1:] = np.diff(t)
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            id_col: g[id_col].to_numpy().astype(np.int64),
+            "rn": np.arange(1, len(g) + 1, dtype=np.int64) + rn_off,
+            "running_v": np.cumsum(g["_v"].to_numpy().astype(np.int64)) + v_off,
+            "gap_us": gap,
+        })
+
+    return unioned.groupby([key, _B], num_partitions=np_).map_groups(
+        finish, batch_format="pandas")

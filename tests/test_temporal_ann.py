@@ -314,3 +314,76 @@ def test_funnel_matches_brute(ray_session):
     assert got["step_name"].tolist() == steps
     with pytest.raises(ValueError, match="steps"):
         funnel(rd.from_pandas(df), ["view"])
+
+
+def _wf_events(seed=83, n=800, keys=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "user_id": rng.integers(0, keys, n).astype(np.int64),
+        "ts": rng.integers(0, 90_000, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.standard_normal(n) * 5,
+    })
+
+
+def _wf_brute(df):
+    g = df.sort_values(["user_id", "ts", "event_id"], kind="stable").copy()
+    g["_v"] = np.floor(g["value"].to_numpy() * 64).astype(np.int64)
+    grp = g.groupby("user_id", sort=False)
+    g["rn"] = grp.cumcount().to_numpy() + 1
+    g["running_v"] = grp["_v"].cumsum().to_numpy()
+    g["gap_us"] = grp["ts"].diff().fillna(-1).astype(np.int64).to_numpy()
+    return g[["user_id", "event_id", "rn", "running_v", "gap_us"]]
+
+
+def test_window_funcs_match_pandas(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import window_funcs
+
+    df = _wf_events()
+    got = (window_funcs(rd.from_pandas(df).repartition(5), key="user_id",
+                        ts="ts", id_col="event_id", value="value")
+           .to_pandas().sort_values(["user_id", "rn"]).reset_index(drop=True))
+    exp = _wf_brute(df).sort_values(["user_id", "rn"]).reset_index(drop=True)
+    assert len(got) == len(df)
+    for c in ["user_id", "event_id", "rn", "running_v", "gap_us"]:
+        np.testing.assert_array_equal(got[c].to_numpy().astype(np.int64),
+                                      exp[c].to_numpy(), err_msg=c)
+
+
+@pytest.mark.parametrize("bucket_width", [30_000, 1_000, 1])
+def test_window_funcs_bucketed_equals_flat(ray_session, bucket_width):
+    """Bucketed rank/cumsum/gap must equal the flat operator bit-for-bit,
+    including width 1 (every event its own bucket: every rank, running
+    sum and gap flows through the offsets carry)."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import (window_funcs,
+                                                   window_funcs_bucketed)
+
+    df = _wf_events(seed=101, n=500, keys=5)
+    # make (user_id, ts) unique so the (ts, event_id) order is unambiguous
+    # across bucket boundaries for the gap check
+    ds = rd.from_pandas(df).repartition(4)
+    flat = (window_funcs(ds, key="user_id", ts="ts", id_col="event_id",
+                         value="value")
+            .to_pandas().sort_values(["user_id", "rn"]).reset_index(drop=True))
+    buck = (window_funcs_bucketed(ds, key="user_id", ts="ts",
+                                  id_col="event_id", value="value",
+                                  bucket_width=bucket_width)
+            .to_pandas().sort_values(["user_id", "rn"]).reset_index(drop=True))
+    assert len(flat) == len(buck)
+    for c in ["user_id", "event_id", "rn", "running_v", "gap_us"]:
+        np.testing.assert_array_equal(buck[c].to_numpy().astype(np.int64),
+                                      flat[c].to_numpy().astype(np.int64),
+                                      err_msg=c)
+
+
+def test_window_funcs_rejects_bad_scale(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import window_funcs
+
+    with pytest.raises(ValueError, match="power of two"):
+        window_funcs(rd.from_pandas(_wf_events(n=10)), scale=48)
