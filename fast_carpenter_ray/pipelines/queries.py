@@ -757,6 +757,46 @@ def q_window_funcs_bucketed(sf_dir: str):
             bucket_width=86_400_000_000))
 
 
+def _trajectory_events(sf_dir: str, fn):
+    """Events with deterministic synthetic integer positions: pure int64
+    multiply/mod of event_id, mirrored verbatim in the oracle SQL (same
+    single-source-of-truth discipline as fixtures.sql_geo_exprs)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def pos(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "x", pa.array((eid * 2654435761) % 1024)).append_column(
+            "y", pa.array((eid * 40503 + 12345) % 1024))
+
+    return fn(ds.map_batches(pos, batch_format="pyarrow"))
+
+
+def q_trajectory(sf_dir: str):
+    """Per-entity trajectory statistics (stages/trajectory.py): ordered
+    path fold per user — squared-segment-length sum, net displacement,
+    visited bbox; one hash shuffle."""
+    from ..stages.trajectory import trajectory_stats
+
+    return _trajectory_events(
+        sf_dir, lambda ds: trajectory_stats(
+            ds, key="user_id", ts="ts", x="x", y="y", id_col="event_id"))
+
+
+def q_trajectory_bucketed(sf_dir: str):
+    """Hot-key-safe trajectory fold (time-bucketed partials + boundary
+    segment merge); bit-identical to q_trajectory, same SQL oracle."""
+    from ..stages.trajectory import trajectory_stats_bucketed
+
+    return _trajectory_events(
+        sf_dir, lambda ds: trajectory_stats_bucketed(
+            ds, key="user_id", ts="ts", x="x", y="y", id_col="event_id",
+            bucket_width=86_400_000_000))
+
+
 def q_quantiles(sf_dir: str):
     """Exact distributed quantiles of document length (stages/quantile.py):
     per-block value-count shrink + one hash combine + driver read-off."""
@@ -1205,6 +1245,32 @@ _WINDOW_FUNCS_SQL = (
     "FROM e")
 
 
+#: Shared oracle for q_trajectory / q_trajectory_bucketed.  Positions are
+#: the same int64 multiply/mod of event_id the engine query computes;
+#: every output column is integer, so the fold is exact and
+#: accumulation-order independent.
+_TRAJECTORY_SQL = (
+    "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+    "(event_id * 2654435761) % 1024 AS x, "
+    "(event_id * 40503 + 12345) % 1024 AS y FROM events), "
+    "o AS (SELECT user_id, x, y, "
+    "lag(x) OVER w AS px, lag(y) OVER w AS py, "
+    "first_value(x) OVER w AS fx, first_value(y) OVER w AS fy, "
+    "last_value(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "UNBOUNDED FOLLOWING) AS lx, "
+    "last_value(y) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "UNBOUNDED FOLLOWING) AS ly "
+    "FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_points, "
+    "CAST(sum(coalesce((x-px)*(x-px)+(y-py)*(y-py), 0)) AS BIGINT) "
+    "AS path_d2, "
+    "CAST(max(lx - fx) AS BIGINT) AS net_dx, "
+    "CAST(max(ly - fy) AS BIGINT) AS net_dy, "
+    "CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x, "
+    "CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y "
+    "FROM o GROUP BY user_id")
+
+
 def build_oracles() -> Dict[str, str]:
     geo = _geo_sql_base()
     cell = _cell_sql()
@@ -1479,6 +1545,8 @@ def build_oracles() -> Dict[str, str]:
             "FROM s GROUP BY user_id, sid"),
         "window_funcs": _WINDOW_FUNCS_SQL,
         "window_funcs_bucketed": _WINDOW_FUNCS_SQL,
+        "trajectory": _TRAJECTORY_SQL,
+        "trajectory_bucketed": _TRAJECTORY_SQL,
         "lookup_join": (
             "SELECT o_orderkey, o_custkey AS c_custkey, "
             "o_totalprice, c_mktsegment "
@@ -1548,6 +1616,8 @@ def build_queries() -> Dict[str, Callable]:
         "session_windows_bucketed": q_session_windows_bucketed,
         "window_funcs": q_window_funcs,
         "window_funcs_bucketed": q_window_funcs_bucketed,
+        "trajectory": q_trajectory,
+        "trajectory_bucketed": q_trajectory_bucketed,
         "quantiles": q_quantiles,
         "lang_quantiles": q_lang_quantiles,
         "distinct_users": q_distinct_users,

@@ -1,0 +1,76 @@
+"""Trajectory statistics: flat vs brute force, bucketed vs flat."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fast_carpenter_ray.stages.trajectory import (trajectory_stats,
+                                                  trajectory_stats_bucketed)
+
+COLS = ["user_id", "n_points", "path_d2", "net_dx", "net_dy",
+        "min_x", "max_x", "min_y", "max_y"]
+
+
+def _points(seed=11, n=700, keys=6):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "user_id": rng.integers(0, keys, n).astype(np.int64),
+        "ts": rng.integers(0, 50_000, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "x": rng.integers(-500, 500, n).astype(np.int64),
+        "y": rng.integers(-500, 500, n).astype(np.int64),
+    })
+
+
+def _brute(df):
+    rows = []
+    for uid, g in df.sort_values(["ts", "event_id"],
+                                 kind="stable").groupby("user_id"):
+        x, y = g["x"].to_numpy(), g["y"].to_numpy()
+        dx, dy = np.diff(x), np.diff(y)
+        rows.append({"user_id": uid, "n_points": len(g),
+                     "path_d2": int((dx * dx + dy * dy).sum()),
+                     "net_dx": int(x[-1] - x[0]), "net_dy": int(y[-1] - y[0]),
+                     "min_x": int(x.min()), "max_x": int(x.max()),
+                     "min_y": int(y.min()), "max_y": int(y.max())})
+    return pd.DataFrame(rows).sort_values("user_id").reset_index(drop=True)
+
+
+def test_trajectory_stats_matches_brute(ray_session):
+    import ray.data as rd
+
+    df = _points()
+    got = (trajectory_stats(rd.from_pandas(df).repartition(5))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    exp = _brute(df)
+    assert len(got) == len(exp)
+    for c in COLS:
+        np.testing.assert_array_equal(got[c].to_numpy().astype(np.int64),
+                                      exp[c].to_numpy(), err_msg=c)
+
+
+@pytest.mark.parametrize("bucket_width", [20_000, 500, 1])
+def test_trajectory_bucketed_equals_flat(ray_session, bucket_width):
+    """Width 1 makes every point its own bucket: the whole path length
+    flows through boundary-segment merging."""
+    import ray.data as rd
+
+    df = _points(seed=23, n=400, keys=4)
+    ds = rd.from_pandas(df).repartition(4)
+    flat = (trajectory_stats(ds).to_pandas()
+            .sort_values("user_id").reset_index(drop=True))
+    buck = (trajectory_stats_bucketed(ds, bucket_width=bucket_width)
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert len(flat) == len(buck)
+    for c in COLS:
+        np.testing.assert_array_equal(buck[c].to_numpy().astype(np.int64),
+                                      flat[c].to_numpy().astype(np.int64),
+                                      err_msg=c)
+
+
+def test_trajectory_bucketed_rejects_bad_width(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError, match="bucket_width"):
+        trajectory_stats_bucketed(rd.from_pandas(_points(n=10)),
+                                  bucket_width=0)
