@@ -97,6 +97,17 @@ def q_cell_encode(sf_dir: str):
     return ds.select_columns(["doc_id", "lat", "lng", "cell"])
 
 
+def q_compact_cells(sf_dir: str):
+    """Hierarchical cell-set compaction (stages/compact_cells.py): the
+    minimal multi-resolution cover of the occupied cells, res 6 -> 4;
+    one distributed distinct + one tiny per-level quad groupby."""
+    from ..stages.compact_cells import compact_cells
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    return compact_cells(ds, cell="cell", res=RES, min_res=RES - 2)
+
+
 def q_pip_join(sf_dir: str):
     ds = _pages_geo(sf_dir)
     ds = pip_join(ds, rect_polygons(), res=RES, mode="inner")
@@ -1311,6 +1322,26 @@ def build_oracles() -> Dict[str, str]:
             f"SELECT doc_id, site_id, "
             f"row_number() OVER (PARTITION BY doc_id ORDER BY d2, site_id) AS rank "
             f"FROM d) WHERE rank <= 3"),
+        "compact_cells": (
+            f"WITH base AS ({geo}), "
+            f"z AS (SELECT DISTINCT {cell} AS cell FROM base "
+            f"WHERE lat IS NOT NULL), "
+            f"p6 AS (SELECT cell, ((cell // {_N}) // 2) * {_N // 2} "
+            f"+ ((cell % {_N}) // 2) AS p FROM z), "
+            f"g5 AS (SELECT p, count(*) AS c FROM p6 GROUP BY p), "
+            f"keep6 AS (SELECT p6.cell AS cell, {RES} AS res FROM p6 "
+            f"JOIN g5 USING (p) WHERE g5.c < 4), "
+            f"l5 AS (SELECT p AS cell FROM g5 WHERE c = 4), "
+            f"p5 AS (SELECT cell, ((cell // {_N // 2}) // 2) * {_N // 4} "
+            f"+ ((cell % {_N // 2}) // 2) AS p FROM l5), "
+            f"g4 AS (SELECT p, count(*) AS c FROM p5 GROUP BY p), "
+            f"keep5 AS (SELECT p5.cell AS cell, {RES - 1} AS res FROM p5 "
+            f"JOIN g4 USING (p) WHERE g4.c < 4), "
+            f"keep4 AS (SELECT p AS cell, {RES - 2} AS res FROM g4 "
+            f"WHERE c = 4) "
+            f"SELECT CAST(cell AS BIGINT) AS cell, CAST(res AS BIGINT) AS res "
+            f"FROM (SELECT * FROM keep6 UNION ALL SELECT * FROM keep5 "
+            f"UNION ALL SELECT * FROM keep4)"),
         "hotspots": (
             f"WITH base AS ({geo}), "
             f"pts AS (SELECT CAST(least(greatest(floor((lat + 90.0) / 180.0 * 64), 0), 63) AS BIGINT) AS iy, CAST(least(greatest(floor((lng + 180.0) / 360.0 * 64), 0), 63) AS BIGINT) AS ix "
@@ -1618,6 +1649,7 @@ def build_queries() -> Dict[str, Callable]:
         "window_funcs_bucketed": q_window_funcs_bucketed,
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
+        "compact_cells": q_compact_cells,
         "quantiles": q_quantiles,
         "lang_quantiles": q_lang_quantiles,
         "distinct_users": q_distinct_users,

@@ -173,3 +173,65 @@ def test_zonal_hash_mode_salted_equals_tree(ray_session, sf_dir):
     a = a.sort_values("cell").reset_index(drop=True)
     b = b.sort_values("cell").reset_index(drop=True)
     assert a.equals(b)
+
+
+def _brute_compact(cells, res, min_res):
+    """Reference compaction: promote complete quads level by level."""
+    out = []
+    level = sorted(set(int(c) for c in cells if c >= 0))
+    for r in range(res, min_res, -1):
+        n, pn = 1 << r, 1 << (r - 1)
+        from collections import defaultdict
+        groups = defaultdict(list)
+        for c in level:
+            groups[(c // n // 2) * pn + (c % n) // 2].append(c)
+        nxt = []
+        for p, ch in groups.items():
+            if len(ch) == 4:
+                nxt.append(p)
+            else:
+                out.extend((c, r) for c in ch)
+        level = sorted(nxt)
+    out.extend((c, min_res) for c in level)
+    return sorted(out)
+
+
+def test_compact_cells_minimal_cover(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.compact_cells import compact_cells
+
+    res = 6
+    n = 1 << res
+    # one complete res-4 block (4x4 = 16 cells), one complete res-5 quad,
+    # three strays, a missing-geo cell (-1), and duplicates
+    full16 = [(8 + dy) * n + (12 + dx) for dy in range(4) for dx in range(4)]
+    quad4 = [(40 + dy) * n + (2 + dx) for dy in range(2) for dx in range(2)]
+    strays = [0, 5 * n + 5, 63 * n + 63]
+    cells = full16 + quad4 + strays + [-1] + full16[:3]
+    ds = rd.from_pandas(pd.DataFrame({"cell": np.array(cells, dtype=np.int64)}))
+    got = sorted(map(tuple, compact_cells(ds, res=res, min_res=4)
+                     .to_pandas()[["cell", "res"]].to_numpy()))
+    exp = _brute_compact(cells, res, 4)
+    assert got == exp
+    # the complete 16-block compacted to ONE res-4 cell, the quad to one
+    # res-5 cell, strays untouched
+    by_res = {}
+    for c, r in got:
+        by_res.setdefault(r, []).append(c)
+    assert len(by_res[4]) == 1 and len(by_res[5]) == 1
+    assert sorted(by_res[6]) == sorted(strays)
+
+
+def test_compact_cells_rejects_bad_res(ray_session):
+    import pandas as pd
+    import pytest as _pt
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.compact_cells import compact_cells
+
+    with _pt.raises(ValueError, match="min_res"):
+        compact_cells(rd.from_pandas(pd.DataFrame({"cell": [1]})),
+                      res=4, min_res=5)
