@@ -108,6 +108,29 @@ def q_compact_cells(sf_dir: str):
     return compact_cells(ds, cell="cell", res=RES, min_res=RES - 2)
 
 
+def q_uncompact_roundtrip(sf_dir: str):
+    """compact -> uncompact round trip: must reproduce EXACTLY the
+    occupied distinct cell set (the oracle is a plain SELECT DISTINCT),
+    proving the multi-res cover is exact in both directions."""
+    from ..stages.compact_cells import compact_cells, uncompact_cells
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    compacted = compact_cells(ds, cell="cell", res=RES, min_res=RES - 2)
+    return uncompact_cells(compacted, res=RES)
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Multi-resolution tile-count pyramid (stages/compact_cells.py):
+    per-cell occupancy at res 6/5/4 — one point-level hash combine, then
+    cell-table parent rollups."""
+    from ..stages.compact_cells import tile_pyramid
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    return tile_pyramid(ds, cell="cell", res=RES, min_res=RES - 2)
+
+
 def q_pip_join(sf_dir: str):
     ds = _pages_geo(sf_dir)
     ds = pip_join(ds, rect_polygons(), res=RES, mode="inner")
@@ -1342,6 +1365,26 @@ def build_oracles() -> Dict[str, str]:
             f"SELECT CAST(cell AS BIGINT) AS cell, CAST(res AS BIGINT) AS res "
             f"FROM (SELECT * FROM keep6 UNION ALL SELECT * FROM keep5 "
             f"UNION ALL SELECT * FROM keep4)"),
+        "uncompact_roundtrip": (
+            f"WITH base AS ({geo}) "
+            f"SELECT DISTINCT {cell} AS cell FROM base "
+            f"WHERE lat IS NOT NULL"),
+        "tile_pyramid": (
+            f"WITH base AS ({geo}), "
+            f"z AS (SELECT {cell} AS cell FROM base WHERE lat IS NOT NULL) "
+            f"SELECT CAST(cell AS BIGINT) AS cell, "
+            f"CAST({RES} AS BIGINT) AS res, "
+            f"CAST(count(*) AS BIGINT) AS n FROM z GROUP BY cell "
+            f"UNION ALL "
+            f"SELECT CAST(((cell // {_N}) // 2) * {_N // 2} "
+            f"+ ((cell % {_N}) // 2) AS BIGINT) AS cell, "
+            f"CAST({RES - 1} AS BIGINT) AS res, "
+            f"CAST(count(*) AS BIGINT) AS n FROM z GROUP BY 1 "
+            f"UNION ALL "
+            f"SELECT CAST(((cell // {_N}) // 4) * {_N // 4} "
+            f"+ ((cell % {_N}) // 4) AS BIGINT) AS cell, "
+            f"CAST({RES - 2} AS BIGINT) AS res, "
+            f"CAST(count(*) AS BIGINT) AS n FROM z GROUP BY 1"),
         "hotspots": (
             f"WITH base AS ({geo}), "
             f"pts AS (SELECT CAST(least(greatest(floor((lat + 90.0) / 180.0 * 64), 0), 63) AS BIGINT) AS iy, CAST(least(greatest(floor((lng + 180.0) / 360.0 * 64), 0), 63) AS BIGINT) AS ix "
@@ -1650,6 +1693,8 @@ def build_queries() -> Dict[str, Callable]:
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
         "compact_cells": q_compact_cells,
+        "uncompact_roundtrip": q_uncompact_roundtrip,
+        "tile_pyramid": q_tile_pyramid,
         "quantiles": q_quantiles,
         "lang_quantiles": q_lang_quantiles,
         "distinct_users": q_distinct_users,

@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["compact_cells"]
+__all__ = ["compact_cells", "uncompact_cells", "tile_pyramid"]
 
 
 def compact_cells(ds, cell: str = "cell", res: int = 6, min_res: int = 4):
@@ -96,4 +96,90 @@ def compact_cells(ds, cell: str = "cell", res: int = 6, min_res: int = 4):
     out = outputs[0]
     for o in outputs[1:]:
         out = out.union(o)
+    return out
+
+
+def uncompact_cells(ds, res: int, cell: str = "cell", res_col: str = "res"):
+    """Inverse of :func:`compact_cells`: expand a multi-resolution cell
+    set back to the uniform ``res`` children (h3 ``uncompact_cells``).
+
+    Pure per-batch vectorized expansion (``np.repeat`` + grid offsets) —
+    no shuffle at all; output rows = sum of ``4**(res - r)`` per input.
+    ``compact -> uncompact`` round-trips to exactly the occupied cell
+    set (pytest pins it).
+    """
+
+    def expand(batch: pa.Table) -> pa.Table:
+        c = batch[cell].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch[res_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if np.any(r > res):
+            raise ValueError(f"uncompact_cells: input res above target {res}")
+        n_in = 1 << r                      # per-row source grid width
+        depth = res - r
+        width = np.int64(1) << depth       # children per axis
+        reps = width * width
+        idx = np.repeat(np.arange(len(c)), reps)
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        pos = np.arange(int(reps.sum()), dtype=np.int64) - starts[idx]
+        w = width[idx]
+        iy = (c[idx] // n_in[idx]) * w + pos // w
+        ix = (c[idx] % n_in[idx]) * w + pos % w
+        return pa.table({cell: pa.array(iy * (1 << res) + ix)})
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def tile_pyramid(ds, cell: str = "cell", res: int = 6, min_res: int = 4):
+    """Multi-resolution tile-count pyramid: occupancy counts per cell at
+    EVERY resolution ``min_res..res`` in one pass — what a map-tile
+    serving layer precomputes (reference analogue: the BinnedDataframe
+    at several binnings, ``fast_carpenter/summary/binned_dataframe.py``,
+    run once per resolution; here the coarser levels are rolled up from
+    the finest counts without touching the points again).
+
+    Shape: per-batch partial counts at ``res`` + ONE hash combine over
+    the points; each coarser level is a parent-sum hash combine over the
+    CELL TABLE of the level below (<= 4**r rows — never the points).
+    Returns ``(cell, res, n)`` int64 rows.  Cells < 0 are dropped.
+    """
+    if min_res < 0 or min_res > res:
+        raise ValueError("tile_pyramid: need 0 <= min_res <= res")
+    from ..agg import combine_partials, default_partitions
+
+    np_ = default_partitions()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch[cell].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, n = np.unique(c[c >= 0], return_counts=True)
+        return pa.table({cell: pa.array(u),
+                         "n": pa.array(n.astype(np.int64))})
+
+    # each level is branched twice (emitted + rolled up): materialize the
+    # CELL TABLE (<= 4**r rows, never the points) so the point scan and
+    # earlier combines run exactly once
+    level = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[cell], value_cols=["n"], mode="hash",
+        num_partitions=np_).materialize()
+
+    def with_res(lvl, r):
+        return lvl.map_batches(
+            lambda t, r=r: t.append_column(
+                "res", pa.array(np.full(len(t), r, dtype=np.int64))),
+            batch_format="pyarrow")
+
+    out = with_res(level, res)
+    for r in range(res, min_res, -1):
+        n_r, n_p = 1 << r, 1 << (r - 1)
+
+        def to_parent(batch: pa.Table, n_r=n_r, n_p=n_p) -> pa.Table:
+            c = batch[cell].to_numpy(zero_copy_only=False).astype(np.int64)
+            p = (c // n_r // 2) * n_p + (c % n_r) // 2
+            return pa.table({cell: pa.array(p), "n": batch["n"]})
+
+        level = combine_partials(
+            level.map_batches(to_parent, batch_format="pyarrow"),
+            keys=[cell], value_cols=["n"], mode="hash",
+            num_partitions=np_).materialize()
+        out = out.union(with_res(level, r - 1))
     return out

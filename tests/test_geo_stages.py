@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -235,3 +236,67 @@ def test_compact_cells_rejects_bad_res(ray_session):
     with _pt.raises(ValueError, match="min_res"):
         compact_cells(rd.from_pandas(pd.DataFrame({"cell": [1]})),
                       res=4, min_res=5)
+
+
+def test_uncompact_expands_and_roundtrips(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.compact_cells import (compact_cells,
+                                                         uncompact_cells)
+
+    # direct expansion: one res-4 cell -> 16 res-6 children
+    inp = rd.from_pandas(pd.DataFrame({
+        "cell": np.array([8 * 16 + 3, 5], dtype=np.int64),
+        "res": np.array([4, 6], dtype=np.int64)}))
+    got = sorted(uncompact_cells(inp, res=6).to_pandas()["cell"])
+    # res-4 cell (iy=8, ix=3) expands 2 levels: iy' in [32,36), ix' in [12,16)
+    exp = sorted([(32 + dy) * 64 + (12 + dx)
+                  for dy in range(4) for dx in range(4)] + [5])
+    assert got == exp
+
+    # round trip: compact -> uncompact == distinct occupied set
+    res, n = 6, 64
+    cells = ([(8 + dy) * n + (12 + dx) for dy in range(4) for dx in range(4)]
+             + [0, 7 * n + 9, 63 * n + 1])
+    ds = rd.from_pandas(pd.DataFrame({
+        "cell": np.array(cells * 2, dtype=np.int64)}))
+    rt = sorted(uncompact_cells(compact_cells(ds, res=res, min_res=4),
+                                res=res).to_pandas()["cell"])
+    assert rt == sorted(set(cells))
+
+    with pytest.raises(Exception, match="res above target"):
+        uncompact_cells(rd.from_pandas(pd.DataFrame(
+            {"cell": np.array([1], dtype=np.int64),
+             "res": np.array([7], dtype=np.int64)})), res=6).to_pandas()
+
+
+def test_tile_pyramid_matches_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.compact_cells import tile_pyramid
+
+    rng = np.random.default_rng(41)
+    n = 64
+    cells = rng.integers(0, n * n, 3000).astype(np.int64)
+    cells[::97] = -1  # missing geo dropped
+    ds = rd.from_pandas(pd.DataFrame({"cell": cells})).repartition(5)
+    got = (tile_pyramid(ds, res=6, min_res=4).to_pandas()
+           .sort_values(["res", "cell"]).reset_index(drop=True))
+    ok = cells[cells >= 0]
+    frames = []
+    for r, shift in [(6, 0), (5, 1), (4, 2)]:
+        c = (ok // n >> shift) * (n >> shift) + ((ok % n) >> shift)
+        u, cnt = np.unique(c, return_counts=True)
+        frames.append(pd.DataFrame({"cell": u,
+                                    "res": np.full(len(u), r, dtype=np.int64),
+                                    "n": cnt.astype(np.int64)}))
+    exp = (pd.concat(frames).sort_values(["res", "cell"])
+           .reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in ["cell", "res", "n"]:
+        np.testing.assert_array_equal(got[c].to_numpy().astype(np.int64),
+                                      exp[c].to_numpy(), err_msg=c)
