@@ -982,6 +982,19 @@ def q_top_docs(sf_dir: str):
     return out[["lang", "doc_id", "n_chars", "rank"]]
 
 
+def q_bigrams(sf_dir: str):
+    """Corpus bigram counts (stages/text.py ngram_count): vectorized
+    shifted-view pairing + local partials + one hash combine."""
+    import ray.data as rd
+
+    from ..stages.text import ngram_count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = ngram_count(ds, n=2, min_count=5).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("ngram").reset_index(drop=True)
+
+
 def q_vocab(sf_dir: str):
     """Corpus vocabulary (stages/text.py vocab_count): token frequency
     table, n >= 10 — per-block distinct-token partials, one hash combine."""
@@ -1531,6 +1544,18 @@ def build_oracles() -> Dict[str, str]:
             "ORDER BY n_chars DESC, doc_id DESC) AS rank FROM documents) "
             "SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank "
             "FROM r WHERE rank <= 5"),
+        "bigrams": (
+            "WITH u AS (SELECT doc_id, "
+            "generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) "
+            "AS i, unnest(regexp_split_to_array(text, '\\s+')) AS w "
+            "FROM documents), "
+            "f AS (SELECT * FROM u WHERE w != ''), "
+            "r AS (SELECT doc_id, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY i) AS j, w FROM f), "
+            "b AS (SELECT a.w || ' ' || c.w AS ngram FROM r a "
+            "JOIN r c ON a.doc_id = c.doc_id AND c.j = a.j + 1) "
+            "SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM b "
+            "GROUP BY ngram HAVING count(*) >= 5"),
         "vocab": (
             "WITH w AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) "
             "AS token FROM documents) "
@@ -1704,6 +1729,7 @@ def build_queries() -> Dict[str, Callable]:
         "doc_sample": q_doc_sample,
         "stratified_sample": q_stratified_sample,
         "top_docs": q_top_docs,
+        "bigrams": q_bigrams,
         "vocab": q_vocab,
         "doc_frequency": q_doc_frequency,
         "hop_window": q_hop_window,

@@ -15,7 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["TokenCount", "QualityScore", "LangId", "Fingerprint"]
+__all__ = ["TokenCount", "QualityScore", "LangId", "Fingerprint",
+           "vocab_count", "doc_frequency", "ngram_count"]
 
 # a small multilingual stopword table for the n-gram/stopword language
 # heuristic (public common-word lists)
@@ -227,3 +228,52 @@ def doc_frequency(ds, text_col: str = "text", id_col: str = "doc_id",
 
         out = out.map_batches(thresh, batch_format="pyarrow")
     return out
+
+
+def ngram_count(ds, text_col: str = "text", n: int = 2, min_count: int = 1,
+                mode: str = "hash"):
+    """Corpus-wide word n-gram frequency table (the LM-counts leg of a
+    training-data pipeline; unigram case == :func:`vocab_count`).
+
+    Per-batch: tokenize (same RE2-compatible ``[ \\t\\n\\r\\f]+`` class as
+    vocab_count), drop empties, then form n-grams VECTORIZED — n shifted
+    views of the flat token array joined where all n tokens share a
+    document — and shrink to a local ``value_counts`` partial.  One hash
+    combine keyed on the n-gram (the n-gram space grows with the corpus:
+    never a driver merge).  Returns ``ngram, n`` rows with
+    ``n >= min_count``.
+    """
+    if n < 1:
+        raise ValueError("ngram_count: n must be >= 1")
+    from ..agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        ex = s.str.split(r"[ \t\n\r\f]+", regex=True).explode()
+        ex = ex[(ex != "") & ex.notna()]
+        tok = ex.to_numpy(dtype=object)
+        doc = ex.index.to_numpy()
+        m = len(tok) - n + 1
+        if m <= 0:
+            return pd.DataFrame({"ngram": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        grams = pd.Series(tok[:m])
+        for i in range(1, n):
+            grams = grams + " " + pd.Series(tok[i:m + i])
+        same = doc[:m] == doc[n - 1:]
+        out = (grams[same].value_counts()
+               .rename_axis("ngram").rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    combined = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["ngram"], value_cols=["n"], mode=mode)
+
+    if min_count > 1:
+        import pyarrow.compute as pc
+
+        combined = combined.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
+            batch_format="pyarrow")
+    return combined

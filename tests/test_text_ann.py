@@ -116,3 +116,38 @@ def test_frame_sample_stub():
     # frame signatures differ across frames of the same video
     sigs = out["frame_sig"].to_pylist()
     assert len(set(sigs[:3])) == 3
+
+
+def test_ngram_count_matches_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.text import ngram_count
+
+    docs = pd.DataFrame({"text": [
+        "a b  c", "b c", "", "x", "a b a b", None, "\tc  b\n a"]})
+    got = (ngram_count(rd.from_pandas(docs).repartition(3), n=2)
+           .to_pandas().sort_values("ngram").reset_index(drop=True))
+    from collections import Counter
+    cnt = Counter()
+    for t in docs["text"]:
+        toks = [w for w in __import__("re").split(r"[ \t\n\r\f]+", t or "")
+                if w]
+        cnt.update(" ".join(p) for p in zip(toks, toks[1:]))
+    exp = (pd.DataFrame(sorted(cnt.items()), columns=["ngram", "n"]))
+    assert got["ngram"].tolist() == exp["ngram"].tolist()
+    np.testing.assert_array_equal(got["n"].to_numpy().astype(np.int64),
+                                  exp["n"].to_numpy())
+    # trigrams + unigram degenerate case
+    tri = (ngram_count(rd.from_pandas(docs), n=3).to_pandas()
+           .sort_values("ngram").reset_index(drop=True))
+    cnt3 = Counter()
+    for t in docs["text"]:
+        toks = [w for w in __import__("re").split(r"[ \t\n\r\f]+", t or "")
+                if w]
+        cnt3.update(" ".join(p) for p in zip(toks, toks[1:], toks[2:]))
+    assert dict(zip(tri["ngram"], tri["n"])) == dict(cnt3)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n must be"):
+        ngram_count(rd.from_pandas(docs), n=0)
