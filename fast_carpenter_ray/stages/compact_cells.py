@@ -32,13 +32,48 @@ import pyarrow.compute as pc
 __all__ = ["compact_cells", "uncompact_cells", "tile_pyramid"]
 
 
-def compact_cells(ds, cell: str = "cell", res: int = 6, min_res: int = 4):
+#: Cell spaces up to this size (4**res <= budget, i.e. res <= 11) are
+#: summary-sized: the distinct-cell table fits a driver merge and the
+#: level recursion runs as local NumPy — same routing rule as
+#: ``agg.combine_partials`` (tree for summary-sized keys, hash beyond).
+_BROADCAST_CELL_BUDGET = 1 << 22
+
+
+def _compact_local(cells: np.ndarray, res: int, min_res: int):
+    """Vectorized single-machine compaction of a distinct cell array."""
+    out_c, out_r = [], []
+    level = np.unique(cells[cells >= 0])
+    for r in range(res, min_res, -1):
+        n, pn = 1 << r, 1 << (r - 1)
+        p = (level // n // 2) * pn + (level % n) // 2
+        ps, cnt = np.unique(p, return_counts=True)
+        comp = cnt == 4
+        keep = ~comp[np.searchsorted(ps, p)]
+        out_c.append(level[keep])
+        out_r.append(np.full(int(keep.sum()), r, dtype=np.int64))
+        level = ps[comp]
+    out_c.append(level)
+    out_r.append(np.full(len(level), min_res, dtype=np.int64))
+    return np.concatenate(out_c), np.concatenate(out_r)
+
+
+def compact_cells(ds, cell: str = "cell", res: int = 6, min_res: int = 4,
+                  mode: str = "auto"):
     """Compact the distinct cells of ``ds[cell]`` (at resolution ``res``)
     up to ``min_res``.  Returns a Dataset of ``(cell, res)`` int64 rows —
     the minimal exact cover.  Input cells < 0 (missing geo) are dropped.
+
+    ``mode="auto"`` routes by cell-space size: for ``4**res`` within the
+    broadcast budget (res <= 11) the point stream is shrunk to per-block
+    distinct partials, driver-merged (bounded by the CELL space, never the
+    row count) and compacted as local NumPy — zero shuffles.  Beyond the
+    budget (``mode="shuffle"``) each level is a distributed quad groupby.
+    Both paths are bit-identical (pytest pins it).
     """
     if min_res < 0 or min_res > res:
         raise ValueError("compact_cells: need 0 <= min_res <= res")
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"compact_cells: unknown mode={mode!r}")
     from ..agg import combine_partials, default_partitions
 
     np_ = default_partitions()
@@ -49,9 +84,22 @@ def compact_cells(ds, cell: str = "cell", res: int = 6, min_res: int = 4):
         return pa.table({cell: pa.array(c),
                          "n": pa.array(np.ones(len(c), dtype=np.int64))})
 
+    parts = ds.map_batches(distinct_batch, batch_format="pyarrow")
+
+    small = (1 << (2 * res)) <= _BROADCAST_CELL_BUDGET
+    if mode == "broadcast" or (mode == "auto" and small):
+        import ray.data as rd
+
+        import pandas as pd
+
+        local = combine_partials(parts, keys=[cell], value_cols=["n"],
+                                 mode="tree").to_pandas()
+        c_out, r_out = _compact_local(
+            local[cell].to_numpy().astype(np.int64), res, min_res)
+        return rd.from_pandas(pd.DataFrame({cell: c_out, "res": r_out}))
+
     level = combine_partials(
-        ds.map_batches(distinct_batch, batch_format="pyarrow"),
-        keys=[cell], value_cols=["n"], mode="hash",
+        parts, keys=[cell], value_cols=["n"], mode="hash",
         num_partitions=np_).select_columns([cell])
 
     outputs = []
@@ -129,7 +177,8 @@ def uncompact_cells(ds, res: int, cell: str = "cell", res_col: str = "res"):
     return ds.map_batches(expand, batch_format="pyarrow")
 
 
-def tile_pyramid(ds, cell: str = "cell", res: int = 6, min_res: int = 4):
+def tile_pyramid(ds, cell: str = "cell", res: int = 6, min_res: int = 4,
+                 mode: str = "auto"):
     """Multi-resolution tile-count pyramid: occupancy counts per cell at
     EVERY resolution ``min_res..res`` in one pass — what a map-tile
     serving layer precomputes (reference analogue: the BinnedDataframe
@@ -141,9 +190,16 @@ def tile_pyramid(ds, cell: str = "cell", res: int = 6, min_res: int = 4):
     the points; each coarser level is a parent-sum hash combine over the
     CELL TABLE of the level below (<= 4**r rows — never the points).
     Returns ``(cell, res, n)`` int64 rows.  Cells < 0 are dropped.
+
+    ``mode="auto"``: same size routing as :func:`compact_cells` — within
+    the broadcast budget the per-block count partials driver-merge
+    (bounded by the cell space) and the rollup is local NumPy with zero
+    shuffles; beyond it every level is a distributed hash combine.
     """
     if min_res < 0 or min_res > res:
         raise ValueError("tile_pyramid: need 0 <= min_res <= res")
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"tile_pyramid: unknown mode={mode!r}")
     from ..agg import combine_partials, default_partitions
 
     np_ = default_partitions()
@@ -154,18 +210,44 @@ def tile_pyramid(ds, cell: str = "cell", res: int = 6, min_res: int = 4):
         return pa.table({cell: pa.array(u),
                          "n": pa.array(n.astype(np.int64))})
 
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    small = (1 << (2 * res)) <= _BROADCAST_CELL_BUDGET
+    if mode == "broadcast" or (mode == "auto" and small):
+        import pandas as pd
+        import ray.data as rd
+
+        local = combine_partials(parts, keys=[cell], value_cols=["n"],
+                                 mode="tree").to_pandas()
+        c_lvl = local[cell].to_numpy().astype(np.int64)
+        n_lvl = local["n"].to_numpy().astype(np.int64)
+        frames = [pd.DataFrame({cell: c_lvl,
+                                "res": np.full(len(c_lvl), res,
+                                               dtype=np.int64),
+                                "n": n_lvl})]
+        for r in range(res, min_res, -1):
+            n_r, n_p = 1 << r, 1 << (r - 1)
+            p = (c_lvl // n_r // 2) * n_p + (c_lvl % n_r) // 2
+            c_lvl, inv = np.unique(p, return_inverse=True)
+            n_lvl = np.bincount(inv, weights=n_lvl).astype(np.int64)
+            frames.append(pd.DataFrame({
+                cell: c_lvl,
+                "res": np.full(len(c_lvl), r - 1, dtype=np.int64),
+                "n": n_lvl}))
+        return rd.from_pandas(pd.concat(frames, ignore_index=True))
+
     # each level is branched twice (emitted + rolled up): materialize the
     # CELL TABLE (<= 4**r rows, never the points) so the point scan and
     # earlier combines run exactly once
     level = combine_partials(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        keys=[cell], value_cols=["n"], mode="hash",
+        parts, keys=[cell], value_cols=["n"], mode="hash",
         num_partitions=np_).materialize()
 
     def with_res(lvl, r):
         return lvl.map_batches(
             lambda t, r=r: t.append_column(
-                "res", pa.array(np.full(len(t), r, dtype=np.int64))),
+                "res", pa.array(np.full(len(t), r, dtype=np.int64)))
+            .select([cell, "res", "n"]),
             batch_format="pyarrow")
 
     out = with_res(level, res)

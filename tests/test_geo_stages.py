@@ -217,6 +217,11 @@ def test_compact_cells_minimal_cover(ray_session):
                      .to_pandas()[["cell", "res"]].to_numpy()))
     exp = _brute_compact(cells, res, 4)
     assert got == exp
+    # the distributed quad-groupby path must agree with the broadcast path
+    got_shuffle = sorted(map(tuple, compact_cells(ds, res=res, min_res=4,
+                                                  mode="shuffle")
+                             .to_pandas()[["cell", "res"]].to_numpy()))
+    assert got_shuffle == exp
     # the complete 16-block compacted to ONE res-4 cell, the quad to one
     # res-5 cell, strays untouched
     by_res = {}
@@ -286,6 +291,10 @@ def test_tile_pyramid_matches_brute(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"cell": cells})).repartition(5)
     got = (tile_pyramid(ds, res=6, min_res=4).to_pandas()
            .sort_values(["res", "cell"]).reset_index(drop=True))
+    got_shuffle = (tile_pyramid(ds, res=6, min_res=4, mode="shuffle")
+                   .to_pandas().sort_values(["res", "cell"])
+                   .reset_index(drop=True))
+    assert got.equals(got_shuffle)
     ok = cells[cells >= 0]
     frames = []
     for r, shift in [(6, 0), (5, 1), (4, 2)]:
