@@ -1275,6 +1275,30 @@ def _multi_cutflow_sql() -> str:
         + " UNION ALL ".join(rows))
 
 
+def _lang_id_sql() -> str:
+    """lang_id oracle: the SAME stopword table (single source of truth:
+    stages.text._STOPWORDS) as a VALUES join, per-language occurrence
+    counts, argmax with the engine's (count DESC, lang) tie-break, 'und'
+    when nothing scores."""
+    from ..stages.text import _STOPWORDS
+
+    vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_STOPWORDS) for w in sorted(_STOPWORDS[lang]))
+    return (
+        "WITH d AS (SELECT doc_id, regexp_split_to_array("
+        "lower(coalesce(text, '')), '\\s+') AS toks FROM documents), "
+        "u AS (SELECT doc_id, unnest(toks) AS w FROM d), "
+        f"sw(lang, w) AS (SELECT * FROM (VALUES {vals})), "
+        "hits AS (SELECT u.doc_id, sw.lang, count(*) AS c "
+        "FROM u JOIN sw ON u.w = sw.w GROUP BY 1, 2), "
+        "best AS (SELECT doc_id, lang, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY c DESC, lang) AS rk FROM hits) "
+        "SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred "
+        "FROM d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rk = 1) b "
+        "USING (doc_id)")
+
+
 #: Shared oracle for q_window_funcs / q_window_funcs_bucketed.  The
 #: running sum is over the int64 quantization floor(value * 64) (power-of-
 #: two scale => exact f64 product), so every output column is integer and
@@ -1544,6 +1568,21 @@ def build_oracles() -> Dict[str, str]:
             "ORDER BY n_chars DESC, doc_id DESC) AS rank FROM documents) "
             "SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank "
             "FROM r WHERE rank <= 5"),
+        "lang_id": _lang_id_sql(),
+        # the rolling-hash fingerprint recomputed entirely in SQL: same
+        # RE2 tokenization, same sha256-prefix token hash, same
+        # 128-bit (HUGEINT) roll mod 2^64, same 63-bit mask — bit-exact
+        "fingerprint": (
+            "SELECT doc_id, CAST(list_reduce("
+            "list_prepend(14695981039346656037::HUGEINT, "
+            "list_transform("
+            "list_filter(regexp_split_to_array(lower(coalesce(text, '')), "
+            "'\\s+'), t -> t != ''), "
+            "t -> ('0x' || substring(sha256(t), 1, 15))::BIGINT::HUGEINT)), "
+            "(acc, th) -> (acc * 1099511628211 + th) "
+            "% 18446744073709551616::HUGEINT"
+            ") % 9223372036854775808::HUGEINT AS BIGINT) AS fingerprint "
+            "FROM documents"),
         "bigrams": (
             "WITH u AS (SELECT doc_id, "
             "generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) "

@@ -9,6 +9,7 @@ creator in the Define mold.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -93,8 +94,11 @@ class QualityScore:
 
 class LangId:
     """Stopword-overlap language heuristic: argmax over per-language
-    stopword hit-rates, 'und' (undetermined) when nothing scores.
-    Deterministic ties broken by language code order."""
+    stopword hit COUNTS (every occurrence counts), 'und' (undetermined)
+    when nothing scores.  Deterministic ties broken by language code
+    order.  Tokenization is the RE2 ``[ \\t\\n\\r\\f]+`` class so the
+    DuckDB oracle (stopword VALUES join + argmax window) reproduces the
+    token stream exactly."""
 
     def __init__(self, text_col: str = "text", out: str = "lang_pred"):
         self.text_col = text_col
@@ -103,7 +107,8 @@ class LangId:
         self.tables = [_STOPWORDS[lang] for lang in self.langs]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch[self.text_col].fillna("").str.lower().str.split()
+        toks = (batch[self.text_col].fillna("").str.lower()
+                .str.split(r"[ \t\n\r\f]+", regex=True))
         langs, tables = self.langs, self.tables
 
         def best(ws) -> str:
@@ -125,7 +130,15 @@ class LangId:
 
 class Fingerprint:
     """Order-sensitive 63-bit rolling-hash document fingerprint
-    (deterministic across processes; int64-positive for SQL friendliness)."""
+    (deterministic across processes; int64-positive for SQL friendliness).
+
+    Every primitive is chosen to be reproducible in ANSI-ish SQL so the
+    driver's DuckDB oracle can recompute it exactly: tokens are the RE2
+    ``[ \\t\\n\\r\\f]+`` split (matching ``regexp_split_to_array(.,'\\s+')``),
+    the per-token hash is the first 60 bits of sha256 (DuckDB:
+    ``('0x' || substring(sha256(t), 1, 15))::BIGINT``), and the roll is
+    ``(h * P + th) mod 2**64`` in 128-bit arithmetic (``HUGEINT`` /
+    Python int), masked to 63 bits at the end."""
 
     MASK = (1 << 63) - 1
     P = 1099511628211
@@ -137,9 +150,10 @@ class Fingerprint:
     @classmethod
     def fingerprint(cls, text: str) -> int:
         h = 14695981039346656037
-        for tok in text.lower().split():
-            th = int.from_bytes(
-                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little")
+        for tok in re.split(r"[ \t\n\r\f]+", text.lower()):
+            if not tok:
+                continue
+            th = int(hashlib.sha256(tok.encode("utf-8")).hexdigest()[:15], 16)
             h = (h * cls.P + th) & ((1 << 64) - 1)
         return h & cls.MASK
 
