@@ -108,6 +108,36 @@ def q_compact_cells(sf_dir: str):
     return compact_cells(ds, cell="cell", res=RES, min_res=RES - 2)
 
 
+def q_site_visits(sf_dir: str):
+    """Composite reverse-geocode rollup: assign every page to its NEAREST
+    site (engine kNN join, k=1, ring path, oracle-exact euclid metric)
+    then a weighted per-site visit aggregate — the classic
+    'attribute traffic to the closest POI' serving query.  Shape: the
+    per-batch kNN map fuses with a per-batch partial aggregate; one
+    summary-sized combine (site count is fixture-bounded)."""
+    from ..agg import combine_partials
+
+    ds = _pages_geo(sf_dir)
+    ds = knn_join(ds, sites_table(), k=1, res=RES, max_ring=6,
+                  metric="euclid", brute_force_sites=0)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "site_id": batch["site_id"].to_numpy(zero_copy_only=False),
+            "w": batch["weight"].to_numpy(zero_copy_only=False)})
+        out = (df.groupby("site_id", sort=False)
+               .agg(n=("w", "size"), sum_w=("w", "sum")).reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = combine_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                           keys=["site_id"], value_cols=["n", "sum_w"],
+                           mode="tree").to_pandas()
+    out["site_id"] = out["site_id"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def q_uncompact_roundtrip(sf_dir: str):
     """compact -> uncompact round trip: must reproduce EXACTLY the
     occupied distinct cell set (the oracle is a plain SELECT DISTINCT),
@@ -1402,6 +1432,17 @@ def build_oracles() -> Dict[str, str]:
             f"SELECT CAST(cell AS BIGINT) AS cell, CAST(res AS BIGINT) AS res "
             f"FROM (SELECT * FROM keep6 UNION ALL SELECT * FROM keep5 "
             f"UNION ALL SELECT * FROM keep4)"),
+        "site_visits": (
+            f"WITH base AS ({geo}), "
+            f"d AS (SELECT doc_id, weight, site_id, "
+            f"(lat - site_lat)*(lat - site_lat) "
+            f"+ (lng - site_lng)*(lng - site_lng) AS d2 "
+            f"FROM base, {sites} WHERE lat IS NOT NULL), "
+            f"r AS (SELECT doc_id, weight, site_id, row_number() OVER ("
+            f"PARTITION BY doc_id ORDER BY d2, site_id) AS rk FROM d) "
+            f"SELECT CAST(site_id AS BIGINT) AS site_id, "
+            f"CAST(count(*) AS BIGINT) AS n, sum(weight) AS sum_w "
+            f"FROM r WHERE rk = 1 GROUP BY site_id"),
         "uncompact_roundtrip": (
             f"WITH base AS ({geo}) "
             f"SELECT DISTINCT {cell} AS cell FROM base "
@@ -1757,6 +1798,7 @@ def build_queries() -> Dict[str, Callable]:
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
         "compact_cells": q_compact_cells,
+        "site_visits": q_site_visits,
         "uncompact_roundtrip": q_uncompact_roundtrip,
         "tile_pyramid": q_tile_pyramid,
         "quantiles": q_quantiles,
