@@ -108,6 +108,20 @@ def q_compact_cells(sf_dir: str):
     return compact_cells(ds, cell="cell", res=RES, min_res=RES - 2)
 
 
+def q_cluster_cells(sf_dir: str):
+    """Grid connected-components clustering (stages/cluster.py): label
+    every occupied cell with the minimum cell id of its 8-connected
+    component (DBSCAN-style density clusters over tiles).  At res 6 the
+    cell space fits the broadcast budget, so the point stream shrinks to
+    (cell, count) partials and the labeling is local NumPy min-label
+    propagation — zero shuffles; the oracle is a recursive CTE."""
+    from ..stages.cluster import cluster_cells
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    return cluster_cells(ds, cell="cell", res=RES, min_count=1)
+
+
 def q_site_visits(sf_dir: str):
     """Composite reverse-geocode rollup: assign every page to its NEAREST
     site (engine kNN join, k=1, ring path, oracle-exact euclid metric)
@@ -1432,6 +1446,22 @@ def build_oracles() -> Dict[str, str]:
             f"SELECT CAST(cell AS BIGINT) AS cell, CAST(res AS BIGINT) AS res "
             f"FROM (SELECT * FROM keep6 UNION ALL SELECT * FROM keep5 "
             f"UNION ALL SELECT * FROM keep4)"),
+        "cluster_cells": (
+            f"WITH RECURSIVE base AS ({geo}), "
+            f"z AS (SELECT DISTINCT {cell} AS cell FROM base "
+            f"WHERE lat IS NOT NULL), "
+            f"o2 AS (SELECT cell, cell // {_N} AS iy, cell % {_N} AS ix "
+            f"FROM z), "
+            f"offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
+            f"(0,1),(1,-1),(1,0),(1,1)), "
+            f"edges AS (SELECT t.cell AS src, s.cell AS dst "
+            f"FROM o2 t CROSS JOIN offs o JOIN o2 s "
+            f"ON s.iy = t.iy + o.dy "
+            f"AND s.ix = ((t.ix + o.dx) % {_N} + {_N}) % {_N}), "
+            f"reach(cell, lab) AS (SELECT cell, cell FROM z "
+            f"UNION SELECT e.dst, r.lab FROM reach r "
+            f"JOIN edges e ON e.src = r.cell) "
+            f"SELECT cell, min(lab) AS cluster FROM reach GROUP BY cell"),
         "site_visits": (
             f"WITH base AS ({geo}), "
             f"d AS (SELECT doc_id, weight, site_id, "
@@ -1798,6 +1828,7 @@ def build_queries() -> Dict[str, Callable]:
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
         "compact_cells": q_compact_cells,
+        "cluster_cells": q_cluster_cells,
         "site_visits": q_site_visits,
         "uncompact_roundtrip": q_uncompact_roundtrip,
         "tile_pyramid": q_tile_pyramid,

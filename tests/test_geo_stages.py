@@ -309,3 +309,90 @@ def test_tile_pyramid_matches_brute(ray_session):
     for c in ["cell", "res", "n"]:
         np.testing.assert_array_equal(got[c].to_numpy().astype(np.int64),
                                       exp[c].to_numpy(), err_msg=c)
+
+
+def _brute_components(cells, res, min_count):
+    """Reference clustering: BFS over occupied cells, 8-connected with
+    longitude wrap and latitude clamp; label = min cell id in component."""
+    import collections
+
+    n = 1 << res
+    cells = np.asarray(cells, dtype=np.int64)
+    u, cnt = np.unique(cells[cells >= 0], return_counts=True)
+    occ = set(int(c) for c, k in zip(u, cnt) if k >= min_count)
+    label = {}
+    for start in sorted(occ):
+        if start in label:
+            continue
+        comp, q = [], collections.deque([start])
+        seen = {start}
+        while q:
+            c = q.popleft()
+            comp.append(c)
+            iy, ix = c // n, c % n
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = iy + dy, (ix + dx) % n
+                    if not (0 <= ny < n):
+                        continue
+                    nb = ny * n + nx
+                    if nb in occ and nb not in seen:
+                        seen.add(nb)
+                        q.append(nb)
+        lab = min(comp)
+        for c in comp:
+            label[c] = lab
+    return sorted(label.items())
+
+
+def test_cluster_cells_components(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.cluster import cluster_cells
+
+    res, n = 6, 64
+    # an L-shaped blob, a diagonally-linked pair, a longitude-wrap pair,
+    # a singleton, a below-threshold cell, and missing geo (-1)
+    blob = [10 * n + 10, 10 * n + 11, 11 * n + 10]
+    diag = [20 * n + 20, 21 * n + 21]
+    wrap = [30 * n + 0, 30 * n + 63]        # connect across the antimeridian
+    single = [47 * n + 5]
+    sparse = [55 * n + 55]                  # occupancy 1 < min_count
+    cells = (blob + diag + wrap + single) * 2 + sparse + [-1, -1]
+    ds = rd.from_pandas(pd.DataFrame({"cell": np.array(cells,
+                                                       dtype=np.int64)}))
+    exp = _brute_components(cells, res, min_count=2)
+
+    got = sorted(map(tuple, cluster_cells(ds, res=res, min_count=2)
+                     .to_pandas()[["cell", "cluster"]].to_numpy()))
+    assert got == exp
+
+    got_sh = sorted(map(tuple,
+                        cluster_cells(ds, res=res, min_count=2,
+                                      mode="shuffle")
+                        .to_pandas()[["cell", "cluster"]].to_numpy()))
+    assert got_sh == exp
+
+    # wrap pair is ONE component labelled by the min id; sparse dropped
+    d = dict(got)
+    assert d[30 * n + 63] == 30 * n + 0
+    assert (55 * n + 55) not in d
+    # diagonal adjacency merges (8-connectivity)
+    assert d[21 * n + 21] == 20 * n + 20
+
+
+def test_cluster_cells_random_agrees(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.cluster import cluster_cells
+
+    rng = np.random.default_rng(7)
+    res = 5
+    cells = rng.integers(0, 1 << (2 * res), size=400).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"cell": cells}))
+    exp = _brute_components(cells, res, min_count=1)
+    got = sorted(map(tuple, cluster_cells(ds, res=res, min_count=1)
+                     .to_pandas()[["cell", "cluster"]].to_numpy()))
+    assert got == exp
