@@ -38,6 +38,8 @@ STAGE_REGISTRY: Dict[str, str] = {
     "QualityScore": "fast_carpenter_ray.stages.QualityScore",
     "LangId": "fast_carpenter_ray.stages.LangId",
     "Fingerprint": "fast_carpenter_ray.stages.Fingerprint",
+    "ParseURL": "fast_carpenter_ray.stages.ParseURL",
+    "BlocklistFilter": "fast_carpenter_ray.stages.BlocklistFilter",
     "ExactDedup": "fast_carpenter_ray.stages.ExactDedup",
     "MinHashDedup": "fast_carpenter_ray.stages.MinHashDedup",
     "SimHashDedup": "fast_carpenter_ray.stages.SimHashDedup",

@@ -108,6 +108,50 @@ def q_compact_cells(sf_dir: str):
     return compact_cells(ds, cell="cell", res=RES, min_res=RES - 2)
 
 
+def q_domain_stats(sf_dir: str):
+    """Per-domain rollup (stages/urls.py): ParseURL (one RE2 pass, the
+    same engine as DuckDB's regexp_extract) then count + exact dyadic
+    weight sum per host.  Domain space is bounded (curation reality:
+    ~1e7 hosts at crawl scale — still summary-sized next to docs), so
+    the partials tree-combine; no shuffle."""
+    from ..agg import combine_partials
+    from ..stages.urls import ParseURL
+
+    ds = pages_dataset(sf_dir)
+    ds = ParseURL(keep=("host",)).apply(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = geo_columns(batch["doc_id"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "host": batch["host"].to_numpy(zero_copy_only=False),
+            "w": g["weight"]})
+        out = (df.groupby("host", sort=False)
+               .agg(n=("w", "size"), sum_w=("w", "sum")).reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = combine_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                           keys=["host"], value_cols=["n", "sum_w"],
+                           mode="tree").to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+BLOCKED_HOSTS = ["site3.example", "site7.example", "site13.example"]
+
+
+def q_blocklist(sf_dir: str):
+    """Domain blocklist anti-filter (stages/urls.py): parse hosts, drop
+    blocked domains via a broadcast is_in — the row-level curation gate
+    every crawl pipeline runs first.  Pure fused map chain."""
+    from ..stages.urls import BlocklistFilter, ParseURL
+
+    ds = pages_dataset(sf_dir)
+    ds = ParseURL(keep=("host",)).apply(ds)
+    ds = BlocklistFilter(BLOCKED_HOSTS).apply(ds)
+    return ds.select_columns(["doc_id", "host"])
+
+
 def q_cluster_cells(sf_dir: str):
     """Grid connected-components clustering (stages/cluster.py): label
     every occupied cell with the minimum cell id of its 8-connected
@@ -1446,6 +1490,24 @@ def build_oracles() -> Dict[str, str]:
             f"SELECT CAST(cell AS BIGINT) AS cell, CAST(res AS BIGINT) AS res "
             f"FROM (SELECT * FROM keep6 UNION ALL SELECT * FROM keep5 "
             f"UNION ALL SELECT * FROM keep4)"),
+        "domain_stats": (
+            f"WITH base AS ({geo}), "
+            f"u AS (SELECT doc_id, weight, "
+            f"'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/' "
+            f"|| lang || '/p' || CAST(doc_id AS VARCHAR) AS url FROM base), "
+            f"h AS (SELECT weight, regexp_extract(url, "
+            f"'^(?:[a-z][a-z0-9+.-]*)://([^/]+)', 1) AS host FROM u) "
+            f"SELECT host, CAST(count(*) AS BIGINT) AS n, "
+            f"sum(weight) AS sum_w FROM h GROUP BY host"),
+        "blocklist": (
+            f"WITH u AS (SELECT doc_id, "
+            f"'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/' "
+            f"|| lang || '/p' || CAST(doc_id AS VARCHAR) AS url "
+            f"FROM documents), "
+            f"h AS (SELECT doc_id, regexp_extract(url, "
+            f"'^(?:[a-z][a-z0-9+.-]*)://([^/]+)', 1) AS host FROM u) "
+            f"SELECT doc_id, host FROM h WHERE host NOT IN "
+            f"('site3.example', 'site7.example', 'site13.example')"),
         "cluster_cells": (
             f"WITH RECURSIVE base AS ({geo}), "
             f"z AS (SELECT DISTINCT {cell} AS cell FROM base "
@@ -1828,6 +1890,8 @@ def build_queries() -> Dict[str, Callable]:
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
         "compact_cells": q_compact_cells,
+        "domain_stats": q_domain_stats,
+        "blocklist": q_blocklist,
         "cluster_cells": q_cluster_cells,
         "site_visits": q_site_visits,
         "uncompact_roundtrip": q_uncompact_roundtrip,

@@ -1,0 +1,52 @@
+import numpy as np
+import pyarrow as pa
+
+from fast_carpenter_ray.stages.urls import BlocklistFilter, ParseURL
+
+
+def _batch(urls):
+    return pa.table({"doc_id": pa.array(range(len(urls)), type=pa.int64()),
+                     "url": pa.array(urls, type=pa.string())})
+
+
+def test_parse_url_components():
+    out = ParseURL()(_batch([
+        "https://site6.example/es/p126",
+        "http://a.b/x/y?q=1",
+        "https://nopath.example",          # optional path group missing
+        "not a url at all",                # unparseable -> '' everywhere
+    ]))
+    assert out["scheme"].to_pylist() == ["https", "http", "https", ""]
+    assert out["host"].to_pylist() == [
+        "site6.example", "a.b", "nopath.example", ""]
+    assert out["path"].to_pylist() == ["/es/p126", "/x/y?q=1", "", ""]
+
+
+def test_parse_url_null_and_empty():
+    batch = pa.table({"url": pa.array([None, ""], type=pa.string())})
+    out = ParseURL(keep=("host",))(batch)
+    assert out["host"].to_pylist() == ["", ""]
+
+
+def test_blocklist_drop_and_keep():
+    batch = _batch(["https://bad.example/a", "https://ok.example/b",
+                    "https://bad.example/c"])
+    batch = ParseURL(keep=("host",))(batch)
+    dropped = BlocklistFilter(["bad.example"])(batch)
+    assert dropped["doc_id"].to_pylist() == [1]
+    kept = BlocklistFilter(["bad.example"], mode="keep")(batch)
+    assert kept["doc_id"].to_pylist() == [0, 2]
+
+
+def test_blocklist_in_dataset(ray_session):
+    import ray.data as rd
+
+    urls = [f"https://site{i % 4}.example/p{i}" for i in range(50)]
+    ds = rd.from_arrow(_batch(urls))
+    out = (BlocklistFilter(["site1.example"]).apply(
+        ParseURL(keep=("host",)).apply(ds))).to_pandas()
+    assert len(out) == 50 - sum(1 for i in range(50) if i % 4 == 1)
+    assert not (out["host"] == "site1.example").any()
+    assert np.array_equal(np.sort(out["doc_id"].to_numpy()),
+                          np.array(sorted(i for i in range(50)
+                                          if i % 4 != 1)))
