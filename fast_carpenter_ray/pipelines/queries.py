@@ -1110,6 +1110,36 @@ def q_doc_frequency(sf_dir: str):
     return out.sort_values("token").reset_index(drop=True)
 
 
+def q_top_terms(sf_dir: str):
+    """Most distinctive term per document (stages/text.py top_terms):
+    integer-exact TF-IDF argmax — (tf DESC, df ASC, token ASC).  DF table
+    broadcast; the doc stream never shuffles."""
+    import ray.data as rd
+
+    from ..stages.text import top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = top_terms(ds).to_pandas()
+    for c in ("doc_id", "tf", "df"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pmi(sf_dir: str):
+    """Bigram PMI association (stages/text.py pmi_bigrams): ratio
+    N*c_ab/(c_a*c_b) emitted instead of its log — one IEEE division,
+    bit-exact vs SQL; log is monotone so rankings are unchanged."""
+    import ray.data as rd
+
+    from ..stages.text import pmi_bigrams
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = pmi_bigrams(ds, min_count=5)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("ngram").reset_index(drop=True)
+
+
 def q_hop_window(sf_dir: str):
     """Hopping-window aggregate (stages/windows.py): 1-hour windows
     sliding every 15 minutes over the events stream — per-batch window
@@ -1733,6 +1763,40 @@ def build_oracles() -> Dict[str, str]:
             "AS token FROM documents) "
             "SELECT token, CAST(count(*) AS BIGINT) AS n FROM w "
             "WHERE token != '' GROUP BY token HAVING count(*) >= 10"),
+        "top_terms": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents), "
+            "tt AS (SELECT doc_id, token FROM t WHERE token != ''), "
+            "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tt GROUP BY doc_id, token), "
+            "df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) "
+            "AS df FROM tt GROUP BY token), "
+            "r AS (SELECT f.doc_id, f.token, f.tf, d.df, "
+            "row_number() OVER (PARTITION BY f.doc_id "
+            "ORDER BY f.tf DESC, d.df ASC, f.token ASC) AS rk "
+            "FROM tf f JOIN df d ON d.token = f.token) "
+            "SELECT doc_id, token, tf, df FROM r WHERE rk = 1"),
+        "pmi": (
+            "WITH u AS (SELECT doc_id, "
+            "generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) "
+            "AS i, unnest(regexp_split_to_array(text, '\\s+')) AS w "
+            "FROM documents), "
+            "f AS (SELECT * FROM u WHERE w != ''), "
+            "r AS (SELECT doc_id, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY i) AS j, w FROM f), "
+            "b AS (SELECT a.w AS w1, c.w AS w2 FROM r a "
+            "JOIN r c ON a.doc_id = c.doc_id AND c.j = a.j + 1), "
+            "cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n "
+            "FROM b GROUP BY w1, w2), "
+            "nt AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM b), "
+            "uni AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS c "
+            "FROM f GROUP BY w) "
+            "SELECT cab.w1 || ' ' || cab.w2 AS ngram, cab.n, "
+            "CAST(nt.nb * cab.n AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) "
+            "AS ratio FROM cab CROSS JOIN nt "
+            "JOIN uni ua ON ua.token = cab.w1 "
+            "JOIN uni ub ON ub.token = cab.w2 WHERE cab.n >= 5"),
         "doc_frequency": (
             "WITH w AS (SELECT DISTINCT doc_id, "
             "unnest(regexp_split_to_array(text, '\\s+')) AS token "
@@ -1907,6 +1971,8 @@ def build_queries() -> Dict[str, Callable]:
         "top_docs": q_top_docs,
         "bigrams": q_bigrams,
         "vocab": q_vocab,
+        "top_terms": q_top_terms,
+        "pmi": q_pmi,
         "doc_frequency": q_doc_frequency,
         "hop_window": q_hop_window,
         "raster_zonal": q_raster_zonal,

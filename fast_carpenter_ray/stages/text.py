@@ -17,7 +17,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["TokenCount", "QualityScore", "LangId", "Fingerprint",
-           "vocab_count", "doc_frequency", "ngram_count"]
+           "vocab_count", "doc_frequency", "ngram_count", "top_terms",
+           "pmi_bigrams"]
 
 # a small multilingual stopword table for the n-gram/stopword language
 # heuristic (public common-word lists)
@@ -291,3 +292,98 @@ def ngram_count(ds, text_col: str = "text", n: int = 2, min_count: int = 1,
             lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
             batch_format="pyarrow")
     return combined
+
+
+def top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+              mode: str = "tree"):
+    """Most distinctive term per document — the integer-exact TF-IDF
+    argmax: per doc, the token maximising ``(tf DESC, df ASC, token ASC)``
+    (highest term frequency; rare-in-corpus breaks ties; lexicographic
+    last).  All keys are integers/strings, so the ranking is bit-exact
+    against a SQL ``row_number()`` oracle — no float idf involved.
+
+    Two passes: (1) a document-frequency table (per-batch distinct
+    (doc, token) shrink -> ``combine_partials``; token space is the
+    vocabulary, summary-sized next to the docs), broadcast to pass (2)
+    as closure state on a fused per-batch argmax — no shuffle touches
+    the doc-sized stream.  For an unbounded vocabulary, build the DF
+    side with :func:`doc_frequency` (hash shuffle) and swap the closure
+    map for a ``lookup_join``.
+    """
+    from ..agg import combine_partials
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        ex = s.str.split(r"[ \t\n\r\f]+", regex=True).explode()
+        ex = ex[(ex != "") & ex.notna()]
+        d = pd.DataFrame({"row": ex.index, "token": ex.to_numpy()})
+        out = (d.drop_duplicates()["token"].value_counts()
+               .rename_axis("token").rename("df").reset_index())
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    df_tab = combine_partials(
+        ds.map_batches(df_partial, batch_format="pandas"),
+        keys=["token"], value_cols=["df"], mode=mode).to_pandas()
+    df_map = dict(zip(df_tab["token"], df_tab["df"].astype(np.int64)))
+
+    def best(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        ex = s.str.split(r"[ \t\n\r\f]+", regex=True).explode()
+        ex = ex[(ex != "") & ex.notna()]
+        if not len(ex):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "token": pd.Series([], dtype=str),
+                                 "tf": pd.Series([], dtype=np.int64),
+                                 "df": pd.Series([], dtype=np.int64)})
+        tf = (pd.DataFrame({"row": ex.index, "token": ex.to_numpy()})
+              .groupby(["row", "token"], sort=False).size()
+              .rename("tf").reset_index())
+        tf["df"] = tf["token"].map(df_map).astype(np.int64)
+        tf = tf.sort_values(["row", "tf", "df", "token"],
+                            ascending=[True, False, True, True],
+                            kind="mergesort")
+        top = tf.drop_duplicates("row", keep="first")
+        ids = batch[id_col].to_numpy()
+        return pd.DataFrame({
+            id_col: ids[top["row"].to_numpy()],
+            "token": top["token"].to_numpy(),
+            "tf": top["tf"].to_numpy().astype(np.int64),
+            "df": top["df"].to_numpy(),
+        })
+
+    return ds.map_batches(best, batch_format="pandas")
+
+
+def pmi_bigrams(ds, text_col: str = "text", min_count: int = 5,
+                mode: str = "tree"):
+    """Adjacent-bigram association strength: for each bigram (a, b) with
+    ``c_ab >= min_count``, the PMI *ratio* ``N * c_ab / (c_a * c_b)``
+    (N = total bigram occurrences).  The ratio is emitted instead of its
+    log: one IEEE division of exactly-representable int64s is
+    bit-identical in NumPy and SQL, and log is monotone so every
+    downstream ranking is unchanged.
+
+    Shape: the corpus shrinks to bigram + unigram count tables (existing
+    ``ngram_count``/``vocab_count`` partial+combine machinery); the final
+    join + division runs on the driver over the vocabulary-sized tables
+    (vocab**2 worst case — summary-sized next to the corpus; for a truly
+    unbounded bigram space run both counts in ``mode="hash"`` and do the
+    division in a ``lookup_join``-style broadcast of the unigram side).
+    Returns ``ngram, n, ratio`` rows.
+    """
+    big = ngram_count(ds, text_col=text_col, n=2, min_count=1,
+                      mode=mode).to_pandas()
+    uni = vocab_count(ds, text_col=text_col, min_count=1,
+                      mode=mode).to_pandas()
+    n_total = np.int64(big["n"].sum())
+    big = big[big["n"] >= min_count].copy()
+    toks = big["ngram"].str.split(" ", n=1, expand=True)
+    uni_map = dict(zip(uni["token"], uni["n"].astype(np.int64)))
+    c_a = toks[0].map(uni_map).to_numpy(dtype=np.int64)
+    c_b = toks[1].map(uni_map).to_numpy(dtype=np.int64)
+    c_ab = big["n"].to_numpy(dtype=np.int64)
+    ratio = (n_total * c_ab).astype(np.float64) / (c_a * c_b).astype(
+        np.float64)
+    return pd.DataFrame({"ngram": big["ngram"].to_numpy(),
+                         "n": c_ab, "ratio": ratio})

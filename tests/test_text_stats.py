@@ -1,0 +1,45 @@
+import numpy as np
+import pandas as pd
+
+from fast_carpenter_ray.stages.text import pmi_bigrams, top_terms
+
+
+def _ds(texts):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts}))
+
+
+def test_top_terms_tiebreaks(ray_session):
+    out = (top_terms(_ds([
+        "apple apple banana",      # tf wins: apple (2)
+        "cherry banana",           # tf tie -> rarer df wins: cherry (df 1 < 2)
+        "dog cat",                 # tf+df tie -> lexicographic: cat
+        "",                        # tokenless doc drops
+    ])).to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["token"].tolist() == ["apple", "cherry", "cat"]
+    assert out["tf"].tolist() == [2, 1, 1]
+    # banana appears in docs 0 and 1 -> df 2; chosen terms are df 1
+    assert out["df"].tolist() == [1, 1, 1]
+
+
+def test_pmi_bigrams_exact(ray_session):
+    # corpus: "a b" x5 and "a c" x5  ->  N = 10 bigram occurrences
+    out = pmi_bigrams(_ds(["a b"] * 5 + ["a c"] * 5), min_count=5)
+    out = out.sort_values("ngram").reset_index(drop=True)
+    assert out["ngram"].tolist() == ["a b", "a c"]
+    assert out["n"].tolist() == [5, 5]
+    # c_a=10, c_b=5: ratio = 10*5/(10*5) = 1.0 exactly
+    np.testing.assert_array_equal(out["ratio"].to_numpy(), [1.0, 1.0])
+
+
+def test_pmi_min_count_filters_but_totals_keep(ray_session):
+    # "x y" once; below min_count -> dropped, but its occurrence still
+    # counts toward N (PMI totals are corpus-wide, not survivor-wide)
+    out = pmi_bigrams(_ds(["a b"] * 5 + ["x y"]), min_count=5)
+    assert out["ngram"].tolist() == ["a b"]
+    # N=6, c_ab=5, c_a=c_b=5 -> 6*5/25
+    np.testing.assert_allclose(out["ratio"].to_numpy(), [30.0 / 25.0])
