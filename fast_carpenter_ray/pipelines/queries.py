@@ -24,8 +24,8 @@ import pandas as pd
 import pyarrow as pa
 
 from ..fixtures import (
-    geo_columns, pages_dataset, rect_polygons, rect_zones_sql_values,
-    sites_table, sites_sql_values, sql_geo_exprs)
+    WARC_EPOCH_US, WARC_STEP_S, geo_columns, pages_dataset, rect_polygons,
+    rect_zones_sql_values, sites_table, sites_sql_values, sql_geo_exprs)
 from ..geo.cells import RESOLUTION_DEFAULT
 from ..stages import (
     BinnedDataframe, CellEncode, CutFlow, Define, EventByEventDataframe,
@@ -106,6 +106,32 @@ def q_compact_cells(sf_dir: str):
     ds = _pages_geo(sf_dir)
     ds = CellEncode(res=RES).apply(ds)
     return compact_cells(ds, cell="cell", res=RES, min_res=RES - 2)
+
+
+def q_spacetime(sf_dir: str):
+    """Space-time cube (stages/spacetime.py): per (cell, day) counts +
+    exact dyadic weight sums over the page stream — keyed on a space
+    that grows with data, so the combine is the distributed hash path."""
+    from ..stages.spacetime import spacetime_cube
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    out = spacetime_cube(ds, cell="cell", ts="warc_ts",
+                         weight="weight").to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    out["bucket"] = out["bucket"].astype(np.int64)
+    return out.sort_values(["cell", "bucket"]).reset_index(drop=True)
+
+
+def q_outlier_cells(sf_dir: str):
+    """Density outliers (stages/spacetime.py outlier_cells): cells with
+    n >= 2x the EXACT median per-cell count — integer arithmetic only,
+    window-function SQL oracle."""
+    from ..stages.spacetime import outlier_cells
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    return outlier_cells(ds, cell="cell", factor=2)
 
 
 def q_domain_stats(sf_dir: str):
@@ -1520,6 +1546,26 @@ def build_oracles() -> Dict[str, str]:
             f"SELECT CAST(cell AS BIGINT) AS cell, CAST(res AS BIGINT) AS res "
             f"FROM (SELECT * FROM keep6 UNION ALL SELECT * FROM keep5 "
             f"UNION ALL SELECT * FROM keep4)"),
+        "spacetime": (
+            f"WITH base AS ({geo}), "
+            f"z AS (SELECT doc_id, weight, {cell} AS cell FROM base "
+            f"WHERE lat IS NOT NULL) "
+            f"SELECT cell, ({WARC_EPOCH_US} + doc_id * "
+            f"{WARC_STEP_S * 1_000_000}) // 86400000000 AS bucket, "
+            f"CAST(count(*) AS BIGINT) AS n, sum(weight) AS sum_w "
+            f"FROM z GROUP BY cell, bucket"),
+        "outlier_cells": (
+            f"WITH base AS ({geo}), "
+            f"z AS (SELECT {cell} AS cell FROM base "
+            f"WHERE lat IS NOT NULL), "
+            f"c AS (SELECT cell, CAST(count(*) AS BIGINT) AS n "
+            f"FROM z GROUP BY cell), "
+            f"w AS (SELECT n AS v, count(*) OVER (ORDER BY n "
+            f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            f"(SELECT count(*) FROM c) AS m FROM c), "
+            f"med AS (SELECT min(v) AS med FROM w "
+            f"WHERE cum >= ceil(0.5 * m)) "
+            f"SELECT cell, n FROM c, med WHERE n >= 2 * med"),
         "domain_stats": (
             f"WITH base AS ({geo}), "
             f"u AS (SELECT doc_id, weight, "
@@ -1954,6 +2000,8 @@ def build_queries() -> Dict[str, Callable]:
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
         "compact_cells": q_compact_cells,
+        "spacetime": q_spacetime,
+        "outlier_cells": q_outlier_cells,
         "domain_stats": q_domain_stats,
         "blocklist": q_blocklist,
         "cluster_cells": q_cluster_cells,

@@ -23,3 +23,4 @@ from .urls import ParseURL, BlocklistFilter  # noqa: F401
 from .compact_cells import compact_cells, uncompact_cells, tile_pyramid  # noqa: F401
 from .cluster import cluster_cells  # noqa: F401
 from .hotspot import hotspot_cells  # noqa: F401
+from .spacetime import spacetime_cube, outlier_cells  # noqa: F401
