@@ -1023,6 +1023,22 @@ def q_lang_quantiles(sf_dir: str):
     return out.sort_values(["lang", "q"]).reset_index(drop=True)
 
 
+def q_percentile_rank(sf_dir: str):
+    """Global SQL ``rank() OVER (ORDER BY n_chars)`` per document WITHOUT a
+    global sort (stages/quantile.py percentile_rank): distinct-value count
+    histogram (tree combine, bounded by the value DOMAIN not the row count)
+    -> exclusive cumsum on the driver -> broadcast searchsorted per batch.
+    The doc stream itself never shuffles."""
+    import ray.data as rd
+
+    from ..stages.quantile import percentile_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    out = percentile_rank(ds, "n_chars", keep=["doc_id"], out="rnk").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_hot_cells(sf_dir: str):
     """Heavy-hitter cells (stages/sketch.py): Misra-Gries sketch pass +
     exact verification pass — EXACT items >= 2% of geotagged pages (the
@@ -1746,6 +1762,10 @@ def build_oracles() -> Dict[str, str]:
             "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
             "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
             "SELECT g AS lang, 0.5 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.5 * n) GROUP BY g UNION ALL SELECT g AS lang, 0.9 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.9 * n) GROUP BY g"),
+        "percentile_rank": (
+            "SELECT doc_id, n_chars, "
+            "CAST(rank() OVER (ORDER BY n_chars) AS BIGINT) AS rnk "
+            "FROM documents"),
         "hot_cells": (
             f"WITH base AS ({geo}), c AS (SELECT {cell} AS cell FROM base "
             f"WHERE lat IS NOT NULL), tot AS (SELECT count(*) AS t FROM c) "
@@ -2010,6 +2030,7 @@ def build_queries() -> Dict[str, Callable]:
         "tile_pyramid": q_tile_pyramid,
         "quantiles": q_quantiles,
         "lang_quantiles": q_lang_quantiles,
+        "percentile_rank": q_percentile_rank,
         "distinct_users": q_distinct_users,
         "curation_pipeline": q_curation_pipeline,
         "hot_cells": q_hot_cells,

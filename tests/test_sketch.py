@@ -105,3 +105,34 @@ def test_grouped_quantiles_match_numpy(ray_session):
         sub = np.sort(v[g == r["g"]])
         target = int(np.ceil(r["q"] * len(sub)))
         assert r["value"] == sub[target - 1]
+
+
+def test_percentile_rank_matches_scipy_style_rank(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.quantile import percentile_rank
+
+    rng = np.random.default_rng(67)
+    n = 9000
+    v = rng.integers(0, 400, n).astype(np.int64)  # heavy ties
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "x": v})).repartition(7)
+    got = (percentile_rank(ds, "x", keep=["doc_id"], out="rnk")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # SQL rank(): 1 + number of strictly smaller values
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    expect = np.searchsorted(sv, v, side="left") + 1
+    assert got["rnk"].to_numpy().tolist() == expect.tolist()
+    assert got["x"].to_numpy().tolist() == v.tolist()
+
+
+def test_percentile_rank_driver_budget(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.quantile import percentile_rank
+
+    v = np.arange(100, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": v, "x": v}))
+    with pytest.raises(ValueError, match="budget"):
+        percentile_rank(ds, "x", max_driver_rows=3)
