@@ -945,6 +945,78 @@ def q_trajectory_bucketed(sf_dir: str):
             bucket_width=86_400_000_000))
 
 
+def q_retention(sf_dir: str):
+    """Day-over-day retention (stages/retention.py): per-batch distinct
+    (user, day) shrink -> one user-keyed shuffle -> per-user day-set fold
+    -> span-bounded tree combine.  Nothing user-keyed hits the driver."""
+    import ray.data as rd
+
+    from ..stages.retention import retention
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = retention(ds).to_pandas()
+    for c in ["day", "active", "retained"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (stages/retention.py cohort_retention):
+    first-active-day cohorts x day offset, hash-combined (the cohort x
+    offset key space grows with the span squared — never tree-merged)."""
+    import ray.data as rd
+
+    from ..stages.retention import cohort_retention
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = cohort_retention(ds).to_pandas()
+    for c in ["cohort", "day_offset", "n_users"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["cohort", "day_offset"]).reset_index(drop=True)
+
+
+def _od_events(sf_dir: str, fn):
+    """Events on the synthetic deterministic 8x8 cell grid: the same
+    int64 multiply/mod positions as _trajectory_events, coarsened to a
+    cell id mirrored verbatim in the oracle SQL."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid * 2654435761) % 1024
+        y = (eid * 40503 + 12345) % 1024
+        return batch.append_column("cell", pa.array((x // 128) * 8 + y // 128))
+
+    out = fn(ds.map_batches(cellify, batch_format="pyarrow")).to_pandas()
+    for c in ["cell_from", "cell_to", "n"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["cell_from", "cell_to"]).reset_index(drop=True)
+
+
+def q_od_matrix(sf_dir: str):
+    """Origin->destination flow matrix (stages/retention.py od_matrix):
+    per-user time-ordered cell transitions, counted per (from, to) pair —
+    one user-keyed shuffle + one hash combine."""
+    from ..stages.retention import od_matrix
+
+    return _od_events(sf_dir, od_matrix)
+
+
+def q_od_matrix_bucketed(sf_dir: str):
+    """Hot-key-safe OD matrix (time-bucketed group tasks + boundary
+    transition merge); bit-identical to q_od_matrix, same SQL oracle."""
+    from ..stages.retention import od_matrix_bucketed
+
+    return _od_events(
+        sf_dir, lambda ds: od_matrix_bucketed(
+            ds, bucket_width=86_400_000_000))
+
+
 def q_quantiles(sf_dir: str):
     """Exact distributed quantiles of document length (stages/quantile.py):
     per-block value-count shrink + one hash combine + driver read-off."""
@@ -1480,6 +1552,19 @@ _WINDOW_FUNCS_SQL = (
 #: the same int64 multiply/mod of event_id the engine query computes;
 #: every output column is integer, so the fold is exact and
 #: accumulation-order independent.
+_OD_SQL = (
+    "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+    "(event_id * 2654435761) % 1024 AS x, "
+    "(event_id * 40503 + 12345) % 1024 AS y FROM events), "
+    "c AS (SELECT user_id, t, event_id, "
+    "(x // 128) * 8 + (y // 128) AS cell FROM p), "
+    "l AS (SELECT cell, lag(cell) OVER (PARTITION BY user_id "
+    "ORDER BY t, event_id) AS prev FROM c) "
+    "SELECT CAST(prev AS BIGINT) AS cell_from, "
+    "CAST(cell AS BIGINT) AS cell_to, CAST(count(*) AS BIGINT) AS n "
+    "FROM l WHERE prev IS NOT NULL AND prev <> cell "
+    "GROUP BY 1, 2 ORDER BY 1, 2")
+
 _TRAJECTORY_SQL = (
     "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
     "(event_id * 2654435761) % 1024 AS x, "
@@ -1948,6 +2033,27 @@ def build_oracles() -> Dict[str, str]:
         "window_funcs_bucketed": _WINDOW_FUNCS_SQL,
         "trajectory": _TRAJECTORY_SQL,
         "trajectory_bucketed": _TRAJECTORY_SQL,
+        "retention": (
+            "WITH a AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "act AS (SELECT day, count(*) AS active FROM a GROUP BY day), "
+            "ret AS (SELECT a.day AS day, count(*) AS retained "
+            "FROM a JOIN a AS b ON b.user_id = a.user_id "
+            "AND b.day = a.day + 1 GROUP BY a.day) "
+            "SELECT act.day AS day, CAST(act.active AS BIGINT) AS active, "
+            "CAST(coalesce(ret.retained, 0) AS BIGINT) AS retained "
+            "FROM act LEFT JOIN ret USING (day) ORDER BY day"),
+        "cohort_retention": (
+            "WITH a AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "f AS (SELECT user_id, min(day) AS cohort FROM a "
+            "GROUP BY user_id) "
+            "SELECT f.cohort AS cohort, a.day - f.cohort AS day_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM a JOIN f USING (user_id) GROUP BY 1, 2 "
+            "ORDER BY cohort, day_offset"),
+        "od_matrix": _OD_SQL,
+        "od_matrix_bucketed": _OD_SQL,
         "lookup_join": (
             "SELECT o_orderkey, o_custkey AS c_custkey, "
             "o_totalprice, c_mktsegment "
@@ -2019,6 +2125,10 @@ def build_queries() -> Dict[str, Callable]:
         "window_funcs_bucketed": q_window_funcs_bucketed,
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
+        "retention": q_retention,
+        "cohort_retention": q_cohort_retention,
+        "od_matrix": q_od_matrix,
+        "od_matrix_bucketed": q_od_matrix_bucketed,
         "compact_cells": q_compact_cells,
         "spacetime": q_spacetime,
         "outlier_cells": q_outlier_cells,

@@ -24,3 +24,5 @@ from .compact_cells import compact_cells, uncompact_cells, tile_pyramid  # noqa:
 from .cluster import cluster_cells  # noqa: F401
 from .hotspot import hotspot_cells  # noqa: F401
 from .spacetime import spacetime_cube, outlier_cells  # noqa: F401
+from .retention import (retention, cohort_retention, od_matrix,  # noqa: F401
+                        od_matrix_bucketed)
