@@ -93,18 +93,31 @@ _HTML_HEAD = (
     '<html><head><meta charset="utf-8"/>'
     '<meta name="generator" content="synthcrawl/1.0"/>{geo}'
     "<title>page {doc_id}</title></head><body>"
-    '<nav><a href="/home">home</a><a href="/about">about</a></nav>'
+    '<nav><a href="/home">home</a><a href="/about">about</a>{links}</nav>'
     "<article>{text}</article>"
     "<footer><span>decoy 12.34;56.78</span>&copy; example</footer>"
     "</body></html>"
 )
 _GEO_TAG = '<meta name="geo.position" content="{lat:.17g};{lng:.17g}"/>'
 
+#: deterministic cross-site outlinks: page ``d`` links to these three site
+#: indices (duplicates and self-links allowed — the SQL mirror in
+#: ``pipelines/queries.py`` (_LINK_EDGES_SQL) reproduces them verbatim).
+OUTLINK_MULS = ((7, 3), (13, 5), (3, 11))
+
+
+def outlink_sites(doc_id: int) -> list:
+    return [(doc_id * a + b) % 20 for a, b in OUTLINK_MULS]
+
 
 def make_html(doc_id: int, text: str, lat: float, lng: float, has_geo: bool) -> bytes:
     """One page's html; the <article> body round-trips ``text`` exactly."""
     geo = _GEO_TAG.format(lat=lat, lng=lng) if has_geo else ""
-    page = _HTML_HEAD.format(geo=geo, doc_id=doc_id, text=_htmlmod.escape(text))
+    links = "".join(
+        f'<a href="https://site{s}.example/ref/p{doc_id}">r</a>'
+        for s in outlink_sites(doc_id))
+    page = _HTML_HEAD.format(geo=geo, doc_id=doc_id, links=links,
+                             text=_htmlmod.escape(text))
     return page.encode("utf-8")
 
 

@@ -1,0 +1,208 @@
+"""Hyperlink graph operators over crawled pages: edge extraction,
+degree statistics, PageRank.
+
+The web-graph leg of a Common-Crawl-style pipeline.  The reference has
+no graph notion at all (its stages are per-event masks and summaries —
+``fast_carpenter/summary/binned_dataframe.py``); these operators treat
+the html payload as the edge source and keep everything Ray-Data-shaped:
+
+* :func:`extract_links` — per-batch compiled-regex href scan of the raw
+  ``html`` bytes -> partial ``(src_domain, dst_domain)`` counts fused
+  into the map stage, then ONE hash combine.  The page stream (html
+  payloads, the heavy part) is touched exactly once and never shuffled —
+  only the summary-sized edge partials move.
+* :func:`domain_degrees` — out/in degree (distinct neighbor count) and
+  link totals per domain, a second summary-sized combine over the edge
+  table.
+* :func:`pagerank` — damped power iteration.  The EDGE table stays a
+  distributed Dataset (materialized once, reused every iteration); the
+  RANK vector is the broadcast small side (one float per domain —
+  summary-sized for domain-level graphs, the documented partitioning
+  assumption).  Each iteration: broadcast ranks -> per-batch vectorized
+  ``searchsorted`` contribution partials over edges -> one combine ->
+  new rank vector.  No per-iteration shuffle of anything
+  proportional to the page count.
+
+Scale notes: href scanning is a per-row loop over a compiled RE2-style
+pattern (linear, same budget class as ``text.py`` lang_id); the edge key
+space is domains x avg-degree and always hash-combined by default.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["extract_links", "domain_degrees", "pagerank"]
+
+#: absolute http(s) links only; captures the host. Relative links (nav
+#: chrome) are deliberately out of scope for the domain graph.
+_HREF_RE = re.compile(rb'href="https?://([a-z0-9.-]+)/')
+_HOST_RE = re.compile(r"https?://([a-z0-9.-]+)/")
+
+
+def _edge_partials(batch: pa.Table, html: str, url: str) -> pa.Table:
+    """Per-batch (src_domain, dst_domain) partial counts."""
+    pages = batch[html].to_pylist()
+    urls = batch[url].to_pylist()
+    src, dst = [], []
+    for u, h in zip(urls, pages):
+        m = _HOST_RE.match(u)
+        if m is None or h is None:
+            continue
+        s = m.group(1)
+        for d in _HREF_RE.findall(h):
+            src.append(s)
+            dst.append(d.decode("ascii"))
+    out = (pd.DataFrame({"src_domain": src, "dst_domain": dst})
+           .groupby(["src_domain", "dst_domain"], sort=False)
+           .size().reset_index(name="n"))
+    out["n"] = out["n"].astype(np.int64)
+    # explicit schema: empty object columns would otherwise become
+    # Arrow null type and break cross-batch schema unification
+    return pa.Table.from_pandas(out, preserve_index=False, schema=pa.schema(
+        [("src_domain", pa.string()), ("dst_domain", pa.string()),
+         ("n", pa.int64())]))
+
+
+def extract_links(ds, html: str = "html", url: str = "url",
+                  mode: str = "hash"):
+    """Domain-level edge table ``(src_domain, dst_domain, n)``; see
+    module docstring."""
+    from ..agg import combine_partials
+
+    parts = ds.map_batches(
+        lambda b: _edge_partials(b, html, url), batch_format="pyarrow")
+    return combine_partials(parts, keys=["src_domain", "dst_domain"],
+                            value_cols=["n"], mode=mode)
+
+
+def domain_degrees(ds, html: str = "html", url: str = "url",
+                   mode: str = "tree"):
+    """Per-domain degree stats: ``(domain, out_degree, out_links,
+    in_degree, in_links)`` — distinct-neighbor counts and total link
+    counts, both directions.  One edge extraction + two summary-sized
+    combines (the per-domain key space is the SMALL side of the graph)."""
+    from ..agg import combine_partials
+
+    edges = extract_links(ds, html=html, url=url, mode="hash")
+
+    def direction(batch: pa.Table, key: str, deg: str, links: str) -> pa.Table:
+        df = batch.to_pandas()
+        if key not in df.columns:  # schemaless empty block (empty input)
+            df = pd.DataFrame({key: pd.Series([], dtype=object),
+                               "n": pd.Series([], dtype=np.int64)})
+        out = (df.groupby(key, sort=False)
+               .agg(**{deg: ("n", "size"), links: ("n", "sum")})
+               .reset_index().rename(columns={key: "domain"}))
+        for c in (deg, links):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False, schema=pa.schema(
+            [("domain", pa.string()), (deg, pa.int64()), (links, pa.int64())]))
+
+    outs = combine_partials(
+        edges.map_batches(
+            lambda b: direction(b, "src_domain", "out_degree", "out_links"),
+            batch_format="pyarrow"),
+        keys=["domain"], value_cols=["out_degree", "out_links"], mode=mode)
+    ins = combine_partials(
+        edges.map_batches(
+            lambda b: direction(b, "dst_domain", "in_degree", "in_links"),
+            batch_format="pyarrow"),
+        keys=["domain"], value_cols=["in_degree", "in_links"], mode=mode)
+
+    # full outer merge of two summary-sized per-domain tables
+    o = outs.to_pandas()
+    i = ins.to_pandas()
+    out = o.merge(i, on="domain", how="outer").fillna(0)
+    for c in ["out_degree", "out_links", "in_degree", "in_links"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+def pagerank(ds, html: str = "html", url: str = "url",
+             damping: float = 0.85, iters: int = 3,
+             max_domains: int = 50_000_000):
+    """Damped PageRank over the domain graph, link-multiplicity
+    weighted; see module docstring for the broadcast-iterate shape.
+
+    Returns a pandas frame ``(domain, rank)``; ranks start uniform at
+    ``1/N`` and take ``iters`` power steps
+    ``r' = (1-d)/N + d * sum_in(r_src * n_edge / out_links_src)``
+    (dangling domains' mass is dropped, the convention the SQL oracle
+    mirrors).  ``max_domains`` guards the driver-resident rank vector.
+    """
+    from ..agg import combine_partials
+
+    edges = extract_links(ds, html=html, url=url, mode="hash").materialize()
+
+    # domain index + out-link totals: summary-sized by assumption
+    def out_totals(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        if "src_domain" not in df.columns:  # schemaless empty block
+            df = pd.DataFrame({"src_domain": pd.Series([], dtype=object),
+                               "n": pd.Series([], dtype=np.int64)})
+        df = df.groupby("src_domain", sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False, schema=pa.schema(
+            [("src_domain", pa.string()), ("n", pa.int64())]))
+
+    totals = combine_partials(
+        edges.map_batches(out_totals, batch_format="pyarrow"),
+        keys=["src_domain"], value_cols=["n"], mode="tree").to_pandas()
+    def dst_ones(b: pa.Table) -> pa.Table:
+        dst = (b["dst_domain"] if "dst_domain" in b.column_names
+               else pa.array([], pa.string()))
+        return pa.table({"dst_domain": dst,
+                         "one": pa.array(np.ones(len(dst), dtype=np.int64))})
+
+    dst_doms = combine_partials(
+        edges.map_batches(dst_ones, batch_format="pyarrow"),
+        keys=["dst_domain"], value_cols=["one"], mode="tree").to_pandas()
+
+    if "src_domain" not in totals.columns:  # fully-empty round trip
+        totals = pd.DataFrame({"src_domain": pd.Series([], dtype=object),
+                               "n": pd.Series([], dtype=np.int64)})
+    if "dst_domain" not in dst_doms.columns:
+        dst_doms = pd.DataFrame({"dst_domain": pd.Series([], dtype=object)})
+
+    domains = np.union1d(totals["src_domain"].to_numpy(),
+                         dst_doms["dst_domain"].to_numpy())
+    n_dom = len(domains)
+    if n_dom > max_domains:
+        raise ValueError(
+            f"pagerank: {n_dom} domains exceeds the {max_domains} "
+            f"driver budget for the broadcast rank vector")
+    if n_dom == 0:
+        return pd.DataFrame({"domain": pd.Series([], dtype=object),
+                             "rank": pd.Series([], dtype=np.float64)})
+    out_links = np.zeros(n_dom, dtype=np.float64)
+    idx = np.searchsorted(domains, totals["src_domain"].to_numpy())
+    out_links[idx] = totals["n"].to_numpy().astype(np.float64)
+
+    ranks = np.full(n_dom, 1.0 / n_dom)
+    for _ in range(iters):
+        r, ol, dom = ranks, out_links, domains  # broadcast into the closure
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            si = np.searchsorted(dom, df["src_domain"].to_numpy())
+            w = r[si] * df["n"].to_numpy() / ol[si]
+            out = (pd.DataFrame({"dst_domain": df["dst_domain"], "w": w})
+                   .groupby("dst_domain", sort=False)["w"].sum()
+                   .reset_index())
+            return pa.Table.from_pandas(
+                out, preserve_index=False, schema=pa.schema(
+                    [("dst_domain", pa.string()), ("w", pa.float64())]))
+
+        agg = combine_partials(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            keys=["dst_domain"], value_cols=["w"], mode="tree").to_pandas()
+        new = np.full(n_dom, (1.0 - damping) / n_dom)
+        di = np.searchsorted(domains, agg["dst_domain"].to_numpy())
+        new[di] += damping * agg["w"].to_numpy()
+        ranks = new
+
+    return pd.DataFrame({"domain": domains, "rank": ranks})
