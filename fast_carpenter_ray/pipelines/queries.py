@@ -945,6 +945,109 @@ def q_trajectory_bucketed(sf_dir: str):
             bucket_width=86_400_000_000))
 
 
+def q_grouped_corr(sf_dir: str):
+    """Exact per-language Pearson corr(n_chars, n_tokens)
+    (stages/stats.py grouped_corr): one pass of six int64 moment
+    partials per lang, tree combine, closed-form driver finish.  The
+    SQL oracle computes the identical expression from identical exact
+    integer sums — bit-equal before the round(6)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text", "n_chars"])
+
+    def with_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("")
+        batch["n_tokens"] = s.str.split().str.len().fillna(0).astype(np.int64)
+        return batch
+
+    from ..stages.stats import grouped_corr
+
+    out = grouped_corr(ds.map_batches(with_tokens, batch_format="pandas"),
+                       group="lang", x="n_chars", y="n_tokens")
+    out["corr"] = out["corr"].round(6)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index with capped postings (stages/index.py): distinct
+    (token, doc) dedup -> one token-keyed shuffle -> df + first-10
+    sorted posting list per token."""
+    import ray.data as rd
+
+    from ..stages.index import inverted_index
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = inverted_index(ds, k=10).to_pandas()
+    out["df"] = out["df"].astype(np.int64)
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def q_dataset_diff(sf_dir: str):
+    """Snapshot diff (stages/diff.py dataset_diff): documents vs a
+    deterministically mutated re-ingest (drop doc_id%97==3, bump
+    n_chars for doc_id%31==4, add shifted ids for doc_id%53==5) —
+    union + one summary combine, NO join, classified per key."""
+    import ray.data as rd
+
+    from ..stages.diff import dataset_diff
+
+    old = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "n_chars"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = did % 97 != 3
+        bumped = np.where(did % 31 == 4, nch + 1, nch)
+        base = pa.table({"doc_id": pa.array(did[keep]),
+                         "n_chars": pa.array(bumped[keep])})
+        extra_m = did % 53 == 5
+        extra = pa.table({"doc_id": pa.array(did[extra_m] + 10_000_000),
+                          "n_chars": pa.array(nch[extra_m])})
+        return pa.concat_tables([base, extra])
+
+    new = old.map_batches(mutate, batch_format="pyarrow")
+    out = dataset_diff(old, new, key="doc_id", cols=["n_chars"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_link_graph(sf_dir: str):
+    """Domain-level hyperlink edge table (stages/linkgraph.py
+    extract_links): compiled-regex href scan of raw html bytes fused
+    with per-batch edge partials, one hash combine.  Oracle mirrors the
+    fixture's deterministic outlink arithmetic (fixtures.outlink_sites)."""
+    from ..stages.linkgraph import extract_links
+
+    out = extract_links(pages_dataset(sf_dir)).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["src_domain", "dst_domain"])
+            .reset_index(drop=True))
+
+
+def q_domain_degrees(sf_dir: str):
+    """Per-domain in/out degree + link totals (stages/linkgraph.py
+    domain_degrees): two summary-sized combines over the edge table."""
+    from ..stages.linkgraph import domain_degrees
+
+    return domain_degrees(pages_dataset(sf_dir))
+
+
+def q_pagerank(sf_dir: str):
+    """Damped PageRank, 3 power iterations (stages/linkgraph.py
+    pagerank): distributed edge contributions, broadcast rank vector;
+    ranks rounded to 6 decimals for FP parity with the SQL oracle
+    (per-dst sums differ only in association order — see BASELINE.md
+    FP-parity notes)."""
+    from ..stages.linkgraph import pagerank
+
+    out = pagerank(pages_dataset(sf_dir), damping=0.85, iters=3)
+    out["rank"] = out["rank"].round(6)
+    return out.sort_values("domain").reset_index(drop=True)
+
+
 def q_retention(sf_dir: str):
     """Day-over-day retention (stages/retention.py): per-batch distinct
     (user, day) shrink -> one user-keyed shuffle -> per-user day-set fold
@@ -1552,6 +1655,50 @@ _WINDOW_FUNCS_SQL = (
 #: the same int64 multiply/mod of event_id the engine query computes;
 #: every output column is integer, so the fold is exact and
 #: accumulation-order independent.
+#: one row per hyperlink, mirroring fixtures.outlink_sites verbatim
+_LINK_EDGES_SQL = (
+    "SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' "
+    "AS src_domain, 'site' || CAST((doc_id*7+3) % 20 AS VARCHAR) || "
+    "'.example' AS dst_domain FROM documents "
+    "UNION ALL SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || "
+    "'.example', 'site' || CAST((doc_id*13+5) % 20 AS VARCHAR) || "
+    "'.example' FROM documents "
+    "UNION ALL SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || "
+    "'.example', 'site' || CAST((doc_id*3+11) % 20 AS VARCHAR) || "
+    "'.example' FROM documents")
+
+_PAGERANK_SQL = (
+    f"WITH l AS ({_LINK_EDGES_SQL}), "
+    "e AS (SELECT src_domain, dst_domain, CAST(count(*) AS DOUBLE) AS n "
+    "FROM l GROUP BY 1, 2), "
+    "ol AS (SELECT src_domain, sum(n) AS t FROM e GROUP BY 1), "
+    "d AS (SELECT src_domain AS domain FROM e "
+    "UNION SELECT dst_domain FROM e), "
+    "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d), "
+    "r0 AS (SELECT domain, CAST(1 AS DOUBLE) / nn.n AS rank FROM d, nn), "
+    "c1 AS (SELECT e.dst_domain AS domain, "
+    "sum(r0.rank * e.n / ol.t) AS c FROM e "
+    "JOIN r0 ON r0.domain = e.src_domain "
+    "JOIN ol ON ol.src_domain = e.src_domain GROUP BY 1), "
+    "r1 AS (SELECT d.domain, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) "
+    "+ CAST(0.85 AS DOUBLE) * coalesce(c1.c, 0) AS rank "
+    "FROM d LEFT JOIN c1 ON c1.domain = d.domain), "
+    "c2 AS (SELECT e.dst_domain AS domain, "
+    "sum(r1.rank * e.n / ol.t) AS c FROM e "
+    "JOIN r1 ON r1.domain = e.src_domain "
+    "JOIN ol ON ol.src_domain = e.src_domain GROUP BY 1), "
+    "r2 AS (SELECT d.domain, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) "
+    "+ CAST(0.85 AS DOUBLE) * coalesce(c2.c, 0) AS rank "
+    "FROM d LEFT JOIN c2 ON c2.domain = d.domain), "
+    "c3 AS (SELECT e.dst_domain AS domain, "
+    "sum(r2.rank * e.n / ol.t) AS c FROM e "
+    "JOIN r2 ON r2.domain = e.src_domain "
+    "JOIN ol ON ol.src_domain = e.src_domain GROUP BY 1), "
+    "r3 AS (SELECT d.domain, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) "
+    "+ CAST(0.85 AS DOUBLE) * coalesce(c3.c, 0) AS rank "
+    "FROM d LEFT JOIN c3 ON c3.domain = d.domain) "
+    "SELECT domain, round(rank, 6) AS rank FROM r3 ORDER BY domain")
+
 _OD_SQL = (
     "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
     "(event_id * 2654435761) % 1024 AS x, "
@@ -2033,6 +2180,66 @@ def build_oracles() -> Dict[str, str]:
         "window_funcs_bucketed": _WINDOW_FUNCS_SQL,
         "trajectory": _TRAJECTORY_SQL,
         "trajectory_bucketed": _TRAJECTORY_SQL,
+        "grouped_corr": (
+            "WITH t AS (SELECT lang, n_chars AS x, "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS y "
+            "FROM documents), "
+            "s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, "
+            "sum(x*x) AS sxx, sum(y*y) AS syy FROM t GROUP BY lang) "
+            "SELECT lang, n, "
+            "round(CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+            "sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr "
+            "FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 "
+            "ORDER BY lang"),
+        "inverted_index": (
+            "WITH w AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents), "
+            "w2 AS (SELECT token, doc_id, "
+            "row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn, "
+            "count(*) OVER (PARTITION BY token) AS df "
+            "FROM w WHERE token != '') "
+            "SELECT token, CAST(max(df) AS BIGINT) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS postings FROM w2 WHERE rn <= 10 GROUP BY token "
+            "ORDER BY token"),
+        "dataset_diff": (
+            "WITH o AS (SELECT doc_id, n_chars FROM documents), "
+            "nw AS (SELECT doc_id, CASE WHEN doc_id % 31 = 4 "
+            "THEN n_chars + 1 ELSE n_chars END AS n_chars "
+            "FROM documents WHERE doc_id % 97 != 3 "
+            "UNION ALL SELECT doc_id + 10000000, n_chars FROM documents "
+            "WHERE doc_id % 53 = 5) "
+            "SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN nw.doc_id IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS change "
+            "FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id "
+            "WHERE o.doc_id IS NULL OR nw.doc_id IS NULL "
+            "OR o.n_chars != nw.n_chars ORDER BY doc_id"),
+        "link_graph": (
+            f"WITH l AS ({_LINK_EDGES_SQL}) "
+            "SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n "
+            "FROM l GROUP BY 1, 2 ORDER BY 1, 2"),
+        "domain_degrees": (
+            f"WITH l AS ({_LINK_EDGES_SQL}), "
+            "e AS (SELECT src_domain, dst_domain, count(*) AS n FROM l "
+            "GROUP BY 1, 2), "
+            "o AS (SELECT src_domain AS domain, count(*) AS out_degree, "
+            "sum(n) AS out_links FROM e GROUP BY 1), "
+            "i AS (SELECT dst_domain AS domain, count(*) AS in_degree, "
+            "sum(n) AS in_links FROM e GROUP BY 1) "
+            "SELECT coalesce(o.domain, i.domain) AS domain, "
+            "CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree, "
+            "CAST(coalesce(out_links, 0) AS BIGINT) AS out_links, "
+            "CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree, "
+            "CAST(coalesce(in_links, 0) AS BIGINT) AS in_links "
+            "FROM o FULL OUTER JOIN i ON o.domain = i.domain "
+            "ORDER BY domain"),
+        "pagerank": _PAGERANK_SQL,
         "retention": (
             "WITH a AS (SELECT DISTINCT user_id, "
             "epoch_us(ts) // 86400000000 AS day FROM events), "
@@ -2125,6 +2332,12 @@ def build_queries() -> Dict[str, Callable]:
         "window_funcs_bucketed": q_window_funcs_bucketed,
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
+        "grouped_corr": q_grouped_corr,
+        "inverted_index": q_inverted_index,
+        "dataset_diff": q_dataset_diff,
+        "link_graph": q_link_graph,
+        "domain_degrees": q_domain_degrees,
+        "pagerank": q_pagerank,
         "retention": q_retention,
         "cohort_retention": q_cohort_retention,
         "od_matrix": q_od_matrix,

@@ -26,3 +26,7 @@ from .hotspot import hotspot_cells  # noqa: F401
 from .spacetime import spacetime_cube, outlier_cells  # noqa: F401
 from .retention import (retention, cohort_retention, od_matrix,  # noqa: F401
                         od_matrix_bucketed)
+from .linkgraph import extract_links, domain_degrees, pagerank  # noqa: F401
+from .stats import grouped_corr  # noqa: F401
+from .index import inverted_index  # noqa: F401
+from .diff import dataset_diff  # noqa: F401

@@ -1,0 +1,71 @@
+"""Exact distributed bivariate statistics: per-group Pearson correlation
+(and the covariance/regression sums it is built from).
+
+The summary-statistics leg the reference's BinnedDataframe cannot
+express (``fast_carpenter/summary/binned_dataframe.py`` aggregates one
+column at a time; correlation needs joint moments).
+
+Scale shape: ONE pass of per-batch integer moment partials
+``(n, Sx, Sy, Sxy, Sxx, Syy)`` per group — six int64 scalars, exact, so
+the partial sum is associative and bit-stable in any combine order —
+then a summary-sized tree combine and a driver-side closed-form
+``corr = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))``.
+Because every input to the float expression is an exactly-summed int64,
+the engine and a SQL oracle computing the SAME expression agree
+bit-for-bit (see BASELINE.md FP-parity notes; rounded to 6 decimals for
+the driver hash anyway).  Nothing row-shaped ever shuffles: the stream
+shrinks to ``groups x 6`` integers in the map stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["grouped_corr"]
+
+
+def grouped_corr(ds, group: str, x: str, y: str, mode: str = "tree"):
+    """Pearson correlation of integer columns ``x``, ``y`` per ``group``.
+
+    Returns a pandas frame ``(group, n, corr)`` sorted by group;
+    ``corr`` is NaN-free: groups with zero variance in either column are
+    dropped (mirroring SQL where the denominator would be 0).
+    """
+    from ..agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            group: batch[group].to_pandas(),
+            "_x": batch[x].to_numpy(zero_copy_only=False).astype(np.int64),
+            "_y": batch[y].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        df["_xy"] = df["_x"] * df["_y"]
+        df["_xx"] = df["_x"] * df["_x"]
+        df["_yy"] = df["_y"] * df["_y"]
+        df["_n"] = np.int64(1)
+        out = (df.groupby(group, sort=False)
+               [["_n", "_x", "_y", "_xy", "_xx", "_yy"]].sum().reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    sums = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[group], value_cols=["_n", "_x", "_y", "_xy", "_xx", "_yy"],
+        mode=mode).to_pandas()
+
+    n = sums["_n"].to_numpy().astype(np.int64)
+    sx = sums["_x"].to_numpy().astype(np.int64)
+    sy = sums["_y"].to_numpy().astype(np.int64)
+    sxy = sums["_xy"].to_numpy().astype(np.int64)
+    sxx = sums["_xx"].to_numpy().astype(np.int64)
+    syy = sums["_yy"].to_numpy().astype(np.int64)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    ok = (vx > 0) & (vy > 0)
+    corr = ((n * sxy - sx * sy).astype(np.float64)[ok]
+            / (np.sqrt(vx.astype(np.float64)[ok])
+               * np.sqrt(vy.astype(np.float64)[ok])))
+    out = pd.DataFrame({group: sums[group][ok],
+                        "n": n[ok], "corr": corr})
+    return out.sort_values(group).reset_index(drop=True)

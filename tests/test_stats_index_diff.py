@@ -1,0 +1,82 @@
+"""grouped_corr vs numpy, inverted_index vs brute force, dataset_diff
+classification."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fast_carpenter_ray.stages.diff import dataset_diff
+from fast_carpenter_ray.stages.index import inverted_index
+from fast_carpenter_ray.stages.stats import grouped_corr
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    g = rng.integers(0, 4, n)
+    x = rng.integers(0, 500, n).astype(np.int64)
+    y = (x // 2 + rng.integers(0, 100, n)).astype(np.int64)  # correlated
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    got = grouped_corr(rd.from_pandas(df).repartition(6), "g", "x", "y")
+    for _, row in got.iterrows():
+        sub = df[df["g"] == row["g"]]
+        exp = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert row["corr"] == pytest.approx(exp, abs=1e-12)
+        assert row["n"] == len(sub)
+
+
+def test_grouped_corr_drops_zero_variance(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"g": [0, 0, 1, 1], "x": [5, 5, 1, 2],
+                       "y": [1, 2, 3, 4]})
+    got = grouped_corr(rd.from_pandas(df), "g", "x", "y")
+    assert got["g"].tolist() == [1]  # group 0 has var(x) == 0
+
+
+def test_inverted_index_matches_brute(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64),
+        "text": [" ".join(f"w{(i * 7 + j) % 5}" for j in range(6))
+                 for i in range(20)],
+    })
+    got = (inverted_index(rd.from_pandas(docs).repartition(4), k=3)
+           .to_pandas().sort_values("token").reset_index(drop=True))
+    pairs = (docs.assign(token=docs["text"].str.split())
+             .explode("token")[["doc_id", "token"]].drop_duplicates())
+    for _, row in got.iterrows():
+        d = np.sort(pairs[pairs["token"] == row["token"]]["doc_id"].unique())
+        assert row["df"] == len(d)
+        assert row["postings"] == ",".join(map(str, d[:3].tolist()))
+    assert set(got["token"]) == set(pairs["token"])
+
+
+def test_dataset_diff_classifies(ray_session):
+    import ray.data as rd
+
+    old = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                        "v": np.arange(10, dtype=np.int64) * 10})
+    new = old[old["k"] != 3].copy()          # 3 removed
+    new.loc[new["k"] == 5, "v"] = 999        # 5 changed
+    new = pd.concat([new, pd.DataFrame({"k": [100], "v": [1]})])  # added
+    got = (dataset_diff(rd.from_pandas(old).repartition(3),
+                        rd.from_pandas(new).repartition(2),
+                        key="k", cols=["v"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == [3, 5, 100]
+    assert got["change"].tolist() == ["removed", "changed", "added"]
+
+
+def test_dataset_diff_include_unchanged(ray_session):
+    import ray.data as rd
+
+    old = pd.DataFrame({"k": [1, 2], "v": [1, 2]})
+    got = (dataset_diff(rd.from_pandas(old), rd.from_pandas(old),
+                        key="k", cols=["v"], include_unchanged=True)
+           .to_pandas())
+    assert sorted(got["change"]) == ["unchanged", "unchanged"]
