@@ -945,6 +945,52 @@ def q_trajectory_bucketed(sf_dir: str):
             bucket_width=86_400_000_000))
 
 
+def q_cell_entropy(sf_dir: str):
+    """Language-diversity Shannon entropy per spatial cell
+    (stages/stats.py grouped_entropy over the cell-encoded page stream):
+    exact (cell, lang) count partials, one combine, vectorized entropy
+    finish; rounded to 6 decimals for FP sum-order parity."""
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["cell"], 0)),
+        batch_format="pyarrow")
+
+    from ..stages.stats import grouped_entropy
+
+    out = grouped_entropy(ds, group="cell", label="lang")
+    out["cell"] = out["cell"].astype(np.int64)
+    out["entropy"] = out["entropy"].round(6)
+    return out
+
+
+def q_idw(sf_dir: str):
+    """Inverse-distance-weighted interpolation of a site-valued field at
+    every geotagged page (engine kNN join k=5, oracle-exact euclid
+    metric, then a fully in-batch weighted fold — each page's k rows
+    are emitted contiguously, so the IDW needs ZERO shuffles)."""
+    ds = _pages_geo(sf_dir)
+    ds = knn_join(ds, sites_table(), k=5, res=RES, max_ring=6,
+                  metric="euclid", brute_force_sites=0)
+
+    def idw(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "site_id": batch["site_id"].to_numpy(zero_copy_only=False),
+            "d2": batch["d2_deg"].to_numpy(zero_copy_only=False)})
+        v = ((df["site_id"].to_numpy() * 37) % 100).astype(np.float64)
+        df["_num"] = v / df["d2"].to_numpy()
+        df["_den"] = 1.0 / df["d2"].to_numpy()
+        out = (df.groupby("doc_id", sort=False)[["_num", "_den"]]
+               .sum().reset_index())
+        out["idw"] = (out["_num"] / out["_den"]).round(6)
+        return pa.Table.from_pandas(out[["doc_id", "idw"]],
+                                    preserve_index=False)
+
+    out = ds.map_batches(idw, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_grouped_corr(sf_dir: str):
     """Exact per-language Pearson corr(n_chars, n_tokens)
     (stages/stats.py grouped_corr): one pass of six int64 moment
@@ -2180,6 +2226,30 @@ def build_oracles() -> Dict[str, str]:
         "window_funcs_bucketed": _WINDOW_FUNCS_SQL,
         "trajectory": _TRAJECTORY_SQL,
         "trajectory_bucketed": _TRAJECTORY_SQL,
+        "cell_entropy": (
+            f"WITH base AS ({geo}), "
+            f"cl AS (SELECT {cell} AS cell, lang FROM base "
+            f"WHERE lat IS NOT NULL), "
+            "c AS (SELECT cell, lang, count(*) AS c FROM cl GROUP BY 1, 2), "
+            "t AS (SELECT cell, sum(c) AS n FROM c GROUP BY 1) "
+            "SELECT c.cell, CAST(t.n AS BIGINT) AS n, "
+            "round(0.0 - sum((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) * "
+            "ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))), 6) AS entropy "
+            "FROM c JOIN t ON c.cell = t.cell GROUP BY c.cell, t.n "
+            "ORDER BY c.cell"),
+        "idw": (
+            f"WITH base AS ({geo}), "
+            f"d AS (SELECT doc_id, site_id, "
+            f"(lat - site_lat)*(lat - site_lat) + "
+            f"(lng - site_lng)*(lng - site_lng) AS d2 "
+            f"FROM base, {sites} WHERE lat IS NOT NULL), "
+            "k AS (SELECT doc_id, site_id, d2, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY d2, site_id) "
+            "AS rn FROM d) "
+            "SELECT doc_id, "
+            "round(sum(CAST((site_id*37)%100 AS DOUBLE) / d2) "
+            "/ sum(1.0 / d2), 6) AS idw "
+            "FROM k WHERE rn <= 5 GROUP BY doc_id ORDER BY doc_id"),
         "grouped_corr": (
             "WITH t AS (SELECT lang, n_chars AS x, "
             "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
@@ -2332,6 +2402,8 @@ def build_queries() -> Dict[str, Callable]:
         "window_funcs_bucketed": q_window_funcs_bucketed,
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
+        "cell_entropy": q_cell_entropy,
+        "idw": q_idw,
         "grouped_corr": q_grouped_corr,
         "inverted_index": q_inverted_index,
         "dataset_diff": q_dataset_diff,

@@ -27,6 +27,6 @@ from .spacetime import spacetime_cube, outlier_cells  # noqa: F401
 from .retention import (retention, cohort_retention, od_matrix,  # noqa: F401
                         od_matrix_bucketed)
 from .linkgraph import extract_links, domain_degrees, pagerank  # noqa: F401
-from .stats import grouped_corr  # noqa: F401
+from .stats import grouped_corr, grouped_entropy  # noqa: F401
 from .index import inverted_index  # noqa: F401
 from .diff import dataset_diff  # noqa: F401

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["grouped_corr"]
+__all__ = ["grouped_corr", "grouped_entropy"]
 
 
 def grouped_corr(ds, group: str, x: str, y: str, mode: str = "tree"):
@@ -68,4 +68,44 @@ def grouped_corr(ds, group: str, x: str, y: str, mode: str = "tree"):
                * np.sqrt(vy.astype(np.float64)[ok])))
     out = pd.DataFrame({group: sums[group][ok],
                         "n": n[ok], "corr": corr})
+    return out.sort_values(group).reset_index(drop=True)
+
+
+def grouped_entropy(ds, group: str, label: str, mode: str = "tree"):
+    """Shannon entropy (natural log) of the ``label`` distribution per
+    ``group`` — e.g. language diversity per spatial cell.
+
+    Shape: per-batch ``(group, label)`` count partials -> ONE combine
+    (the (group x label) key space must be summary-sized for the default
+    tree route — guarded by ``agg.MAX_DRIVER_ROWS``; pass ``mode="hash"``
+    plus a downstream group-keyed combine for fine-grained grids) -> a
+    vectorized entropy finish from exact integer counts.  Returns
+    ``(group, n, entropy)`` sorted by group.
+    """
+    from ..agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group: batch[group].to_pandas(),
+                           label: batch[label].to_pandas()})
+        out = (df.groupby([group, label], sort=False)
+               .size().reset_index(name="c"))
+        out["c"] = out["c"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[group, label], value_cols=["c"], mode=mode).to_pandas()
+    if counts.empty:
+        return pd.DataFrame({group: pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64),
+                             "entropy": pd.Series([], dtype=np.float64)})
+    n = counts.groupby(group)["c"].transform("sum")
+    p = counts["c"].to_numpy().astype(np.float64) / n.to_numpy()
+    counts["_t"] = p * np.log(p)
+    out = (counts.groupby(group)
+           .agg(n=("c", "sum"), entropy=("_t", "sum")).reset_index())
+    out["n"] = out["n"].astype(np.int64)
+    # 0.0 - x (not -x): keeps single-label groups at +0.0, never -0.0,
+    # matching SQL ``0.0 - sum(...)`` bit-for-bit in the value hash
+    out["entropy"] = 0.0 - out["entropy"]
     return out.sort_values(group).reset_index(drop=True)

@@ -80,3 +80,32 @@ def test_dataset_diff_include_unchanged(ray_session):
                         key="k", cols=["v"], include_unchanged=True)
            .to_pandas())
     assert sorted(got["change"]) == ["unchanged", "unchanged"]
+
+
+def test_grouped_entropy_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import grouped_entropy
+
+    rng = np.random.default_rng(53)
+    g = rng.integers(0, 6, 3000)
+    lab = rng.choice(list("abcd"), 3000)
+    df = pd.DataFrame({"g": g, "lab": lab})
+    got = grouped_entropy(rd.from_pandas(df).repartition(5), "g", "lab")
+    for _, row in got.iterrows():
+        sub = df[df["g"] == row["g"]]["lab"].value_counts().to_numpy()
+        p = sub / sub.sum()
+        assert row["entropy"] == pytest.approx(-(p * np.log(p)).sum(),
+                                               abs=1e-12)
+        assert row["n"] == sub.sum()
+
+
+def test_grouped_entropy_single_label_is_positive_zero(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import grouped_entropy
+
+    df = pd.DataFrame({"g": [1, 1, 1], "lab": ["x", "x", "x"]})
+    got = grouped_entropy(rd.from_pandas(df), "g", "lab")
+    assert got["entropy"].iloc[0] == 0.0
+    assert not np.signbit(got["entropy"].iloc[0])  # +0.0, never -0.0
