@@ -945,6 +945,31 @@ def q_trajectory_bucketed(sf_dir: str):
             bucket_width=86_400_000_000))
 
 
+def q_redirects(sf_dir: str):
+    """Redirect-chain canonicalization (stages/redirects.py): synthetic
+    301 chains (doc_id -> doc_id-3 while doc_id%3==0 and (doc_id//3)%7!=0)
+    collapsed by driver pointer doubling (log2 rounds), then the full doc
+    stream resolved by one broadcast searchsorted per batch — zero
+    shuffles of the stream.  Oracle: recursive CTE walking each chain."""
+    import ray.data as rd
+
+    from ..stages.redirects import resolve_redirects
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def make_redirects(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (d % 3 == 0) & ((d // 3) % 7 != 0) & (d >= 3)
+        return pa.table({"src": pa.array(d[m]), "dst": pa.array(d[m] - 3)})
+
+    redirects = docs.map_batches(make_redirects, batch_format="pyarrow")
+    out = resolve_redirects(docs, redirects, key="doc_id").to_pandas()
+    for c in ["doc_id", "terminal"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_cell_entropy(sf_dir: str):
     """Language-diversity Shannon entropy per spatial cell
     (stages/stats.py grouped_entropy over the cell-encoded page stream):
@@ -2226,6 +2251,14 @@ def build_oracles() -> Dict[str, str]:
         "window_funcs_bucketed": _WINDOW_FUNCS_SQL,
         "trajectory": _TRAJECTORY_SQL,
         "trajectory_bucketed": _TRAJECTORY_SQL,
+        "redirects": (
+            "WITH RECURSIVE r AS ("
+            "SELECT doc_id AS start, doc_id AS cur FROM documents "
+            "UNION ALL SELECT start, cur - 3 FROM r "
+            "WHERE cur % 3 = 0 AND (cur // 3) % 7 != 0 AND cur >= 3) "
+            "SELECT start AS doc_id, CAST(cur AS BIGINT) AS terminal "
+            "FROM r WHERE NOT (cur % 3 = 0 AND (cur // 3) % 7 != 0 "
+            "AND cur >= 3) ORDER BY doc_id"),
         "cell_entropy": (
             f"WITH base AS ({geo}), "
             f"cl AS (SELECT {cell} AS cell, lang FROM base "
@@ -2402,6 +2435,7 @@ def build_queries() -> Dict[str, Callable]:
         "window_funcs_bucketed": q_window_funcs_bucketed,
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
+        "redirects": q_redirects,
         "cell_entropy": q_cell_entropy,
         "idw": q_idw,
         "grouped_corr": q_grouped_corr,

@@ -30,3 +30,4 @@ from .linkgraph import extract_links, domain_degrees, pagerank  # noqa: F401
 from .stats import grouped_corr, grouped_entropy  # noqa: F401
 from .index import inverted_index  # noqa: F401
 from .diff import dataset_diff  # noqa: F401
+from .redirects import resolve_map, resolve_stream, resolve_redirects  # noqa: F401
