@@ -945,6 +945,32 @@ def q_trajectory_bucketed(sf_dir: str):
             bucket_width=86_400_000_000))
 
 
+def q_term_trends(sf_dir: str):
+    """Day-over-day trending terms (stages/text.py term_trends): per-day
+    token counts from the crawl timestamp (warc_ts arithmetic mirrored
+    in SQL), hash combine, token-keyed lag ratio — one IEEE division of
+    exact counts, bit-equal to the SQL lag window."""
+    import ray.data as rd
+
+    from ..stages.text import term_trends
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = WARC_EPOCH_US + did * (WARC_STEP_S * 1_000_000)
+        # 4-hour buckets: the sf0.01 corpus spans <1 day, so day-grain
+        # trends would be a single observation per token
+        return batch.append_column("day", pa.array(ts // 14_400_000_000))
+
+    out = term_trends(ds.map_batches(add_day, batch_format="pyarrow"),
+                      day_col="day").to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    out["day"] = out["day"].astype(np.int64)
+    return out.sort_values(["token", "day"]).reset_index(drop=True)
+
+
 def q_redirects(sf_dir: str):
     """Redirect-chain canonicalization (stages/redirects.py): synthetic
     301 chains (doc_id -> doc_id-3 while doc_id%3==0 and (doc_id//3)%7!=0)
@@ -2251,6 +2277,18 @@ def build_oracles() -> Dict[str, str]:
         "window_funcs_bucketed": _WINDOW_FUNCS_SQL,
         "trajectory": _TRAJECTORY_SQL,
         "trajectory_bucketed": _TRAJECTORY_SQL,
+        "term_trends": (
+            f"WITH d AS (SELECT ({WARC_EPOCH_US} + doc_id * "
+            f"{WARC_STEP_S * 1_000_000}) // 14400000000 AS day, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents), "
+            "c AS (SELECT token, day, count(*) AS n FROM d "
+            "WHERE token != '' GROUP BY 1, 2), "
+            "l AS (SELECT token, day, n, "
+            "lag(n) OVER (PARTITION BY token ORDER BY day) AS p FROM c) "
+            "SELECT token, day, CAST(n AS BIGINT) AS n, "
+            "CAST(n AS DOUBLE) / p AS ratio FROM l WHERE p IS NOT NULL "
+            "ORDER BY token, day"),
         "redirects": (
             "WITH RECURSIVE r AS ("
             "SELECT doc_id AS start, doc_id AS cur FROM documents "
@@ -2435,6 +2473,7 @@ def build_queries() -> Dict[str, Callable]:
         "window_funcs_bucketed": q_window_funcs_bucketed,
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
+        "term_trends": q_term_trends,
         "redirects": q_redirects,
         "cell_entropy": q_cell_entropy,
         "idw": q_idw,

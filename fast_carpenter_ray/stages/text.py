@@ -18,7 +18,7 @@ import pyarrow as pa
 
 __all__ = ["TokenCount", "QualityScore", "LangId", "Fingerprint",
            "vocab_count", "doc_frequency", "ngram_count", "top_terms",
-           "pmi_bigrams"]
+           "pmi_bigrams", "term_trends"]
 
 # a small multilingual stopword table for the n-gram/stopword language
 # heuristic (public common-word lists)
@@ -387,3 +387,53 @@ def pmi_bigrams(ds, text_col: str = "text", min_count: int = 5,
         np.float64)
     return pd.DataFrame({"ngram": big["ngram"].to_numpy(),
                          "n": c_ab, "ratio": ratio})
+
+
+def term_trends(ds, text_col: str = "text", day_col: str = "day",
+                mode: str = "hash"):
+    """Day-over-day term-frequency trend: for each token and day with a
+    previous-day observation, the count and the ratio to the previous
+    observed day's count.
+
+    The trending-topics leg of a crawl pipeline.  Shape: per-batch
+    (day, token) occurrence-count partials (explode + groupby — no
+    dedup, term FREQUENCY not document frequency) -> ONE hash combine
+    keyed (token, day) -> a token-keyed ordered lag pass (group size =
+    days per token, span-bounded).  ``ratio`` is a single IEEE division
+    of two exact int64 counts — bit-equal to the SQL lag window, no
+    rounding needed.  Returns ``token, day, n, ratio``.
+    """
+    from ..agg import combine_partials, default_partitions
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        toks = s.str.split(r"[ \t\n\r\f]+", regex=True)
+        out = pd.DataFrame({"day": batch[day_col].astype(np.int64),
+                            "token": toks}).explode("token")
+        out = out[(out["token"] != "") & out["token"].notna()]
+        out = (out.groupby(["token", "day"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["token", "day"], value_cols=["n"], mode=mode)
+
+    def lag_ratio(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values("day", kind="stable")
+        n = s["n"].to_numpy().astype(np.int64)
+        if len(n) < 2:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "day": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "ratio": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "token": s["token"].to_numpy()[1:],
+            "day": s["day"].to_numpy()[1:].astype(np.int64),
+            "n": n[1:],
+            "ratio": n[1:].astype(np.float64) / n[:-1].astype(np.float64),
+        })
+
+    return counts.groupby("token", num_partitions=default_partitions()).map_groups(
+        lag_ratio, batch_format="pandas")

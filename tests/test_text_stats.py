@@ -43,3 +43,28 @@ def test_pmi_min_count_filters_but_totals_keep(ray_session):
     assert out["ngram"].tolist() == ["a b"]
     # N=6, c_ab=5, c_a=c_b=5 -> 6*5/25
     np.testing.assert_allclose(out["ratio"].to_numpy(), [30.0 / 25.0])
+
+
+def test_term_trends_lag_ratio(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.text import term_trends
+
+    df = pd.DataFrame({
+        "text": ["a b", "a", "a a b", "b b"],
+        "day": np.array([0, 1, 1, 2], dtype=np.int64),
+    })
+    got = (term_trends(rd.from_pandas(df).repartition(2), day_col="day")
+           .to_pandas().sort_values(["token", "day"]).reset_index(drop=True))
+    # a: day0=1, day1=3 -> ratio 3; b: day0=1, day1=1 -> 1, day2=2 -> 2
+    rows = list(zip(got["token"], got["day"], got["n"], got["ratio"]))
+    assert rows == [("a", 1, 3, 3.0), ("b", 1, 1, 1.0), ("b", 2, 2, 2.0)]
+
+
+def test_term_trends_skips_single_day_tokens(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.text import term_trends
+
+    df = pd.DataFrame({"text": ["only"], "day": np.array([5], dtype=np.int64)})
+    assert term_trends(rd.from_pandas(df), day_col="day").to_pandas().empty
