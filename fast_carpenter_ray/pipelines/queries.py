@@ -945,6 +945,49 @@ def q_trajectory_bucketed(sf_dir: str):
             bucket_width=86_400_000_000))
 
 
+def q_kmeans_assign(sf_dir: str):
+    """Broadcast nearest-centroid assignment (stages/kmeans.py
+    kmeans_assign): seed centroids = embeddings of vec_id 0..7, one
+    fused matmul pass, no shuffle.  Oracle ranks with list_distance +
+    row_number (assignment is a discrete argmin — float-path differences
+    cannot flip it away from ties, and ties break to the lowest id on
+    both sides)."""
+    import ray.data as rd
+
+    from ..stages.kmeans import kmeans_assign
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    seed = (ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], 8)),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id"))
+    C = np.stack([np.asarray(e, dtype=np.float64) for e in seed["embedding"]])
+    out = kmeans_assign(ds, C, centroid_ids=seed["vec_id"].to_numpy()
+                        ).to_pandas()
+    for c in ["vec_id", "cluster"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_kmeans(sf_dir: str):
+    """Full distributed Lloyd k-means, k=8, 4 iterations
+    (stages/kmeans.py): per-iteration fused assign+partial-sum pass and
+    a constant-size combine; rows-only check (float centroid drift has
+    no SQL equivalent; pytest pins engine==local-reference
+    assignments)."""
+    import ray.data as rd
+
+    from ..stages.kmeans import kmeans
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    assignments, _ = kmeans(ds, k=8, iters=4)
+    out = assignments.to_pandas()
+    for c in ["vec_id", "cluster"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_term_trends(sf_dir: str):
     """Day-over-day trending terms (stages/text.py term_trends): per-day
     token counts from the crawl timestamp (warc_ts arithmetic mirrored
@@ -2277,6 +2320,16 @@ def build_oracles() -> Dict[str, str]:
         "window_funcs_bucketed": _WINDOW_FUNCS_SQL,
         "trajectory": _TRAJECTORY_SQL,
         "trajectory_bucketed": _TRAJECTORY_SQL,
+        "kmeans_assign": (
+            "WITH c AS (SELECT vec_id AS cid, embedding AS cemb "
+            "FROM embeddings WHERE vec_id < 8), "
+            "d AS (SELECT e.vec_id, c.cid, "
+            "list_distance(e.embedding, c.cemb) AS dist "
+            "FROM embeddings e, c) "
+            "SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM ("
+            "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1 "
+            "ORDER BY vec_id"),
         "term_trends": (
             f"WITH d AS (SELECT ({WARC_EPOCH_US} + doc_id * "
             f"{WARC_STEP_S * 1_000_000}) // 14400000000 AS day, "
@@ -2473,6 +2526,8 @@ def build_queries() -> Dict[str, Callable]:
         "window_funcs_bucketed": q_window_funcs_bucketed,
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans": q_kmeans,
         "term_trends": q_term_trends,
         "redirects": q_redirects,
         "cell_entropy": q_cell_entropy,

@@ -31,3 +31,4 @@ from .stats import grouped_corr, grouped_entropy  # noqa: F401
 from .index import inverted_index  # noqa: F401
 from .diff import dataset_diff  # noqa: F401
 from .redirects import resolve_map, resolve_stream, resolve_redirects  # noqa: F401
+from .kmeans import kmeans, kmeans_assign  # noqa: F401
