@@ -945,6 +945,48 @@ def q_trajectory_bucketed(sf_dir: str):
             bucket_width=86_400_000_000))
 
 
+def _docs_with_tokens(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text", "n_chars"])
+
+    def with_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("")
+        batch["n_tokens"] = s.str.split().str.len().fillna(0).astype(np.int64)
+        return batch
+
+    return ds.map_batches(with_tokens, batch_format="pandas")
+
+
+def q_skyline(sf_dir: str):
+    """2-D Pareto skyline over (n_chars, n_tokens) (stages/skyline.py):
+    per-batch local skyline shrink (the operator is algebraic), driver
+    union + final pass — the stream never shuffles."""
+    from ..stages.skyline import skyline
+
+    out = skyline(_docs_with_tokens(sf_dir), x="n_chars", y="n_tokens",
+                  keep=["doc_id"])
+    for c in ["doc_id", "n_chars", "n_tokens"]:
+        out[c] = out[c].astype(np.int64)
+    return out[["doc_id", "n_chars", "n_tokens"]]
+
+
+def q_grouped_mode(sf_dir: str):
+    """Most frequent document length per language (stages/stats.py
+    grouped_mode): exact count partials, one combine, deterministic
+    count-desc/value-asc tie-break."""
+    import ray.data as rd
+
+    from ..stages.stats import grouped_mode
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    out = grouped_mode(ds, group="lang", col="n_chars")
+    out["value"] = out["value"].astype(np.int64)
+    return out
+
+
 def q_kmeans_assign(sf_dir: str):
     """Broadcast nearest-centroid assignment (stages/kmeans.py
     kmeans_assign): seed centroids = embeddings of vec_id 0..7, one
@@ -2320,6 +2362,24 @@ def build_oracles() -> Dict[str, str]:
         "window_funcs_bucketed": _WINDOW_FUNCS_SQL,
         "trajectory": _TRAJECTORY_SQL,
         "trajectory_bucketed": _TRAJECTORY_SQL,
+        "skyline": (
+            "WITH t AS (SELECT doc_id, n_chars, "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+            "AS n_tokens FROM documents) "
+            "SELECT doc_id, n_chars, n_tokens FROM t b "
+            "WHERE NOT EXISTS (SELECT 1 FROM t a "
+            "WHERE a.n_chars >= b.n_chars AND a.n_tokens >= b.n_tokens "
+            "AND (a.n_chars > b.n_chars OR a.n_tokens > b.n_tokens)) "
+            "ORDER BY n_chars DESC, n_tokens DESC, doc_id"),
+        "grouped_mode": (
+            "WITH c AS (SELECT lang, n_chars AS value, count(*) AS n "
+            "FROM documents GROUP BY 1, 2) "
+            "SELECT lang, CAST(value AS BIGINT) AS value, "
+            "CAST(n AS BIGINT) AS n FROM ("
+            "SELECT lang, value, n, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n DESC, value) AS rn FROM c) "
+            "WHERE rn = 1 ORDER BY lang"),
         "kmeans_assign": (
             "WITH c AS (SELECT vec_id AS cid, embedding AS cemb "
             "FROM embeddings WHERE vec_id < 8), "
@@ -2526,6 +2586,8 @@ def build_queries() -> Dict[str, Callable]:
         "window_funcs_bucketed": q_window_funcs_bucketed,
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
+        "skyline": q_skyline,
+        "grouped_mode": q_grouped_mode,
         "kmeans_assign": q_kmeans_assign,
         "kmeans": q_kmeans,
         "term_trends": q_term_trends,

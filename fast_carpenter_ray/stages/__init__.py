@@ -27,7 +27,8 @@ from .spacetime import spacetime_cube, outlier_cells  # noqa: F401
 from .retention import (retention, cohort_retention, od_matrix,  # noqa: F401
                         od_matrix_bucketed)
 from .linkgraph import extract_links, domain_degrees, pagerank  # noqa: F401
-from .stats import grouped_corr, grouped_entropy  # noqa: F401
+from .stats import grouped_corr, grouped_entropy, grouped_mode  # noqa: F401
+from .skyline import skyline  # noqa: F401
 from .index import inverted_index  # noqa: F401
 from .diff import dataset_diff  # noqa: F401
 from .redirects import resolve_map, resolve_stream, resolve_redirects  # noqa: F401

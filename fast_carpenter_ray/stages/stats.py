@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["grouped_corr", "grouped_entropy"]
+__all__ = ["grouped_corr", "grouped_entropy", "grouped_mode"]
 
 
 def grouped_corr(ds, group: str, x: str, y: str, mode: str = "tree"):
@@ -109,3 +109,34 @@ def grouped_entropy(ds, group: str, label: str, mode: str = "tree"):
     # matching SQL ``0.0 - sum(...)`` bit-for-bit in the value hash
     out["entropy"] = 0.0 - out["entropy"]
     return out.sort_values(group).reset_index(drop=True)
+
+
+def grouped_mode(ds, group: str, col: str, mode: str = "tree"):
+    """Most frequent ``col`` value per ``group`` (ties -> smallest
+    value — the deterministic SQL ``ORDER BY count DESC, value`` rule).
+
+    Shape: per-batch (group, value) count partials -> one combine ->
+    vectorized per-group argmax.  Returns ``(group, value, n)`` sorted
+    by group; the (group x distinct-value) key space must fit the
+    chosen combine route (tree guarded by ``agg.MAX_DRIVER_ROWS``).
+    """
+    from ..agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group: batch[group].to_pandas(),
+                           "value": batch[col].to_pandas()})
+        out = df.groupby([group, "value"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[group, "value"], value_cols=["n"], mode=mode).to_pandas()
+    if counts.empty:
+        return counts
+    # combine sorts by (group, value); stable sort by count desc keeps
+    # the smallest value first within equal counts
+    s = counts.sort_values("n", ascending=False, kind="stable")
+    out = s.drop_duplicates(group, keep="first")
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(group).reset_index(drop=True)[[group, "value", "n"]]
