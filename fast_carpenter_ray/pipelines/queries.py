@@ -959,6 +959,45 @@ def _docs_with_tokens(sf_dir: str):
     return ds.map_batches(with_tokens, batch_format="pandas")
 
 
+def q_latest_by_key(sf_dir: str):
+    """CDC compaction (stages/diff.py latest_by_key): three synthetic
+    versions of the documents table (version 2 touches doc_id%3==0,
+    version 3 touches doc_id%5==0, values perturbed arithmetically)
+    compacted to latest-wins by the packed-max trick — one Max combine,
+    no argmax group tasks."""
+    import ray.data as rd
+
+    from ..stages.diff import latest_by_key
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def versions(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = [pa.table({"doc_id": pa.array(d),
+                           "version": pa.array(np.ones_like(d)),
+                           "n_chars": pa.array(n)})]
+        m2 = d % 3 == 0
+        parts.append(pa.table({"doc_id": pa.array(d[m2]),
+                               "version": pa.array(np.full(m2.sum(), 2,
+                                                           dtype=np.int64)),
+                               "n_chars": pa.array(n[m2] + 7)}))
+        m3 = d % 5 == 0
+        parts.append(pa.table({"doc_id": pa.array(d[m3]),
+                               "version": pa.array(np.full(m3.sum(), 3,
+                                                           dtype=np.int64)),
+                               "n_chars": pa.array(n[m3] + 11)}))
+        return pa.concat_tables(parts)
+
+    ds = docs.map_batches(versions, batch_format="pyarrow")
+    out = latest_by_key(ds, key="doc_id", version="version",
+                        value="n_chars").to_pandas()
+    for c in ["doc_id", "version", "n_chars"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_skyline(sf_dir: str):
     """2-D Pareto skyline over (n_chars, n_tokens) (stages/skyline.py):
     per-batch local skyline shrink (the operator is algebraic), driver
@@ -2362,6 +2401,18 @@ def build_oracles() -> Dict[str, str]:
         "window_funcs_bucketed": _WINDOW_FUNCS_SQL,
         "trajectory": _TRAJECTORY_SQL,
         "trajectory_bucketed": _TRAJECTORY_SQL,
+        "latest_by_key": (
+            "WITH v AS ("
+            "SELECT doc_id, 1 AS version, n_chars FROM documents "
+            "UNION ALL SELECT doc_id, 2, n_chars + 7 FROM documents "
+            "WHERE doc_id % 3 = 0 "
+            "UNION ALL SELECT doc_id, 3, n_chars + 11 FROM documents "
+            "WHERE doc_id % 5 = 0) "
+            "SELECT doc_id, CAST(version AS BIGINT) AS version, "
+            "CAST(n_chars AS BIGINT) AS n_chars FROM ("
+            "SELECT doc_id, version, n_chars, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY version DESC, n_chars DESC) "
+            "AS rn FROM v) WHERE rn = 1 ORDER BY doc_id"),
         "skyline": (
             "WITH t AS (SELECT doc_id, n_chars, "
             "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
@@ -2586,6 +2637,7 @@ def build_queries() -> Dict[str, Callable]:
         "window_funcs_bucketed": q_window_funcs_bucketed,
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
+        "latest_by_key": q_latest_by_key,
         "skyline": q_skyline,
         "grouped_mode": q_grouped_mode,
         "kmeans_assign": q_kmeans_assign,

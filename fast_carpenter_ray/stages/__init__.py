@@ -30,6 +30,6 @@ from .linkgraph import extract_links, domain_degrees, pagerank  # noqa: F401
 from .stats import grouped_corr, grouped_entropy, grouped_mode  # noqa: F401
 from .skyline import skyline  # noqa: F401
 from .index import inverted_index  # noqa: F401
-from .diff import dataset_diff  # noqa: F401
+from .diff import dataset_diff, latest_by_key  # noqa: F401
 from .redirects import resolve_map, resolve_stream, resolve_redirects  # noqa: F401
 from .kmeans import kmeans, kmeans_assign  # noqa: F401

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["dataset_diff"]
+__all__ = ["dataset_diff", "latest_by_key"]
 
 
 def _side_partials(ds, key, cols, side):
@@ -81,3 +81,53 @@ def dataset_diff(old_ds, new_ds, key: str, cols, mode: str = "hash",
                                         ("change", pa.string())]))
 
     return agg.map_batches(classify, batch_format="pyarrow")
+
+
+def latest_by_key(ds, key: str, version: str, value: str,
+                  value_bound: int = 1_000_000_000, mode: str = "hash"):
+    """CDC / upsert compaction: the latest ``value`` per key, "latest" =
+    highest ``version`` (ties -> the larger value, a deterministic rule
+    both sides state explicitly).
+
+    The argmax is made ASSOCIATIVE by packing:
+    ``packed = version * value_bound + value`` (requires
+    ``0 <= value < value_bound`` and the product in int64 — checked per
+    batch).  A packed max IS the latest-wins winner, so compaction is
+    per-batch max partials + ONE Max combine — no per-key group task, no
+    row materialization, the cheapest possible shuffle shape for
+    100 TB CDC streams.  Returns ``(key, version, value)``.
+    """
+    from ..agg import combine_partials
+
+    bound = int(value_bound)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[version].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and (x.min() < 0 or x.max() >= bound):
+            raise ValueError(
+                f"latest_by_key: value outside [0, {bound}) cannot pack")
+        if len(v) and v.max() > (2**62) // bound:
+            raise ValueError("latest_by_key: version * value_bound "
+                             "overflows int64")
+        df = pd.DataFrame({key: k, "_packed": v * bound + x})
+        out = df.groupby(key, sort=False)["_packed"].max().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    packed = combine_partials(ds.map_batches(pack, batch_format="pyarrow"),
+                              keys=[key], value_cols=["_packed"],
+                              mode=mode, agg="max")
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "_packed" not in df.columns:  # schemaless empty block
+            return pa.table({key: pa.array([], pa.int64()),
+                             version: pa.array([], pa.int64()),
+                             value: pa.array([], pa.int64())})
+        p = df["_packed"].to_numpy().astype(np.int64)
+        return pa.table({key: pa.array(df[key].to_numpy().astype(np.int64)),
+                         version: pa.array(p // bound),
+                         value: pa.array(p % bound)})
+
+    return packed.map_batches(unpack, batch_format="pyarrow")

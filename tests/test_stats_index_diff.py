@@ -109,3 +109,32 @@ def test_grouped_entropy_single_label_is_positive_zero(ray_session):
     got = grouped_entropy(rd.from_pandas(df), "g", "lab")
     assert got["entropy"].iloc[0] == 0.0
     assert not np.signbit(got["entropy"].iloc[0])  # +0.0, never -0.0
+
+
+def test_latest_by_key_packed_max(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.diff import latest_by_key
+
+    df = pd.DataFrame({
+        "k": np.array([1, 1, 1, 2, 2, 3], dtype=np.int64),
+        "ver": np.array([1, 3, 2, 1, 1, 5], dtype=np.int64),
+        "v": np.array([10, 30, 20, 7, 9, 4], dtype=np.int64),
+    })
+    got = (latest_by_key(rd.from_pandas(df).repartition(3),
+                         key="k", version="ver", value="v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # k=1 -> ver 3; k=2 -> ver tie 1/1, larger value 9 wins; k=3 -> 4
+    assert got["ver"].tolist() == [3, 1, 5]
+    assert got["v"].tolist() == [30, 9, 4]
+
+
+def test_latest_by_key_bound_checks(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.diff import latest_by_key
+
+    df = pd.DataFrame({"k": [1], "ver": [1], "v": [-1]})
+    with pytest.raises(Exception, match="pack"):
+        latest_by_key(rd.from_pandas(df), key="k", version="ver",
+                      value="v").to_pandas()
