@@ -959,6 +959,45 @@ def _docs_with_tokens(sf_dir: str):
     return ds.map_batches(with_tokens, batch_format="pandas")
 
 
+def q_audience_overlap(sf_dir: str):
+    """Audience-overlap matrix (stages/retention.py audience_overlap):
+    users doing BOTH of each event-type pair — distinct-pair shrink, one
+    user shuffle, vectorized per-user pair expansion, label² combine."""
+    import ray.data as rd
+
+    from ..stages.retention import audience_overlap
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    out = audience_overlap(ds, key="user_id", label="event_type").to_pandas()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_winsorize(sf_dir: str):
+    """Winsorization composite: exact p05/p95 of document length
+    (stages/quantile.py) broadcast as driver scalars, then a fused
+    per-batch clamp — distributed quantile + zero-shuffle transform."""
+    import ray.data as rd
+
+    from ..stages.quantile import exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    qs = exact_quantiles(ds, "n_chars", [0.05, 0.95])
+    lo, hi = int(qs["value"].iloc[0]), int(qs["value"].iloc[1])
+
+    def clamp(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_chars_w": pa.array(np.clip(v, lo, hi))})
+
+    out = ds.map_batches(clamp, batch_format="pyarrow").to_pandas()
+    for c in ["doc_id", "n_chars_w"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_latest_by_key(sf_dir: str):
     """CDC compaction (stages/diff.py latest_by_key): three synthetic
     versions of the documents table (version 2 touches doc_id%3==0,
@@ -2401,6 +2440,22 @@ def build_oracles() -> Dict[str, str]:
         "window_funcs_bucketed": _WINDOW_FUNCS_SQL,
         "trajectory": _TRAJECTORY_SQL,
         "trajectory_bucketed": _TRAJECTORY_SQL,
+        "audience_overlap": (
+            "WITH p AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS a, b.event_type AS b, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM p a JOIN p b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "winsorize": (
+            "WITH c AS (SELECT n_chars AS v, count(*) OVER (ORDER BY "
+            "n_chars RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS cum, (SELECT count(*) FROM documents) AS n FROM documents), "
+            "lo AS (SELECT min(v) AS v FROM c WHERE cum >= ceil(0.05 * n)), "
+            "hi AS (SELECT min(v) AS v FROM c WHERE cum >= ceil(0.95 * n)) "
+            "SELECT doc_id, CAST(least(greatest(n_chars, "
+            "(SELECT v FROM lo)), (SELECT v FROM hi)) AS BIGINT) "
+            "AS n_chars_w FROM documents ORDER BY doc_id"),
         "latest_by_key": (
             "WITH v AS ("
             "SELECT doc_id, 1 AS version, n_chars FROM documents "
@@ -2637,6 +2692,8 @@ def build_queries() -> Dict[str, Callable]:
         "window_funcs_bucketed": q_window_funcs_bucketed,
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
+        "audience_overlap": q_audience_overlap,
+        "winsorize": q_winsorize,
         "latest_by_key": q_latest_by_key,
         "skyline": q_skyline,
         "grouped_mode": q_grouped_mode,

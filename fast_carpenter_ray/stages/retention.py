@@ -41,7 +41,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["retention", "cohort_retention", "od_matrix",
-           "od_matrix_bucketed"]
+           "od_matrix_bucketed", "audience_overlap"]
 
 DAY_US = 86_400_000_000
 
@@ -234,3 +234,39 @@ def od_matrix_bucketed(ds, key: str = "user_id", ts: str = "ts",
         merge, batch_format="pandas")
     return combine_partials(merged, keys=["cell_from", "cell_to"],
                             value_cols=["n"], mode=mode)
+
+
+def audience_overlap(ds, key: str = "user_id", label: str = "event_type",
+                     mode: str = "tree"):
+    """Audience-overlap matrix: for every unordered label pair
+    ``(a, b)`` with ``a < b``, the number of entities that carry BOTH
+    labels (users who did both event types, readers of both domains...).
+
+    Shape: per-batch DISTINCT (key, label) shrink -> ONE key-keyed
+    shuffle -> per-entity vectorized pair expansion (an entity with m
+    labels emits m*(m-1)/2 pair rows — m is the LABEL-space size, tiny)
+    -> a label-pair combine (label² key space, summary-sized).  The
+    entity stream shuffles once, as slim 2-column rows.
+    """
+    from ..agg import combine_partials, default_partitions
+
+    def slim(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: batch[key].to_pandas(),
+                           label: batch[label].to_pandas()}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        labs = np.unique(g[label].to_numpy())
+        if len(labs) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "n_users": pd.Series([], dtype=np.int64)})
+        i, j = np.triu_indices(len(labs), k=1)
+        return pd.DataFrame({"a": labs[i], "b": labs[j],
+                             "n_users": np.ones(len(i), dtype=np.int64)})
+
+    parts = (ds.map_batches(slim, batch_format="pyarrow")
+             .groupby(key, num_partitions=default_partitions())
+             .map_groups(pairs, batch_format="pandas"))
+    return combine_partials(parts, keys=["a", "b"], value_cols=["n_users"],
+                            mode=mode)

@@ -126,3 +126,28 @@ def test_retention_empty(ray_session):
         "cell": pa.array([], pa.int64())}))
     assert retention(empty).to_pandas().empty
     assert od_matrix(empty).to_pandas().empty
+
+
+def test_audience_overlap_matches_brute(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.retention import audience_overlap
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, 800).astype(np.int64),
+        "event_type": rng.choice(["v", "c", "p", "s"], 800),
+    })
+    got = (audience_overlap(rd.from_pandas(df).repartition(4))
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    p = df.drop_duplicates()
+    exp = (p.merge(p, on="user_id")
+           .query("event_type_x < event_type_y")
+           .groupby(["event_type_x", "event_type_y"]).size()
+           .rename("n_users").reset_index()
+           .sort_values(["event_type_x", "event_type_y"])
+           .reset_index(drop=True))
+    assert got["a"].tolist() == exp["event_type_x"].tolist()
+    assert got["b"].tolist() == exp["event_type_y"].tolist()
+    np.testing.assert_array_equal(got["n_users"].to_numpy().astype(np.int64),
+                                  exp["n_users"].to_numpy())
