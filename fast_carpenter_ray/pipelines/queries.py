@@ -959,6 +959,36 @@ def _docs_with_tokens(sf_dir: str):
     return ds.map_batches(with_tokens, batch_format="pandas")
 
 
+def q_zipf(sf_dir: str):
+    """Zipf's-law slope over the corpus vocabulary (stages/stats.py
+    zipf_slope): hash-combined vocab, driver closed-form fit."""
+    import ray.data as rd
+
+    from ..stages.stats import zipf_slope
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = zipf_slope(ds)
+    out["slope"] = out["slope"].round(6)
+    return out
+
+
+def q_ewma(sf_dir: str):
+    """Per-user exponential moving average (stages/windows.py ewma): the
+    sequential recursion as a closed-form vectorized weighted sum — one
+    ordered key shuffle, no scan.  Rounded to 6 decimals (power() ulp
+    + sum order)."""
+    import ray.data as rd
+
+    from ..stages.windows import ewma
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+    out = ewma(ds, alpha=0.3).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    out["ewma"] = out["ewma"].round(6)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_audience_overlap(sf_dir: str):
     """Audience-overlap matrix (stages/retention.py audience_overlap):
     users doing BOTH of each event-type pair — distinct-pair shrink, one
@@ -2440,6 +2470,27 @@ def build_oracles() -> Dict[str, str]:
         "window_funcs_bucketed": _WINDOW_FUNCS_SQL,
         "trajectory": _TRAJECTORY_SQL,
         "trajectory_bucketed": _TRAJECTORY_SQL,
+        "zipf": (
+            "WITH w AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) "
+            "AS token FROM documents), "
+            "v AS (SELECT token, count(*) AS n FROM w WHERE token != '' "
+            "GROUP BY token), "
+            "r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, "
+            "token) AS DOUBLE)) AS lr, ln(CAST(n AS DOUBLE)) AS lf FROM v), "
+            "s AS (SELECT CAST(count(*) AS DOUBLE) AS k, sum(lr) AS sx, "
+            "sum(lf) AS sy, sum(lr*lf) AS sxy, sum(lr*lr) AS sxx FROM r) "
+            "SELECT CAST(k AS BIGINT) AS n_tokens, "
+            "round((k*sxy - sx*sy) / (k*sxx - sx*sx), 6) AS slope FROM s"),
+        "ewma": (
+            "WITH o AS (SELECT user_id, value, "
+            "row_number() OVER w AS i, "
+            "count(*) OVER (PARTITION BY user_id) AS n FROM events "
+            "WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts), event_id)) "
+            "SELECT user_id, CAST(max(n) AS BIGINT) AS n, "
+            "round(sum(CASE WHEN i = 1 THEN power(0.7, n - 1) * value "
+            "ELSE 0.3 * power(0.7, n - i) * value END), 6) AS ewma "
+            "FROM o GROUP BY user_id ORDER BY user_id"),
         "audience_overlap": (
             "WITH p AS (SELECT DISTINCT user_id, event_type FROM events) "
             "SELECT a.event_type AS a, b.event_type AS b, "
@@ -2692,6 +2743,8 @@ def build_queries() -> Dict[str, Callable]:
         "window_funcs_bucketed": q_window_funcs_bucketed,
         "trajectory": q_trajectory,
         "trajectory_bucketed": q_trajectory_bucketed,
+        "zipf": q_zipf,
+        "ewma": q_ewma,
         "audience_overlap": q_audience_overlap,
         "winsorize": q_winsorize,
         "latest_by_key": q_latest_by_key,

@@ -11,7 +11,7 @@ from .dedup import ExactDedup, MinHashDedup, SimHashDedup, ngram_jaccard  # noqa
 from .text import TokenCount, QualityScore, LangId, Fingerprint  # noqa: F401
 from .ann import ann_topk, ivf_topk, near_dup_cosine, LSHBuckets  # noqa: F401
 from .asof_join import asof_join  # noqa: F401
-from .windows import session_windows  # noqa: F401
+from .windows import session_windows, ewma  # noqa: F401
 from .multimodal import ImageDecode, FrameSample, AudioResample, media_schema  # noqa: F401
 from .joins import lookup_join, hash_join  # noqa: F401
 from .range_join import range_join, range_join_bucketed  # noqa: F401
@@ -25,9 +25,9 @@ from .cluster import cluster_cells  # noqa: F401
 from .hotspot import hotspot_cells  # noqa: F401
 from .spacetime import spacetime_cube, outlier_cells  # noqa: F401
 from .retention import (retention, cohort_retention, od_matrix,  # noqa: F401
-                        od_matrix_bucketed)
+                        od_matrix_bucketed, audience_overlap)
 from .linkgraph import extract_links, domain_degrees, pagerank  # noqa: F401
-from .stats import grouped_corr, grouped_entropy, grouped_mode  # noqa: F401
+from .stats import grouped_corr, grouped_entropy, grouped_mode, zipf_slope  # noqa: F401
 from .skyline import skyline  # noqa: F401
 from .index import inverted_index  # noqa: F401
 from .diff import dataset_diff, latest_by_key  # noqa: F401

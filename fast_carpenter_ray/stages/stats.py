@@ -23,7 +23,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["grouped_corr", "grouped_entropy", "grouped_mode"]
+__all__ = ["grouped_corr", "grouped_entropy", "grouped_mode",
+           "zipf_slope"]
 
 
 def grouped_corr(ds, group: str, x: str, y: str, mode: str = "tree"):
@@ -140,3 +141,33 @@ def grouped_mode(ds, group: str, col: str, mode: str = "tree"):
     out = s.drop_duplicates(group, keep="first")
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(group).reset_index(drop=True)[[group, "value", "n"]]
+
+
+def zipf_slope(ds, text_col: str = "text"):
+    """Zipf's-law fit: the least-squares slope of ln(frequency) against
+    ln(rank) over the corpus vocabulary (rank by count desc, token asc —
+    the deterministic tie rule).
+
+    Shape: the corpus shrinks to the vocabulary via
+    ``text.vocab_count``'s hash combine (the only shuffle); the
+    vocabulary-sized (token, n) table ranks and fits on the driver with
+    the exact closed form ``(k*Sxy - Sx*Sy) / (k*Sxx - Sx^2)``.  Returns
+    a one-row frame ``(n_tokens, slope)``; round before hashing (ln()
+    ulp + sum order).
+    """
+    from .text import vocab_count
+
+    v = vocab_count(ds, text_col=text_col).to_pandas()
+    if v.empty or len(v) < 2:
+        return pd.DataFrame({"n_tokens": pd.Series([], dtype=np.int64),
+                             "slope": pd.Series([], dtype=np.float64)})
+    v = v.sort_values(["n", "token"], ascending=[False, True],
+                      kind="stable").reset_index(drop=True)
+    lr = np.log(np.arange(1, len(v) + 1, dtype=np.float64))
+    lf = np.log(v["n"].to_numpy().astype(np.float64))
+    k = float(len(v))
+    sx, sy = lr.sum(), lf.sum()
+    sxy, sxx = (lr * lf).sum(), (lr * lr).sum()
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return pd.DataFrame({"n_tokens": np.array([len(v)], dtype=np.int64),
+                         "slope": [slope]})

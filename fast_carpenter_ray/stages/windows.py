@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["session_windows", "session_windows_bucketed", "hop_windows",
+__all__ = ["session_windows", "session_windows_bucketed", "hop_windows", "ewma",
            "funnel", "window_funcs", "window_funcs_bucketed"]
 
 
@@ -471,3 +471,42 @@ def window_funcs_bucketed(ds, key: str = "user_id", ts: str = "ts",
 
     return unioned.groupby([key, _B], num_partitions=np_).map_groups(
         finish, batch_format="pandas")
+
+
+def ewma(ds, key: str = "user_id", ts: str = "ts", id_col: str = "event_id",
+         value: str = "value", alpha: float = 0.3):
+    """Final exponential moving average per key over the time-ordered
+    value sequence (``ewma_1 = x_1``;
+    ``ewma_t = alpha*x_t + (1-alpha)*ewma_{t-1}``).
+
+    The sequential recursion is re-expressed as the closed-form weighted
+    sum ``(1-a)^(n-1) x_1 + sum_{i>=2} a (1-a)^(n-i) x_i`` so the
+    per-key fold is one vectorized power+dot instead of a scan — the
+    same ordered-shuffle shape as :func:`window_funcs` (slim projection,
+    ONE key shuffle, no row loop).  Returns ``(key, n, ewma)``;
+    round before hashing (power() differs from SQL's by <=1 ulp).
+    """
+    from ..agg import default_partitions
+
+    a = float(alpha)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch[ts]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        return pa.table({key: batch[key], "_t": t, "_id": batch[id_col],
+                         "_v": batch[value]})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["_t", "_id"], kind="stable")
+        x = s["_v"].to_numpy().astype(np.float64)
+        n = len(x)
+        w = a * np.power(1.0 - a, n - 1 - np.arange(n))
+        w[0] = np.power(1.0 - a, n - 1)   # init convention: ewma_1 = x_1
+        return pd.DataFrame({key: [s[key].iloc[0]],
+                             "n": np.array([n], dtype=np.int64),
+                             "ewma": [float(np.dot(w, x))]})
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby(key, num_partitions=default_partitions())
+            .map_groups(fold, batch_format="pandas"))

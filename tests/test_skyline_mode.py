@@ -56,3 +56,26 @@ def test_grouped_mode_tie_breaks_to_smallest(ray_session):
     assert got[got["g"] == "a"]["value"].iloc[0] == 1  # tie 2x1 vs 2x2 -> 1
     assert got[got["g"] == "b"]["value"].iloc[0] == 9
     assert got[got["g"] == "a"]["n"].iloc[0] == 2
+
+
+def test_zipf_slope_on_planted_power_law(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import zipf_slope
+
+    # exact power law f(r) = 1000 / r  ->  slope must be ~-1
+    texts = []
+    for r in range(1, 30):
+        texts += [f"tok{r:02d}"] * (1000 // r)
+    df = pd.DataFrame({"text": [" ".join(texts)]})
+    out = zipf_slope(rd.from_pandas(df))
+    assert out["n_tokens"].iloc[0] == 29
+    assert out["slope"].iloc[0] == pytest.approx(-1.0, abs=0.02)
+
+
+def test_zipf_slope_degenerate(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import zipf_slope
+
+    assert zipf_slope(rd.from_pandas(pd.DataFrame({"text": ["one"]}))).empty

@@ -387,3 +387,30 @@ def test_window_funcs_rejects_bad_scale(ray_session):
 
     with pytest.raises(ValueError, match="power of two"):
         window_funcs(rd.from_pandas(_wf_events(n=10)), scale=48)
+
+
+def test_ewma_matches_sequential_scan(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import ewma
+
+    rng = np.random.default_rng(71)
+    n = 900
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "ts": rng.integers(0, 10**7, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.normal(50, 10, n),
+    })
+    got = (ewma(rd.from_pandas(df).repartition(5), alpha=0.3)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for _, row in got.iterrows():
+        g = df[df["user_id"] == row["user_id"]].sort_values(
+            ["ts", "event_id"], kind="stable")
+        e = None
+        for x in g["value"]:
+            e = x if e is None else 0.3 * x + 0.7 * e
+        assert row["ewma"] == pytest.approx(e, abs=1e-9)
+        assert row["n"] == len(g)
