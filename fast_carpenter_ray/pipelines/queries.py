@@ -635,8 +635,8 @@ def _neardup_corpus(sf_dir: str):
 def q_near_dedup(sf_dir: str):
     """End-to-end near-duplicate removal (stages/dedup.py near_dedup):
     LSH pairs -> union-find clusters -> min-id survivor per cluster.
-    Rows-only (survivor set depends on MinHash; clustering pinned in
-    pytest against the planted-dup golden)."""
+    Oracle: the full MinHash replay in SQL plus a recursive
+    min-reachability CTE for the connected components (_near_dedup_sql)."""
     ds = _neardup_corpus(sf_dir)
     from ..stages.dedup import near_dedup
 
@@ -646,14 +646,23 @@ def q_near_dedup(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
+    """Full MinHash+LSH chain (signatures -> band rows -> bucket pairs ->
+    signature verification) under a bit-exact SQL oracle: the oracle
+    recomputes sha256-prefix token hashes, the HUGEINT rolling shingle
+    hash, the universal-hash signature mins, the FNV band fold and the
+    equality-fraction verification entirely in DuckDB.  est_jaccard is
+    k/128 (k integer) — exactly representable in f64, so no rounding is
+    needed for the hash compare."""
     ds = _neardup_corpus(sf_dir)
     mh = MinHashDedup("minhash", threshold=0.5)
     out = mh.candidate_pairs(ds).to_pandas()
-    out["est_jaccard"] = out["est_jaccard"].round(4)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def q_simhash_pairs(sf_dir: str):
+    """Full SimHash chain under a bit-exact SQL oracle (see
+    _simhash_pairs_sql): token-vote fingerprints, 16-bit bank LSH, and
+    Hamming verification all recomputed independently in DuckDB."""
     ds = _neardup_corpus(sf_dir)
     out = SimHashDedup("simhash").candidate_pairs(ds).to_pandas()
     out["hamming"] = out["hamming"].astype(np.int64)
@@ -1924,6 +1933,136 @@ def _lang_id_sql() -> str:
         "USING (doc_id)")
 
 
+#: 2^64 as a HUGEINT literal (uint64 wrap modulus) and FNV-1a constants,
+#: shared by the hash-replay oracles below.
+_POW64 = "18446744073709551616::HUGEINT"
+_FNV_P = 1099511628211
+_FNV_OFF = 14695981039346656037
+
+
+def _minhash_corpus_sig_sql(mh: "MinHashDedup") -> str:
+    """CTE prefix computing the neardup-corpus MinHash signature table
+    ``sig(doc_id, k, v)`` in pure SQL — the same math as
+    ``MinHashDedup.signature_batch``: lowercase whitespace tokenization,
+    chr(0) padding to the shingle width, sha256-prefix token hashes, the
+    FNV-multiplier rolling shingle hash mod 2^64, distinct shingles, and
+    min over the universal-hash family (a*x+b) mod (2^31-1) whose a/b
+    coefficients (seeded numpy PRNG) are embedded as literals."""
+    p = (1 << 31) - 1
+    a_list = "[" + ",".join(str(int(v)) for v in mh.a) + "]"
+    b_list = "[" + ",".join(str(int(v)) for v in mh.b) + "]"
+    w = mh.shingle_width
+    return (
+        "WITH corpus AS ("
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 10000000, text || ' near duplicate suffix tokens' "
+        "FROM documents WHERE doc_id % 10 = 0), "
+        "toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(coalesce(text, '')), '\\s+'), t -> t != '') AS t0 FROM corpus), "
+        f"padded AS (SELECT doc_id, list_concat(t0, list_transform("
+        f"range(greatest(0, {w} - len(t0))), x -> chr(0))) AS t FROM toks), "
+        "th AS (SELECT doc_id, list_transform(t, s -> "
+        "('0x' || substring(sha256(s), 1, 16))::UBIGINT) AS h FROM padded), "
+        "sh AS (SELECT DISTINCT doc_id, CAST(("
+        f"(h[i]::HUGEINT * {_FNV_P} + h[i+1]) % {_POW64} "
+        f"* {_FNV_P} + h[i+2]) % {_POW64} AS UBIGINT) AS shingle "
+        "FROM th, unnest(range(1, len(h) - 1)) AS u(i)), "
+        f"perms AS (SELECT unnest(range({mh.num_perm})) AS k, "
+        f"unnest({a_list}) AS a, unnest({b_list}) AS b), "
+        "sig AS (SELECT doc_id, k, "
+        f"min((a * (shingle % {p}) + b) % {p}) AS v "
+        "FROM sh CROSS JOIN perms GROUP BY doc_id, k)")
+
+
+def _minhash_verified_cte(mh: "MinHashDedup") -> str:
+    """CTE chain ending in ``verified(id_a, id_b, est_jaccard)``: FNV
+    band-key fold over each band's rows_per_band signature values ->
+    equi-join candidates -> equality-fraction verification."""
+    r = mh.rows_per_band
+    return (
+        _minhash_corpus_sig_sql(mh) + ", "
+        f"bands AS (SELECT doc_id, CAST(k // {r} AS INTEGER) AS band, "
+        f"list_reduce(list_prepend({_FNV_OFF}::UBIGINT, "
+        "list(CAST(v AS UBIGINT) ORDER BY k)), "
+        f"(acc, x) -> CAST((CAST(xor(acc, x) AS HUGEINT) * {_FNV_P}) "
+        f"% {_POW64} AS UBIGINT)) AS band_key "
+        "FROM sig GROUP BY doc_id, band), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.band_key = b.band_key "
+        "WHERE a.doc_id < b.doc_id), "
+        "verified AS (SELECT c.id_a, c.id_b, "
+        "CAST(sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END) AS DOUBLE) "
+        f"/ {mh.num_perm} AS est_jaccard "
+        "FROM cand c JOIN sig s1 ON s1.doc_id = c.id_a "
+        "JOIN sig s2 ON s2.doc_id = c.id_b AND s2.k = s1.k "
+        "GROUP BY c.id_a, c.id_b "
+        f"HAVING est_jaccard >= {mh.threshold})")
+
+
+def _minhash_pairs_sql() -> str:
+    """minhash_pairs oracle: the verified-pair CTE chain at the query's
+    threshold (0.5)."""
+    mh = MinHashDedup("minhash", threshold=0.5)
+    return (_minhash_verified_cte(mh)
+            + " SELECT id_a, id_b, est_jaccard FROM verified")
+
+
+def _near_dedup_sql() -> str:
+    """near_dedup oracle: connected components over the verified MinHash
+    pair set (recursive min-reachability CTE over the symmetric edge
+    closure — the SQL analogue of ``dedup.cluster_pairs``'s union-find),
+    then drop every corpus doc that is not its component's minimum id."""
+    mh = MinHashDedup("near_dedup", threshold=0.5)
+    return (
+        _minhash_verified_cte(mh).replace("WITH ", "WITH RECURSIVE ", 1) + ", "
+        "sym AS (SELECT id_a AS a, id_b AS b FROM verified "
+        "UNION ALL SELECT id_b, id_a FROM verified), "
+        "reach(id, root) AS ("
+        "SELECT DISTINCT a, a FROM sym "
+        "UNION "
+        "SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id), "
+        "comp AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id) "
+        "SELECT doc_id FROM corpus WHERE doc_id NOT IN "
+        "(SELECT id FROM comp WHERE id != cluster)")
+
+
+def _simhash_pairs_sql() -> str:
+    """simhash_pairs oracle: per-token sha256-prefix hashes vote on each
+    of the 64 bits (+1/-1, multiplicity counted); bit set iff the vote is
+    strictly positive; 4 x 16-bit bank bucketing; xor + bit_count Hamming
+    verification at max_hamming=3 — the same math as
+    ``SimHashDedup.simhash`` / ``bank_rows`` / ``_bucket_pairs``."""
+    return (
+        "WITH corpus AS ("
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 10000000, text || ' near duplicate suffix tokens' "
+        "FROM documents WHERE doc_id % 10 = 0), "
+        "u AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+        "lower(coalesce(text, '')), '\\s+'), t -> t != '')) AS w FROM corpus), "
+        "th AS (SELECT doc_id, "
+        "('0x' || substring(sha256(w), 1, 16))::UBIGINT AS h FROM u), "
+        "bits AS (SELECT doc_id, j, "
+        "sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote "
+        "FROM th CROSS JOIN range(64) r(j) GROUP BY doc_id, j), "
+        "sh0 AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 "
+        "THEN (1::UBIGINT << j)::HUGEINT ELSE 0 END) AS UBIGINT) AS sh "
+        "FROM bits GROUP BY doc_id), "
+        "sh AS (SELECT c.doc_id, coalesce(s.sh, 0::UBIGINT) AS sh "
+        "FROM corpus c LEFT JOIN sh0 s USING (doc_id)), "
+        "banks AS (SELECT doc_id, b, "
+        "CAST((sh >> (16 * b)) & 65535 AS BIGINT) AS key, sh "
+        "FROM sh CROSS JOIN range(4) r(b)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "a.sh AS sh_a, b.sh AS sh_b "
+        "FROM banks a JOIN banks b ON a.b = b.b AND a.key = b.key "
+        "WHERE a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) "
+        "AS hamming FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3")
+
+
 #: Shared oracle for q_window_funcs / q_window_funcs_bucketed.  The
 #: running sum is over the int64 quantization floor(value * 64) (power-of-
 #: two scale => exact f64 product), so every output column is integer and
@@ -2320,6 +2459,9 @@ def build_oracles() -> Dict[str, str]:
             "SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank "
             "FROM r WHERE rank <= 5"),
         "lang_id": _lang_id_sql(),
+        "minhash_pairs": _minhash_pairs_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "near_dedup": _near_dedup_sql(),
         # the rolling-hash fingerprint recomputed entirely in SQL: same
         # RE2 tokenization, same sha256-prefix token hash, same
         # 128-bit (HUGEINT) roll mod 2^64, same 63-bit mask — bit-exact

@@ -48,9 +48,12 @@ _MERSENNE31 = np.uint64((1 << 31) - 1)
 
 def _stable_token_hash(token: str) -> int:
     """Deterministic 64-bit token hash (process-independent, unlike
-    Python's salted ``hash``)."""
-    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(),
-                          "little")
+    Python's salted ``hash``): the big-endian first 8 bytes of sha256.
+    sha256 (rather than blake2b) so an independent SQL engine can
+    recompute it — DuckDB: ``('0x' || substring(sha256(t),1,16))::UBIGINT``
+    — which is what puts the MinHash/SimHash pipelines under a bit-exact
+    oracle."""
+    return int.from_bytes(hashlib.sha256(token.encode("utf-8")).digest()[:8], "big")
 
 
 def tokenize(text: str) -> List[str]:
