@@ -313,15 +313,21 @@ def q_knn_euclid(sf_dir: str):
 
 
 def q_knn_haversine(sf_dir: str):
-    """The real engine kNN join (k-ring + haversine refinement); rows-only
-    driver check, exactness proven in pytest against brute force."""
+    """The real engine kNN join (k-ring + haversine refinement) under a
+    neighbour-rank SQL oracle: the oracle recomputes great-circle
+    distances with DuckDB's own trig and ranks with the same site_id
+    tie-break.  Only (doc_id, site_id, rank) is compared — rank is
+    invariant to the sub-ulp trig differences between numpy's SIMD
+    kernels and libm, while still pinning the k-ring path's neighbour
+    SETS and ORDER exactly.  Metre values are separately asserted against
+    brute force in pytest."""
     ds = _pages_geo(sf_dir)
     ds = knn_join(ds, sites_table(), k=3, res=RES)
-    out = ds.select_columns(["doc_id", "site_id", "rank", "dist_m"])
+    out = ds.select_columns(["doc_id", "site_id", "rank"])
     return out.map_batches(
         lambda t: t.set_column(
-            t.column_names.index("dist_m"), "dist_m",
-            pa.compute.round(t["dist_m"], 3)),
+            t.column_names.index("rank"), "rank",
+            t["rank"].cast(pa.int64())),
         batch_format="pyarrow")
 
 
@@ -2203,6 +2209,19 @@ def build_oracles() -> Dict[str, str]:
             f"SELECT doc_id, site_id, "
             f"row_number() OVER (PARTITION BY doc_id ORDER BY d2, site_id) AS rank "
             f"FROM d) WHERE rank <= 3"),
+        "knn_haversine": (
+            f"WITH base AS ({geo}), "
+            f"d AS (SELECT doc_id, site_id, "
+            f"2*6371008.8*asin(sqrt(least(1.0, greatest(0.0, "
+            f"sin(radians(site_lat - lat)/2)*sin(radians(site_lat - lat)/2) "
+            f"+ cos(radians(lat))*cos(radians(site_lat))"
+            f"*sin(radians(site_lng - lng)/2)*sin(radians(site_lng - lng)/2)"
+            f")))) AS dist "
+            f"FROM base, {sites} WHERE lat IS NOT NULL) "
+            f"SELECT doc_id, CAST(site_id AS BIGINT) AS site_id, rank FROM ("
+            f"SELECT doc_id, site_id, "
+            f"row_number() OVER (PARTITION BY doc_id ORDER BY dist, site_id) "
+            f"AS rank FROM d) WHERE rank <= 3"),
         "compact_cells": (
             f"WITH base AS ({geo}), "
             f"z AS (SELECT DISTINCT {cell} AS cell FROM base "
