@@ -651,6 +651,22 @@ def q_near_dedup(sf_dir: str):
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_similarity_join(sf_dir: str):
+    """Exact all-pairs token-Jaccard self-join (stages/simjoin.py):
+    prefix-filter inverted index -> capped posting-list candidates ->
+    exact set-intersection verification.  Exact by construction, so the
+    oracle is the naive DISTINCT-token self-join; inter/sz_a/sz_b are
+    ints and jaccard one f64 division of exact ints — bit-identical."""
+    import ray.data as rd
+
+    from ..stages.simjoin import similarity_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = similarity_join(ds, threshold=0.9).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_minhash_pairs(sf_dir: str):
     """Full MinHash+LSH chain (signatures -> band rows -> bucket pairs ->
     signature verification) under a bit-exact SQL oracle: the oracle
@@ -2478,6 +2494,20 @@ def build_oracles() -> Dict[str, str]:
             "SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank "
             "FROM r WHERE rank <= 5"),
         "lang_id": _lang_id_sql(),
+        "similarity_join": (
+            "WITH toks AS (SELECT doc_id, list_distinct(list_filter("
+            "regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), "
+            "t -> t != '')) AS t FROM documents), "
+            "u AS (SELECT doc_id, unnest(t) AS w, len(t) AS sz FROM toks), "
+            "i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS inter, any_value(a.sz) AS sz_a, "
+            "any_value(b.sz) AS sz_b "
+            "FROM u a JOIN u b ON a.w = b.w AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b, inter, sz_a, sz_b, "
+            "CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard "
+            "FROM i WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) "
+            ">= 0.9"),
         "minhash_pairs": _minhash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "near_dedup": _near_dedup_sql(),
@@ -2965,6 +2995,7 @@ def build_queries() -> Dict[str, Callable]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "near_dedup": q_near_dedup,
+        "similarity_join": q_similarity_join,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,

@@ -33,3 +33,4 @@ from .index import inverted_index  # noqa: F401
 from .diff import dataset_diff, latest_by_key  # noqa: F401
 from .redirects import resolve_map, resolve_stream, resolve_redirects  # noqa: F401
 from .kmeans import kmeans, kmeans_assign  # noqa: F401
+from .simjoin import similarity_join  # noqa: F401
