@@ -1369,6 +1369,35 @@ def q_pagerank(sf_dir: str):
     return out.sort_values("domain").reset_index(drop=True)
 
 
+#: deterministic planted edges closing wedges in the page-derived domain
+#: graph (the fixture's outlink arithmetic happens to be triangle-free, so
+#: the triangle query unions a clique over the first 6 sites plus two
+#: extra chords).  Mirrored literally in the SQL oracle.
+_PLANTED_TRI_EDGES = sorted(
+    {(f"site{i}.example", f"site{j}.example")
+     for i in range(6) for j in range(6) if i != j}
+    | {("site7.example", "site12.example"), ("site9.example", "site14.example")})
+
+
+def q_triangles(sf_dir: str):
+    """Per-domain triangle participation counts (stages/linkgraph.py
+    count_triangles): degree-ordered orientation, groupby-apex wedge
+    generation, one distributed wedge-closure join.  The oracle is the
+    classic three-way self-join over the canonical undirected edge set."""
+    import ray.data as rd
+
+    from ..stages.linkgraph import count_triangles, extract_links
+
+    edges = extract_links(pages_dataset(sf_dir))
+    planted = pa.table({
+        "src_domain": pa.array([a for a, _ in _PLANTED_TRI_EDGES]),
+        "dst_domain": pa.array([b for _, b in _PLANTED_TRI_EDGES]),
+        "n": pa.array(np.ones(len(_PLANTED_TRI_EDGES), dtype=np.int64)),
+    })
+    out = count_triangles(edges=edges.union(rd.from_arrow(planted)))
+    return out
+
+
 def q_retention(sf_dir: str):
     """Day-over-day retention (stages/retention.py): per-batch distinct
     (user, day) shrink -> one user-keyed shuffle -> per-user day-set fold
@@ -2826,6 +2855,21 @@ def build_oracles() -> Dict[str, str]:
             f"WITH l AS ({_LINK_EDGES_SQL}) "
             "SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n "
             "FROM l GROUP BY 1, 2 ORDER BY 1, 2"),
+        "triangles": (
+            f"WITH l AS ({_LINK_EDGES_SQL}), "
+            "alle AS (SELECT src_domain AS s, dst_domain AS d FROM l "
+            "UNION ALL SELECT * FROM (VALUES "
+            + ", ".join(f"('{a}', '{b}')" for a, b in _PLANTED_TRI_EDGES)
+            + ") AS p(s, d)), "
+            "und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b "
+            "FROM alle WHERE s != d), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM und e1 JOIN und e2 ON e2.a = e1.b "
+            "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "v AS (SELECT x AS domain FROM tri UNION ALL "
+            "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+            "SELECT domain, CAST(count(*) AS BIGINT) AS n_tri "
+            "FROM v GROUP BY domain"),
         "domain_degrees": (
             f"WITH l AS ({_LINK_EDGES_SQL}), "
             "e AS (SELECT src_domain, dst_domain, count(*) AS n FROM l "
@@ -2951,6 +2995,7 @@ def build_queries() -> Dict[str, Callable]:
         "inverted_index": q_inverted_index,
         "dataset_diff": q_dataset_diff,
         "link_graph": q_link_graph,
+        "triangles": q_triangles,
         "domain_degrees": q_domain_degrees,
         "pagerank": q_pagerank,
         "retention": q_retention,

@@ -82,3 +82,64 @@ def test_pagerank_empty(ray_session):
                                     "html": pa.array([], pa.binary())}))
     out = pagerank(empty)
     assert out.empty
+
+
+def _edge_ds(pairs):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src_domain": pa.array([a for a, _ in pairs], pa.string()),
+        "dst_domain": pa.array([b for _, b in pairs], pa.string()),
+        "n": pa.array(np.ones(len(pairs), dtype=np.int64)),
+    })).repartition(3)
+
+
+def _brute_triangles(pairs):
+    import collections
+
+    und = set((min(a, b), max(a, b)) for a, b in pairs if a != b)
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    cnt = collections.Counter()
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                cnt[a] += 1
+                cnt[b] += 1
+                cnt[c] += 1
+    return dict(cnt)
+
+
+def test_count_triangles_planted(ray_session):
+    from fast_carpenter_ray.stages.linkgraph import count_triangles
+
+    # K4 on a..d (4 triangles, 3 per vertex) + a pendant + a 4-cycle
+    # (no triangle) + duplicate/reversed edges exercising the dedupe
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("p", "q"), ("q", "r"), ("r", "s"),
+             ("s", "p"), ("b", "a"), ("a", "b"), ("c", "c")]
+    got = count_triangles(edges=_edge_ds(pairs))
+    want = _brute_triangles(pairs)
+    assert dict(zip(got["domain"], got["n_tri"])) == want
+    assert want == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_count_triangles_random_vs_brute(ray_session):
+    from fast_carpenter_ray.stages.linkgraph import count_triangles
+
+    rng = np.random.default_rng(11)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    pairs = [(nodes[int(i)], nodes[int(j)])
+             for i, j in rng.integers(0, 30, size=(300, 2)) if i != j]
+    got = count_triangles(edges=_edge_ds(pairs))
+    assert dict(zip(got["domain"], got["n_tri"])) == _brute_triangles(pairs)
+
+
+def test_count_triangles_triangle_free(ray_session):
+    from fast_carpenter_ray.stages.linkgraph import count_triangles
+
+    got = count_triangles(edges=_edge_ds([("a", "b"), ("b", "c"),
+                                          ("c", "d"), ("d", "a")]))
+    assert got.empty
