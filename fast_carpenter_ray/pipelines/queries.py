@@ -1398,6 +1398,34 @@ def q_triangles(sf_dir: str):
     return out
 
 
+def q_rollup(sf_dir: str):
+    """Hierarchical ROLLUP over (day, hour) of the events stream
+    (stages/rollup.py): one scan, finest-level combine, coarser levels
+    cascaded from the summary.  value is int64-quantized (floor(v*64),
+    a power-of-two scale => exact f64 product) so every level's sum is
+    order-independent; the oracle is GROUP BY ROLLUP with GROUPING()
+    sentinels."""
+    import ray.data as rd
+
+    from ..stages.rollup import rollup
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        hour = (us // 3_600_000_000) % 24
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 64.0).astype(np.int64)
+        return pa.table({"day": pa.array(day, type=pa.int64()),
+                         "hour": pa.array(hour, type=pa.int64()),
+                         "v": pa.array(v, type=pa.int64())})
+
+    out = rollup(ds.map_batches(prep, batch_format="pyarrow"),
+                 keys=["day", "hour"], sums=["v"])
+    return out
+
+
 def q_retention(sf_dir: str):
     """Day-over-day retention (stages/retention.py): per-batch distinct
     (user, day) shrink -> one user-keyed shuffle -> per-user day-set fold
@@ -2855,6 +2883,16 @@ def build_oracles() -> Dict[str, str]:
             f"WITH l AS ({_LINK_EDGES_SQL}) "
             "SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n "
             "FROM l GROUP BY 1, 2 ORDER BY 1, 2"),
+        "rollup": (
+            "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "(epoch_us(ts) // 3600000000) % 24 AS hour, "
+            "CAST(floor(value * 64) AS BIGINT) AS v FROM events) "
+            "SELECT CASE WHEN GROUPING(day) = 1 THEN -1 ELSE day END AS day, "
+            "CASE WHEN GROUPING(hour) = 1 THEN -1 ELSE hour END AS hour, "
+            "CAST(sum(v) AS BIGINT) AS v, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(2 - GROUPING(day) - GROUPING(hour) AS BIGINT) AS _lvl "
+            "FROM e GROUP BY ROLLUP(day, hour)"),
         "triangles": (
             f"WITH l AS ({_LINK_EDGES_SQL}), "
             "alle AS (SELECT src_domain AS s, dst_domain AS d FROM l "
@@ -2996,6 +3034,7 @@ def build_queries() -> Dict[str, Callable]:
         "dataset_diff": q_dataset_diff,
         "link_graph": q_link_graph,
         "triangles": q_triangles,
+        "rollup": q_rollup,
         "domain_degrees": q_domain_degrees,
         "pagerank": q_pagerank,
         "retention": q_retention,
