@@ -1426,6 +1426,41 @@ def q_rollup(sf_dir: str):
     return out
 
 
+def _events_day_type(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": pa.array(us // 86_400_000_000, type=pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def q_collect_set(sf_dir: str):
+    """Per-day sorted distinct event types (stages/stats.py
+    grouped_collect_set): distinct-pair shrink -> one combine -> sorted
+    join.  Values are strings, so the engine's sort and SQL's ORDER BY
+    agree lexicographically."""
+    from ..stages.stats import grouped_collect_set
+
+    return grouped_collect_set(_events_day_type(sf_dir), "day", "event_type")
+
+
+def q_pivot(sf_dir: str):
+    """Day x event-type count pivot (stages/stats.py pivot_counts): one
+    combine shuffles only (day, type, n) partials; the summary-sized long
+    table pivots on the driver.  Oracle: portable CASE-sum pivot."""
+    from ..stages.stats import pivot_counts
+
+    return pivot_counts(_events_day_type(sf_dir), "day", "event_type")
+
+
 def q_retention(sf_dir: str):
     """Day-over-day retention (stages/retention.py): per-batch distinct
     (user, day) shrink -> one user-keyed shuffle -> per-user day-set fold
@@ -2883,6 +2918,29 @@ def build_oracles() -> Dict[str, str]:
             f"WITH l AS ({_LINK_EDGES_SQL}) "
             "SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n "
             "FROM l GROUP BY 1, 2 ORDER BY 1, 2"),
+        "collect_set": (
+            "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "event_type FROM events) "
+            "SELECT day, "
+            "string_agg(DISTINCT event_type, ',' ORDER BY event_type) "
+            "AS values, "
+            "CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct "
+            "FROM e GROUP BY day"),
+        "pivot": (
+            "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "event_type FROM events) "
+            "SELECT day, "
+            "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS click, "
+            "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS error, "
+            "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS purchase, "
+            "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS signup, "
+            "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS view "
+            "FROM e GROUP BY day"),
         "rollup": (
             "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
             "(epoch_us(ts) // 3600000000) % 24 AS hour, "
@@ -3035,6 +3093,8 @@ def build_queries() -> Dict[str, Callable]:
         "link_graph": q_link_graph,
         "triangles": q_triangles,
         "rollup": q_rollup,
+        "collect_set": q_collect_set,
+        "pivot": q_pivot,
         "domain_degrees": q_domain_degrees,
         "pagerank": q_pagerank,
         "retention": q_retention,

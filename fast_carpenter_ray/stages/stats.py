@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["grouped_corr", "grouped_entropy", "grouped_mode",
-           "zipf_slope"]
+           "zipf_slope", "grouped_collect_set", "pivot_counts"]
 
 
 def grouped_corr(ds, group: str, x: str, y: str, mode: str = "tree"):
@@ -171,3 +171,73 @@ def zipf_slope(ds, text_col: str = "text"):
     slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
     return pd.DataFrame({"n_tokens": np.array([len(v)], dtype=np.int64),
                          "slope": [slope]})
+
+
+def grouped_collect_set(ds, group: str, col: str, sep: str = ",",
+                        mode: str = "tree"):
+    """Sorted distinct-value list per group, joined with ``sep`` —
+    the ``collect_set`` / ``string_agg(DISTINCT .. ORDER BY ..)``
+    primitive.
+
+    Shape: per-batch DISTINCT (group, value) pairs (the shrink: the
+    value stream never reshuffles, only distinct pairs) -> one combine
+    keyed on the pair -> per-group sorted join.  The (group x distinct
+    value) key space must fit the chosen combine route, same contract
+    as ``grouped_mode``.  Returns ``(group, values, n_distinct)``.
+    """
+    from ..agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group: batch[group].to_pandas(),
+                           "value": batch[col].to_pandas()})
+        out = df.drop_duplicates([group, "value"])
+        out["one"] = np.int64(1)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[group, "value"], value_cols=["one"], mode=mode,
+        agg="max").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({group: pd.Series([], dtype=object),
+                             "values": pd.Series([], dtype=object),
+                             "n_distinct": pd.Series([], dtype=np.int64)})
+    pairs = pairs.sort_values([group, "value"])
+    out = pairs.groupby(group, sort=True)["value"].agg(
+        [lambda v: sep.join(str(x) for x in v), "size"]).reset_index()
+    out.columns = [group, "values", "n_distinct"]
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def pivot_counts(ds, row_key: str, col_key: str, mode: str = "hash"):
+    """Pivot: one output row per ``row_key``, one int64 count column per
+    distinct ``col_key`` value (lexicographic column order, '0' fill).
+
+    Shape: per-batch (row, col) count partials -> ONE combine (the only
+    shuffle) -> the summary-sized long table pivots on the driver.  The
+    distinct ``col_key`` set must be small (it becomes the schema); the
+    ``row_key`` space routes through the combine like any aggregate.
+    """
+    from ..agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({row_key: batch[row_key].to_pandas(),
+                           col_key: batch[col_key].to_pandas()})
+        out = df.groupby([row_key, col_key], sort=False).size().reset_index(
+            name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    long = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[row_key, col_key], value_cols=["n"], mode=mode)
+    if not isinstance(long, pd.DataFrame):
+        long = long.to_pandas()
+    if long.empty:
+        return pd.DataFrame({row_key: pd.Series([], dtype=object)})
+    wide = long.pivot_table(index=row_key, columns=col_key, values="n",
+                            aggfunc="sum", fill_value=0)
+    wide = wide[sorted(wide.columns)].astype(np.int64)
+    wide.columns = [str(c) for c in wide.columns]
+    return wide.reset_index().sort_values(row_key).reset_index(drop=True)

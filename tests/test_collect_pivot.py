@@ -1,0 +1,56 @@
+"""grouped_collect_set and pivot_counts (stages/stats.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from fast_carpenter_ray.stages.stats import grouped_collect_set, pivot_counts
+
+
+def _ds():
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n = 400
+    return rd.from_arrow(pa.table({
+        "g": pa.array(rng.integers(0, 5, n), type=pa.int64()),
+        "v": pa.array([f"t{int(x)}" for x in rng.integers(0, 7, n)]),
+    })).repartition(4)
+
+
+def test_collect_set(ray_session):
+    got = grouped_collect_set(_ds(), "g", "v")
+    df = _ds().to_pandas()
+    want = (df.groupby("g")["v"]
+            .agg(lambda v: ",".join(sorted(set(v)))).reset_index()
+            .rename(columns={"v": "values"}))
+    want["n_distinct"] = df.groupby("g")["v"].nunique().to_numpy()
+    assert got["g"].tolist() == want["g"].tolist()
+    assert got["values"].tolist() == want["values"].tolist()
+    assert got["n_distinct"].tolist() == want["n_distinct"].astype(int).tolist()
+
+
+def test_collect_set_modes_agree(ray_session):
+    t = grouped_collect_set(_ds(), "g", "v", mode="tree")
+    h = grouped_collect_set(_ds(), "g", "v", mode="hash")
+    assert t.equals(h)
+
+
+def test_pivot_counts(ray_session):
+    got = pivot_counts(_ds(), "g", "v")
+    df = _ds().to_pandas()
+    want = df.pivot_table(index="g", columns="v", aggfunc="size",
+                          fill_value=0).astype(np.int64)
+    want = want[sorted(want.columns)]
+    assert got["g"].tolist() == list(want.index)
+    for c in want.columns:
+        assert got[c].tolist() == want[c].tolist()
+
+
+def test_pivot_empty(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"g": pa.array([], type=pa.int64()),
+                                 "v": pa.array([], type=pa.string())}))
+    out = pivot_counts(ds, "g", "v")
+    assert out.empty
