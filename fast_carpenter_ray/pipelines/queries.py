@@ -1461,6 +1461,30 @@ def q_pivot(sf_dir: str):
     return pivot_counts(_events_day_type(sf_dir), "day", "event_type")
 
 
+def q_cube(sf_dir: str):
+    """All-subsets CUBE over (dow, hour) of the events stream
+    (stages/rollup.py cube): every grouping set derived from one finest
+    combine; _gset mirrors SQL's multi-arg GROUPING bitmask."""
+    import ray.data as rd
+
+    from ..stages.rollup import cube
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 86_400_000_000 + 4) % 7  # epoch day 0 = Thursday
+        hour = (us // 3_600_000_000) % 24
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 64.0).astype(np.int64)
+        return pa.table({"dow": pa.array(dow, type=pa.int64()),
+                         "hour": pa.array(hour, type=pa.int64()),
+                         "v": pa.array(v, type=pa.int64())})
+
+    return cube(ds.map_batches(prep, batch_format="pyarrow"),
+                keys=["dow", "hour"], sums=["v"])
+
+
 def q_retention(sf_dir: str):
     """Day-over-day retention (stages/retention.py): per-batch distinct
     (user, day) shrink -> one user-keyed shuffle -> per-user day-set fold
@@ -2918,6 +2942,15 @@ def build_oracles() -> Dict[str, str]:
             f"WITH l AS ({_LINK_EDGES_SQL}) "
             "SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n "
             "FROM l GROUP BY 1, 2 ORDER BY 1, 2"),
+        "cube": (
+            "WITH e AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, "
+            "(epoch_us(ts) // 3600000000) % 24 AS hour, "
+            "CAST(floor(value * 64) AS BIGINT) AS v FROM events) "
+            "SELECT CASE WHEN GROUPING(dow) = 1 THEN -1 ELSE dow END AS dow, "
+            "CASE WHEN GROUPING(hour) = 1 THEN -1 ELSE hour END AS hour, "
+            "CAST(sum(v) AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(GROUPING(dow, hour) AS BIGINT) AS _gset "
+            "FROM e GROUP BY CUBE(dow, hour)"),
         "collect_set": (
             "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
             "event_type FROM events) "
@@ -3094,6 +3127,7 @@ def build_queries() -> Dict[str, Callable]:
         "triangles": q_triangles,
         "rollup": q_rollup,
         "collect_set": q_collect_set,
+        "cube": q_cube,
         "pivot": q_pivot,
         "domain_degrees": q_domain_degrees,
         "pagerank": q_pagerank,

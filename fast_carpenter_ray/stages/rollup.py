@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["rollup"]
+__all__ = ["rollup", "cube"]
 
 
 def rollup(ds, keys: Sequence[str], sums: Sequence[str],
@@ -83,3 +83,55 @@ def rollup(ds, keys: Sequence[str], sums: Sequence[str],
     out = pd.concat([lv[keys + val_cols + ["_lvl"]] for lv in levels],
                     ignore_index=True)
     return out.sort_values(keys + ["_lvl"]).reset_index(drop=True)
+
+
+def cube(ds, keys: Sequence[str], sums: Sequence[str],
+         mode: str = "tree", count_col: str = "n"):
+    """All-subsets CUBE over integer ``keys``: one row per grouping set,
+    rolled-up keys = -1, ``_gset`` = the GROUPING bitmask (bit i set =
+    keys[i] rolled up, matching SQL's multi-arg GROUPING order).
+
+    Same one-scan shape as :func:`rollup`; every grouping set derives
+    from the FINEST summary, never from a re-scan.
+    """
+    from itertools import combinations
+
+    from ..agg import combine_partials
+
+    keys = list(keys)
+    sums = list(sums)
+    val_cols = sums + [count_col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + sums).to_pandas()
+        df[count_col] = np.int64(1)
+        out = df.groupby(keys, sort=False)[val_cols].sum().reset_index()
+        for c in keys + val_cols:
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    fine = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=keys, value_cols=val_cols, mode=mode)
+    if not isinstance(fine, pd.DataFrame):
+        fine = fine.to_pandas()
+
+    levels: List[pd.DataFrame] = []
+    for r in range(len(keys), -1, -1):
+        for kept in combinations(range(len(keys)), r):
+            pk = [keys[i] for i in kept]
+            if pk:
+                g = fine.groupby(pk, sort=False)[val_cols].sum().reset_index()
+            else:
+                g = fine[val_cols].sum().to_frame().T
+            gset = 0
+            for i in range(len(keys)):
+                if i not in kept:
+                    g[keys[i]] = np.int64(-1)
+                    gset |= 1 << (len(keys) - 1 - i)
+            for c in keys + val_cols:
+                g[c] = g[c].astype(np.int64)
+            g["_gset"] = np.int64(gset)
+            levels.append(g[keys + val_cols + ["_gset"]])
+    out = pd.concat(levels, ignore_index=True)
+    return out.sort_values(keys + ["_gset"]).reset_index(drop=True)

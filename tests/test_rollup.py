@@ -63,3 +63,35 @@ def test_rollup_single_key(ray_session):
     got = rollup(_ds(tab), keys=["a"], sums=["v"])
     want = _brute(tab.to_pandas(), ["a"])
     assert got.astype(np.int64).equals(want)
+
+
+def test_cube_two_keys(ray_session):
+    from itertools import combinations
+
+    from fast_carpenter_ray.stages.rollup import cube
+
+    tab = _tab()
+    got = cube(_ds(tab), keys=["a", "b"], sums=["v"])
+    df = tab.to_pandas()
+    frames = []
+    for r in range(2, -1, -1):
+        for kept in combinations(range(2), r):
+            pk = [["a", "b"][i] for i in kept]
+            if pk:
+                g = df.groupby(pk)[["v"]].sum()
+                g["n"] = df.groupby(pk).size()
+                g = g.reset_index()
+            else:
+                g = pd.DataFrame({"v": [df["v"].sum()], "n": [len(df)]})
+            gset = 0
+            for i in range(2):
+                if i not in kept:
+                    g[["a", "b"][i]] = -1
+                    gset |= 1 << (1 - i)
+            g["_gset"] = gset
+            frames.append(g[["a", "b", "v", "n", "_gset"]])
+    want = (pd.concat(frames, ignore_index=True).astype(np.int64)
+            .sort_values(["a", "b", "_gset"]).reset_index(drop=True))
+    assert got.astype(np.int64).equals(want)
+    # 4 grouping sets for 2 keys
+    assert sorted(got["_gset"].unique().tolist()) == [0, 1, 2, 3]
