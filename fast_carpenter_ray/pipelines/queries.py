@@ -526,6 +526,39 @@ def q_lookup_join(sf_dir: str):
                                "c_mktsegment"])
 
 
+def _semi_anti_inputs(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey"]),
+        batch_format="pyarrow")
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_acctbal"])
+    rich = customer.filter(pa.compute.greater(customer["c_acctbal"], 5000.0))
+    return orders, rich.select(["c_custkey"])
+
+
+def q_lookup_semi(sf_dir: str):
+    """Broadcast SEMI join (lookup_join how='semi' — Arrow's left-semi
+    kernel): orders whose customer has acctbal > 5000."""
+    from ..stages.joins import lookup_join
+
+    orders, rich = _semi_anti_inputs(sf_dir)
+    return lookup_join(orders, rich, key="c_custkey", how="semi")
+
+
+def q_lookup_anti(sf_dir: str):
+    """Broadcast ANTI join (lookup_join how='anti'): orders whose
+    customer does NOT have acctbal > 5000."""
+    from ..stages.joins import lookup_join
+
+    orders, rich = _semi_anti_inputs(sf_dir)
+    return lookup_join(orders, rich, key="c_custkey", how="anti")
+
+
 def q_hash_join(sf_dir: str):
     """Large x large hash-partitioned join: lineitem x orders, then a
     grouped revenue rollup per order priority."""
@@ -3040,6 +3073,14 @@ def build_oracles() -> Dict[str, str]:
             "SELECT o_orderkey, o_custkey AS c_custkey, "
             "o_totalprice, c_mktsegment "
             "FROM orders JOIN customer ON o_custkey = c_custkey"),
+        "lookup_semi": (
+            "SELECT o_orderkey, o_custkey AS c_custkey FROM orders "
+            "WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)"),
+        "lookup_anti": (
+            "SELECT o_orderkey, o_custkey AS c_custkey FROM orders "
+            "WHERE o_custkey NOT IN "
+            "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)"),
         "hash_join": (
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
             "round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue "
@@ -3165,6 +3206,8 @@ def build_queries() -> Dict[str, Callable]:
         "range_join_big": q_range_join_big,
         "ann_ivf": q_ann_ivf,
         "lookup_join": q_lookup_join,
+        "lookup_semi": q_lookup_semi,
+        "lookup_anti": q_lookup_anti,
         "hash_join": q_hash_join,
         "dedup_exact": q_dedup_exact,
         "distinct_lang": q_distinct_lang,
