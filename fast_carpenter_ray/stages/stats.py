@@ -197,7 +197,25 @@ def grouped_collect_set(ds, group: str, col: str, sep: str = ",",
     pairs = combine_partials(
         ds.map_batches(partial, batch_format="pyarrow"),
         keys=[group, "value"], value_cols=["one"], mode=mode,
-        agg="max").to_pandas()
+        agg="max")
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(str(x) for x in g["value"])
+        return pd.DataFrame({group: [g[group].iloc[0]],
+                             "values": [sep.join(vals)],
+                             "n_distinct": np.array([len(vals)],
+                                                    dtype=np.int64)})
+
+    if mode == "hash":
+        # group space scales with the data: the sorted join happens in a
+        # distributed group-keyed map_groups; NOTHING reaches the driver
+        from ..agg import default_partitions
+
+        return pairs.groupby(group,
+                             num_partitions=default_partitions()).map_groups(
+            join_group, batch_format="pandas")
+
+    pairs = pairs if isinstance(pairs, pd.DataFrame) else pairs.to_pandas()
     if pairs.empty:
         return pd.DataFrame({group: pd.Series([], dtype=object),
                              "values": pd.Series([], dtype=object),
@@ -210,14 +228,19 @@ def grouped_collect_set(ds, group: str, col: str, sep: str = ",",
     return out.reset_index(drop=True)
 
 
-def pivot_counts(ds, row_key: str, col_key: str, mode: str = "hash"):
+def pivot_counts(ds, row_key: str, col_key: str, mode: str = "tree"):
     """Pivot: one output row per ``row_key``, one int64 count column per
-    distinct ``col_key`` value (lexicographic column order, '0' fill).
+    distinct ``col_key`` value (lexicographic column order, 0 fill).
 
-    Shape: per-batch (row, col) count partials -> ONE combine (the only
-    shuffle) -> the summary-sized long table pivots on the driver.  The
-    distinct ``col_key`` set must be small (it becomes the schema); the
-    ``row_key`` space routes through the combine like any aggregate.
+    Shape: per-batch (row, col) count partials -> ONE combine.  The
+    distinct ``col_key`` set must be small (it becomes the SCHEMA — the
+    one driver-resident piece in every mode).  ``mode="tree"``: the
+    summary-sized long table pivots on the driver (pandas frame).
+    ``mode="hash"`` (row spaces that scale with the data): the column
+    set comes from its own tiny combine, the long table regroups by
+    ``row_key`` and each group widens in a distributed ``map_groups``
+    against the broadcast column list — a Dataset, nothing row-shaped on
+    the driver.
     """
     from ..agg import combine_partials
 
@@ -232,8 +255,35 @@ def pivot_counts(ds, row_key: str, col_key: str, mode: str = "hash"):
     long = combine_partials(
         ds.map_batches(partial, batch_format="pyarrow"),
         keys=[row_key, col_key], value_cols=["n"], mode=mode)
-    if not isinstance(long, pd.DataFrame):
-        long = long.to_pandas()
+
+    if mode == "hash":
+        from ..agg import default_partitions
+
+        long = long.materialize()
+        # the schema: distinct col values via a combine over the long
+        # table's already-shrunken (row, col) rows
+        cols = combine_partials(
+            long.map_batches(
+                lambda t: pa.table({col_key: t[col_key],
+                                    "_one": pa.array(
+                                        np.ones(len(t), dtype=np.int64))}),
+                batch_format="pyarrow"),
+            keys=[col_key], value_cols=["_one"], mode="tree").to_pandas()
+        col_names = sorted(str(c) for c in cols[col_key])
+
+        def widen(g: pd.DataFrame) -> pd.DataFrame:
+            row = {row_key: [g[row_key].iloc[0]]}
+            got = {str(k): int(v) for k, v in
+                   zip(g[col_key], g["n"])}
+            for c in col_names:
+                row[c] = np.array([got.get(c, 0)], dtype=np.int64)
+            return pd.DataFrame(row)
+
+        return long.groupby(row_key,
+                            num_partitions=default_partitions()).map_groups(
+            widen, batch_format="pandas")
+
+    long = long if isinstance(long, pd.DataFrame) else long.to_pandas()
     if long.empty:
         return pd.DataFrame({row_key: pd.Series([], dtype=object)})
     wide = long.pivot_table(index=row_key, columns=col_key, values="n",

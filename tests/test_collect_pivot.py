@@ -30,12 +30,6 @@ def test_collect_set(ray_session):
     assert got["n_distinct"].tolist() == want["n_distinct"].astype(int).tolist()
 
 
-def test_collect_set_modes_agree(ray_session):
-    t = grouped_collect_set(_ds(), "g", "v", mode="tree")
-    h = grouped_collect_set(_ds(), "g", "v", mode="hash")
-    assert t.equals(h)
-
-
 def test_pivot_counts(ray_session):
     got = pivot_counts(_ds(), "g", "v")
     df = _ds().to_pandas()
@@ -54,3 +48,27 @@ def test_pivot_empty(ray_session):
                                  "v": pa.array([], type=pa.string())}))
     out = pivot_counts(ds, "g", "v")
     assert out.empty
+
+
+def test_collect_set_hash_mode_is_distributed(ray_session):
+    import pandas as pd
+
+    t = grouped_collect_set(_ds(), "g", "v", mode="tree")
+    h_ds = grouped_collect_set(_ds(), "g", "v", mode="hash")
+    assert not isinstance(h_ds, pd.DataFrame)  # Dataset: no driver merge
+    h = h_ds.to_pandas().sort_values("g").reset_index(drop=True)
+    assert t["g"].tolist() == h["g"].tolist()
+    assert t["values"].tolist() == h["values"].tolist()
+    assert t["n_distinct"].tolist() == h["n_distinct"].astype(int).tolist()
+
+
+def test_pivot_hash_mode_is_distributed(ray_session):
+    import pandas as pd
+
+    t = pivot_counts(_ds(), "g", "v", mode="tree")
+    h_ds = pivot_counts(_ds(), "g", "v", mode="hash")
+    assert not isinstance(h_ds, pd.DataFrame)
+    h = h_ds.to_pandas().sort_values("g").reset_index(drop=True)
+    assert list(t.columns) == list(h.columns)
+    for c in t.columns:
+        assert t[c].tolist() == h[c].astype(t[c].dtype).tolist()

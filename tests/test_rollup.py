@@ -52,10 +52,28 @@ def test_rollup_two_keys(ray_session):
 
 
 def test_rollup_hash_mode_matches_tree(ray_session):
+    # hash mode returns a DATASET (fine level never driver-materialized)
     tab = _tab()
     t = rollup(_ds(tab), keys=["a", "b"], sums=["v"], mode="tree")
-    h = rollup(_ds(tab), keys=["a", "b"], sums=["v"], mode="hash")
-    assert t.equals(h.sort_values(["a", "b", "_lvl"]).reset_index(drop=True))
+    h_ds = rollup(_ds(tab), keys=["a", "b"], sums=["v"], mode="hash")
+    assert not isinstance(h_ds, pd.DataFrame)
+    h = (h_ds.to_pandas()[["a", "b", "v", "n", "_lvl"]]
+         .sort_values(["a", "b", "_lvl"]).reset_index(drop=True)
+         .astype(np.int64))
+    assert t.astype(np.int64).equals(h)
+
+
+def test_cube_hash_mode_matches_tree(ray_session):
+    from fast_carpenter_ray.stages.rollup import cube
+
+    tab = _tab()
+    t = cube(_ds(tab), keys=["a", "b"], sums=["v"], mode="tree")
+    h_ds = cube(_ds(tab), keys=["a", "b"], sums=["v"], mode="hash")
+    assert not isinstance(h_ds, pd.DataFrame)
+    h = (h_ds.to_pandas()[["a", "b", "v", "n", "_gset"]]
+         .sort_values(["a", "b", "_gset"]).reset_index(drop=True)
+         .astype(np.int64))
+    assert t.astype(np.int64).equals(h)
 
 
 def test_rollup_single_key(ray_session):
