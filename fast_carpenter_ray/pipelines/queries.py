@@ -636,6 +636,21 @@ def q_quality(sf_dir: str):
     return out[["doc_id", "mean_word_len", "alpha_ratio"]]
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition signals (stages/text.py
+    RepetitionStats): duplicate-token / duplicate-bigram fractions and
+    top-token ratio, exact ints + single f64 divisions — bit-exact vs
+    the SQL oracle's regexp tokenization."""
+    import ray.data as rd
+
+    from ..stages.text import RepetitionStats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = RepetitionStats().apply(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_lang_id(sf_dir: str):
     import ray.data as rd
 
@@ -2643,6 +2658,35 @@ def build_oracles() -> Dict[str, str]:
             "SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank "
             "FROM r WHERE rank <= 5"),
         "lang_id": _lang_id_sql(),
+        "repetition": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), "
+            "t -> t != '') AS t FROM documents), "
+            "u AS (SELECT doc_id, generate_subscripts(t, 1) AS j, "
+            "unnest(t) AS w, len(t) AS n_tok FROM toks), "
+            "per AS (SELECT doc_id, w, count(*) AS c FROM u "
+            "GROUP BY doc_id, w), "
+            "d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct, "
+            "CAST(max(c) AS BIGINT) AS top_n FROM per GROUP BY doc_id), "
+            "b AS (SELECT a.doc_id, a.w || ' ' || c.w AS bg FROM u a "
+            "JOIN u c ON c.doc_id = a.doc_id AND c.j = a.j + 1), "
+            "db AS (SELECT doc_id, CAST(count(DISTINCT bg) AS BIGINT) "
+            "AS n_distinct_bigrams FROM b GROUP BY doc_id), "
+            "base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, "
+            "CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bigrams "
+            "FROM toks) "
+            "SELECT base.doc_id, base.n_tok, "
+            "coalesce(d.n_distinct, 0) AS n_distinct, "
+            "coalesce(d.top_n, 0) AS top_n, base.n_bigrams, "
+            "coalesce(db.n_distinct_bigrams, 0) AS n_distinct_bigrams, "
+            "CAST(base.n_tok - coalesce(d.n_distinct, 0) AS DOUBLE) "
+            "/ greatest(base.n_tok, 1) AS dup_token_ratio, "
+            "CAST(coalesce(d.top_n, 0) AS DOUBLE) "
+            "/ greatest(base.n_tok, 1) AS top_token_ratio, "
+            "CAST(base.n_bigrams - coalesce(db.n_distinct_bigrams, 0) "
+            "AS DOUBLE) / greatest(base.n_bigrams, 1) AS dup_bigram_ratio "
+            "FROM base LEFT JOIN d USING (doc_id) "
+            "LEFT JOIN db USING (doc_id)"),
         "similarity_join": (
             "WITH toks AS (SELECT doc_id, list_distinct(list_filter("
             "regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), "
@@ -3215,6 +3259,7 @@ def build_queries() -> Dict[str, Callable]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
         "near_dedup": q_near_dedup,
         "similarity_join": q_similarity_join,
         "minhash_pairs": q_minhash_pairs,

@@ -18,7 +18,7 @@ import pyarrow as pa
 
 __all__ = ["TokenCount", "QualityScore", "LangId", "Fingerprint",
            "vocab_count", "doc_frequency", "ngram_count", "top_terms",
-           "pmi_bigrams", "term_trends"]
+           "pmi_bigrams", "term_trends", "RepetitionStats"]
 
 # a small multilingual stopword table for the n-gram/stopword language
 # heuristic (public common-word lists)
@@ -437,3 +437,60 @@ def term_trends(ds, text_col: str = "text", day_col: str = "day",
 
     return counts.groupby("token", num_partitions=default_partitions()).map_groups(
         lag_ratio, batch_format="pandas")
+
+
+class RepetitionStats:
+    """Within-document repetition signals (Gopher-style web-text quality
+    filters, public literature: Rae et al. 2021 §A1.1): duplicate-token
+    and duplicate-bigram fractions plus the top-token frequency ratio.
+
+    All counts are exact integers and every ratio is ONE f64 division of
+    exact ints, so an independent SQL engine reproduces each output bit.
+    Vectorized: one pandas explode + two groupbys per batch — no Python
+    loop over rows.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_col].to_numpy()
+        toks = batch[self.text_col].fillna("").str.lower().str.split()
+        n_tok = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        long = pd.DataFrame({
+            "i": np.repeat(np.arange(len(batch)), n_tok),
+            "w": [w for ws in toks for w in ws],
+        })
+        n_distinct = np.zeros(len(batch), dtype=np.int64)
+        top_n = np.zeros(len(batch), dtype=np.int64)
+        n_big = np.maximum(n_tok - 1, 0)
+        n_distinct_big = np.zeros(len(batch), dtype=np.int64)
+        if len(long):
+            per = long.groupby(["i", "w"], sort=False).size()
+            agg = per.groupby(level=0).agg(["size", "max"])
+            n_distinct[agg.index.to_numpy()] = agg["size"].to_numpy()
+            top_n[agg.index.to_numpy()] = agg["max"].to_numpy()
+            nxt = long.groupby("i", sort=False)["w"].shift(-1)
+            ok = nxt.notna()
+            big = pd.DataFrame({"i": long["i"][ok],
+                                "b": long["w"][ok] + " " + nxt[ok]})
+            if len(big):
+                db = big.groupby("i", sort=False)["b"].nunique()
+                n_distinct_big[db.index.to_numpy()] = db.to_numpy()
+        d_tok = np.maximum(n_tok, 1).astype(np.float64)
+        d_big = np.maximum(n_big, 1).astype(np.float64)
+        return pd.DataFrame({
+            self.id_col: ids,
+            "n_tok": n_tok,
+            "n_distinct": n_distinct,
+            "top_n": top_n,
+            "n_bigrams": n_big,
+            "n_distinct_bigrams": n_distinct_big,
+            "dup_token_ratio": (n_tok - n_distinct) / d_tok,
+            "top_token_ratio": top_n / d_tok,
+            "dup_bigram_ratio": (n_big - n_distinct_big) / d_big,
+        })
+
+    def apply(self, ds):
+        return ds.map_batches(self, batch_format="pandas")

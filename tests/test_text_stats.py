@@ -68,3 +68,23 @@ def test_term_trends_skips_single_day_tokens(ray_session):
 
     df = pd.DataFrame({"text": ["only"], "day": np.array([5], dtype=np.int64)})
     assert term_trends(rd.from_pandas(df), day_col="day").to_pandas().empty
+
+
+def test_repetition_stats(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.text import RepetitionStats
+
+    df = pd.DataFrame({"doc_id": np.array([0, 1, 2, 3], dtype=np.int64),
+                       "text": ["a a a b", "x y z", "", "q q"]})
+    out = (RepetitionStats().apply(rd.from_pandas(df).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_tok"].tolist() == [4, 3, 0, 2]
+    assert out["n_distinct"].tolist() == [2, 3, 0, 1]
+    assert out["top_n"].tolist() == [3, 1, 0, 2]
+    assert out["n_bigrams"].tolist() == [3, 2, 0, 1]
+    # doc 0 bigrams: "a a","a a","a b" -> 2 distinct; doc 3: "q q" -> 1
+    assert out["n_distinct_bigrams"].tolist() == [2, 2, 0, 1]
+    assert out["dup_token_ratio"].tolist() == [0.5, 0.0, 0.0, 0.5]
+    assert out["top_token_ratio"].tolist() == [0.75, 1/3, 0.0, 1.0]
+    assert out["dup_bigram_ratio"].tolist() == [1/3, 0.0, 0.0, 0.0]
