@@ -162,6 +162,10 @@ def _multi_level(ds, keys, sums, mode, count_col, kind):
     if mode == "tree":
         # combine_partials(tree) guards the driver-row budget itself
         fine = fine if isinstance(fine, pd.DataFrame) else fine.to_pandas()
+        if fine.empty and len(fine.columns) == 0:
+            # Ray's to_pandas drops the schema on zero rows — rebuild
+            fine = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in keys + val_cols})
         return _driver_sets(fine, keys, val_cols, sets, kind)
     return _distributed_sets(fine, keys, val_cols, sets, kind)
 

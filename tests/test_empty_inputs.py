@@ -114,3 +114,54 @@ def test_checkpoint_rejects_bad_on_stale_up_front(ray_session, tmp_path):
     ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], type=pa.int64())}))
     with pytest.raises(ValueError, match="on_stale"):
         checkpoint_write(ds, str(tmp_path / "out"), on_stale="delte")
+
+
+def test_rollup_cube_empty(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.rollup import cube, rollup
+
+    empty = rd.from_arrow(pa.table({
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+        "v": pa.array([], type=pa.int64())}))
+    r = rollup(empty, keys=["a", "b"], sums=["v"])
+    # the grand-total row is always present (count 0); finer levels empty
+    assert r.loc[r["_lvl"] == 0, "n"].tolist() == [0]
+    c = cube(empty, keys=["a", "b"], sums=["v"])
+    assert c.loc[c["_gset"] == 3, "n"].tolist() == [0]
+
+
+def test_collect_set_empty(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import grouped_collect_set
+
+    empty = rd.from_arrow(pa.table({"g": pa.array([], type=pa.int64()),
+                                    "v": pa.array([], type=pa.string())}))
+    out = grouped_collect_set(empty, "g", "v")
+    assert len(out) == 0
+
+
+def test_count_triangles_empty_edges(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.linkgraph import count_triangles
+
+    empty = rd.from_arrow(pa.table({
+        "src_domain": pa.array([], type=pa.string()),
+        "dst_domain": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64())}))
+    out = count_triangles(edges=empty)
+    assert out.empty
+
+
+def test_repetition_stats_empty(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.text import RepetitionStats
+
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                    "text": pa.array([], type=pa.string())}))
+    out = RepetitionStats().apply(empty).to_pandas()
+    assert len(out) == 0
