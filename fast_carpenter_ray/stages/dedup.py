@@ -527,13 +527,29 @@ def cluster_pairs(pairs: pd.DataFrame, id_a: str = "id_a",
                          "cluster_id": ids[roots]}).astype(np.int64)
 
 
-def near_dedup(ds, dedup: "MinHashDedup"):
+def near_dedup(ds, dedup: "MinHashDedup", exact_first: bool = True):
     """End-to-end near-duplicate removal: LSH candidate pairs -> verified
     pairs -> connected components -> drop every doc that is not its
     cluster's minimum id.  Returns the SURVIVOR Dataset (same schema as
     the input) — the streaming side never shuffles; the drop set ships as
-    a broadcast numpy array."""
+    a broadcast numpy array.
+
+    ``exact_first`` (default, the standard curation order) collapses
+    byte-identical content with :class:`ExactDedup` BEFORE the LSH
+    chain.  Semantics are IDENTICAL: identical docs share every band key
+    (same signature) so they always land in one LSH cluster, and each
+    exact group's min id is its survivor, so the combined cluster's min
+    is unchanged.  What changes is scale robustness — a corpus of
+    near-identical copies (mirrors, boilerplate) otherwise pushes
+    O(copies^2) candidate pairs per band into the shuffle (measured: the
+    920k-doc x200-replicated stress corpus exceeded 20 min without this
+    and runs in seconds with it)."""
     import ray
+
+    if exact_first:
+        ds = ExactDedup("near_dedup_exact", key=dedup.text_col,
+                        id_col=dedup.id_col).apply(ds).drop_columns(
+            ["_content_hash"])
 
     pairs = dedup.candidate_pairs(ds).to_pandas()
     if len(pairs) == 0:

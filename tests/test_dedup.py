@@ -193,3 +193,22 @@ def test_near_dedup_end_to_end(ray_session):
     assert kept == set(docs["doc_id"].to_pylist()) - expected_dropped
     assert 0 in kept  # min id of the base cluster survives
     assert 1 not in kept  # identical twin dropped
+
+
+def test_near_dedup_exact_first_same_survivors(ray_session):
+    """exact_first is a pure optimization: identical docs share every
+    band key, so the survivor set is provably identical either way."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.dedup import near_dedup
+
+    base = docs_with_dups().to_pandas()
+    # add more exact copies to make the collapse meaningful
+    copies = base.assign(doc_id=base["doc_id"] + 100)
+    tab = pa.Table.from_pandas(
+        pd.concat([base, copies], ignore_index=True), preserve_index=False)
+    ds = rd.from_arrow(tab).repartition(3)
+    mh = MinHashDedup("nd", threshold=0.5)
+    a = sorted(near_dedup(ds, mh, exact_first=True).to_pandas()["doc_id"])
+    b = sorted(near_dedup(ds, mh, exact_first=False).to_pandas()["doc_id"])
+    assert a == b and len(a) > 0
