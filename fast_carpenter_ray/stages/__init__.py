@@ -34,3 +34,6 @@ from .diff import dataset_diff, latest_by_key  # noqa: F401
 from .redirects import resolve_map, resolve_stream, resolve_redirects  # noqa: F401
 from .kmeans import kmeans, kmeans_assign  # noqa: F401
 from .simjoin import similarity_join  # noqa: F401
+from .linkgraph import count_triangles  # noqa: F401
+from .stats import grouped_collect_set, pivot_counts  # noqa: F401
+from .rollup import rollup, cube  # noqa: F401

@@ -257,7 +257,7 @@ class MinHashDedup:
         sig = self._sig_matrix(batch["sig"]).view(np.uint64)
         band_id = np.repeat(np.arange(self.bands, dtype=np.int32), n)
         keys = np.empty((self.bands, n), dtype=np.uint64)
-        FNV_OFF = np.uint64(1469598103934665603)
+        FNV_OFF = np.uint64(14695981039346656037)
         FNV_P = np.uint64(1099511628211)
         for b in range(self.bands):
             chunk = sig[:, b * self.rows_per_band:(b + 1) * self.rows_per_band]
@@ -531,8 +531,12 @@ def near_dedup(ds, dedup: "MinHashDedup", exact_first: bool = True):
     """End-to-end near-duplicate removal: LSH candidate pairs -> verified
     pairs -> connected components -> drop every doc that is not its
     cluster's minimum id.  Returns the SURVIVOR Dataset (same schema as
-    the input) — the streaming side never shuffles; the drop set ships as
-    a broadcast numpy array.
+    the input).  The LSH leg never shuffles anything row-shaped (band
+    rows are three small ints; the drop set ships as a broadcast numpy
+    array); ``exact_first`` adds ONE content-hash row exchange up front
+    (the standard exact-dedup shuffle — rows co-locate by content hash
+    once), avoidable with ``exact_first=False`` when the corpus is known
+    exact-dup-free.
 
     ``exact_first`` (default, the standard curation order) collapses
     byte-identical content with :class:`ExactDedup` BEFORE the LSH

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import logging
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -266,12 +265,13 @@ def count_triangles(ds=None, html: str = "html", url: str = "url",
     n_buckets = max(64, num_partitions * 8)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        # zlib.crc32: deterministic across worker processes (Python's
-        # hash() is salted per process and would split a pair's copies
-        # across buckets, breaking the dedupe)
-        h = np.array([zlib.crc32(f"{x}|{y}".encode()) % n_buckets for x, y in
-                      zip(batch["a"].to_pylist(), batch["b"].to_pylist())],
-                     dtype=np.int64)
+        # pd.util.hash_pandas_object: vectorized AND deterministic across
+        # worker processes (fixed default key; Python's hash() is salted
+        # per process and would split a pair's copies across buckets,
+        # breaking the dedupe)
+        h = (pd.util.hash_pandas_object(
+            batch["a"].to_pandas() + "|" + batch["b"].to_pandas(),
+            index=False).to_numpy() % n_buckets).astype(np.int64)
         return batch.append_column("_bkt", pa.array(h, type=pa.int64()))
 
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -368,9 +368,12 @@ def count_triangles(ds=None, html: str = "html", url: str = "url",
         })
 
     def add_pair_bucket(t: pa.Table) -> pa.Table:
-        h = np.array([zlib.crc32(f"{x}|{y}".encode()) % n_buckets for x, y in
-                      zip(t["v"].to_pylist(), t["w"].to_pylist())],
-                     dtype=np.int64)
+        # vectorized deterministic bucket hash — the wedge set is the
+        # largest intermediate in the operator (O(m^1.5) rows), so no
+        # per-row Python here
+        h = (pd.util.hash_pandas_object(
+            t["v"].to_pandas() + "|" + t["w"].to_pandas(),
+            index=False).to_numpy() % n_buckets).astype(np.int64)
         return t.append_column("_bkt", pa.array(h, type=pa.int64()))
 
     both = und.map_batches(tag_edges, batch_format="pyarrow").union(

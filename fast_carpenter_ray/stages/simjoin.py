@@ -82,15 +82,20 @@ def _prefix_len(n: np.ndarray, threshold: float) -> np.ndarray:
 
 
 def similarity_join(ds, threshold: float, id_col: str = "doc_id",
-                    text_col: str = "text", max_list: int = 4096,
+                    text_col: str = "text", max_list: Optional[int] = 4096,
                     num_partitions: Optional[int] = None,
                     broadcast_pairs_budget: int = 500_000):
     """Dataset of (id_a, id_b, inter, sz_a, sz_b, jaccard) for every pair
     with EXACT distinct-token Jaccard >= ``threshold`` (id_a < id_b).
 
-    Exact by construction (prefix filtering is lossless; verification is
-    an exact set intersection) — under a bit-exact SQL oracle in
-    ``pipelines/queries.py::q_similarity_join``.
+    Prefix filtering is lossless and verification is an exact set
+    intersection, so the result is exact UP TO the ``max_list`` posting
+    cap: a list longer than ``max_list`` is truncated with a logged
+    forfeited-pair count (hot boilerplate tokens degrade gracefully
+    instead of going quadratic).  Pass ``max_list=None`` for strict
+    exactness (unbounded lists) — the mode the bit-exact SQL oracle in
+    ``pipelines/queries.py::q_similarity_join`` runs in effect, since
+    its fixture never reaches the default cap.
     """
     import ray
     import ray.data as rd
@@ -135,14 +140,16 @@ def similarity_join(ds, threshold: float, id_col: str = "doc_id",
     pref = with_df.groupby("doc_id", num_partitions=num_partitions).map_groups(
         prefix_rows, batch_format="pandas")
 
-    max_l = int(max_list)
+    max_l = None if max_list is None else int(max_list)
 
     def posting_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(group["doc_id"].to_numpy())
         if len(ids) < 2:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
-        ids = _cap_bucket(np.sort(ids), max_l, "similarity_join")
+        ids = np.sort(ids)
+        if max_l is not None:
+            ids = _cap_bucket(ids, max_l, "similarity_join")
         iu = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[iu[0]].astype(np.int64),
                              "id_b": ids[iu[1]].astype(np.int64)})

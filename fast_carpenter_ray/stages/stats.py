@@ -179,6 +179,10 @@ def grouped_collect_set(ds, group: str, col: str, sep: str = ",",
     the ``collect_set`` / ``string_agg(DISTINCT .. ORDER BY ..)``
     primitive.
 
+    Values are joined in LEXICOGRAPHIC (string) order in every mode —
+    the order ``string_agg(DISTINCT CAST(v AS VARCHAR), sep ORDER BY
+    CAST(v AS VARCHAR))`` produces.
+
     Shape: per-batch DISTINCT (group, value) pairs (the shrink: the
     value stream never reshuffles, only distinct pairs) -> one combine
     keyed on the pair -> per-group sorted join.  The (group x distinct
@@ -220,9 +224,10 @@ def grouped_collect_set(ds, group: str, col: str, sep: str = ",",
         return pd.DataFrame({group: pd.Series([], dtype=object),
                              "values": pd.Series([], dtype=object),
                              "n_distinct": pd.Series([], dtype=np.int64)})
-    pairs = pairs.sort_values([group, "value"])
-    out = pairs.groupby(group, sort=True)["value"].agg(
-        [lambda v: sep.join(str(x) for x in v), "size"]).reset_index()
+    pairs = pairs.assign(_vs=pairs["value"].astype(str)).sort_values(
+        [group, "_vs"])
+    out = pairs.groupby(group, sort=True)["_vs"].agg(
+        [lambda v: sep.join(v), "size"]).reset_index()
     out.columns = [group, "values", "n_distinct"]
     out["n_distinct"] = out["n_distinct"].astype(np.int64)
     return out.reset_index(drop=True)
@@ -288,6 +293,6 @@ def pivot_counts(ds, row_key: str, col_key: str, mode: str = "tree"):
         return pd.DataFrame({row_key: pd.Series([], dtype=object)})
     wide = long.pivot_table(index=row_key, columns=col_key, values="n",
                             aggfunc="sum", fill_value=0)
-    wide = wide[sorted(wide.columns)].astype(np.int64)
     wide.columns = [str(c) for c in wide.columns]
+    wide = wide[sorted(wide.columns)].astype(np.int64)
     return wide.reset_index().sort_values(row_key).reset_index(drop=True)

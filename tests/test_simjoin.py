@@ -6,7 +6,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-from fast_carpenter_ray.stages.dedup import _stable_token_hash, tokenize
+from fast_carpenter_ray.stages.dedup import tokenize
 from fast_carpenter_ray.stages.simjoin import _prefix_len, similarity_join
 
 
@@ -76,18 +76,34 @@ def test_prefix_len_never_shortened_by_float_fuzz():
         assert (p >= true_p).all() and (p >= 1).all()
 
 
-def test_hot_token_cap_logged_not_silent(ray_session, caplog):
-    import logging
-
+def test_hot_posting_cap_drops_and_strict_mode_restores(ray_session):
+    """All 40 docs share an identical 10-token set, so every prefix
+    token's posting list holds all 40 docs; max_list=8 caps the list
+    (pairs forfeited — deterministically the smallest ids survive) and
+    max_list=None restores strict exactness (all C(40,2) pairs)."""
     import ray.data as rd
 
-    # every doc shares one hot token; cap the posting list far below
-    texts = [f"hot u{i}a u{i}b u{i}c u{i}d" for i in range(40)]
+    toks = " ".join(f"t{j}" for j in range(10))
     ds = rd.from_arrow(pa.table({
-        "doc_id": pa.array(range(40), type=pa.int64()), "text": texts}))
+        "doc_id": pa.array(range(40), type=pa.int64()),
+        "text": [toks] * 40}))
+    capped = similarity_join(ds, threshold=0.9, max_list=8).to_pandas()
+    assert len(capped) == 8 * 7 // 2  # pairs among the 8 smallest ids only
+    assert capped["id_a"].max() <= 7 and capped["id_b"].max() <= 7
+    strict = similarity_join(ds, threshold=0.9, max_list=None).to_pandas()
+    assert len(strict) == 40 * 39 // 2
+    assert (strict["jaccard"] == 1.0).all()
+
+
+def test_cap_bucket_logs_not_silent(caplog):
+    import logging
+
+    from fast_carpenter_ray.stages.dedup import _cap_bucket
+
     with caplog.at_level(logging.WARNING, "fast_carpenter_ray.dedup"):
-        got = similarity_join(ds, threshold=0.9, max_list=8).to_pandas()
-    assert len(got) == 0  # no real near-dups; cap must not invent pairs
+        out = _cap_bucket(np.arange(20), 8, "unit")
+    assert len(out) == 8
+    assert any("capped at 8" in r.message for r in caplog.records)
 
 
 def test_empty_input(ray_session):
