@@ -715,6 +715,19 @@ def q_similarity_join(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_chunk_dup(sf_dir: str):
+    """Cross-document duplicated-chunk fraction (stages/dedup.py
+    chunk_dup_stats) over the planted-dup corpus: each planted copy is
+    its original plus a suffix, so the original's full chunks recur in
+    the copy.  Counts are exact ints; the fraction one f64 division —
+    the SQL oracle replays the sha256-prefix rolling chunk hash."""
+    from ..stages.dedup import chunk_dup_stats
+
+    ds = _neardup_corpus(sf_dir)
+    out = chunk_dup_stats(ds, chunk_tokens=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_minhash_pairs(sf_dir: str):
     """Full MinHash+LSH chain (signatures -> band rows -> bucket pairs ->
     signature verification) under a bit-exact SQL oracle: the oracle
@@ -2701,6 +2714,31 @@ def build_oracles() -> Dict[str, str]:
             "CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard "
             "FROM i WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) "
             ">= 0.9"),
+        "chunk_dup": (
+            "WITH corpus AS ("
+            "SELECT doc_id, text FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 10000000, text || ' near duplicate suffix "
+            "tokens' FROM documents WHERE doc_id % 10 = 0), "
+            "toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "lower(coalesce(text, '')), '\\s+'), t -> t != '') AS t "
+            "FROM corpus), "
+            "th AS (SELECT doc_id, list_transform(t, s -> "
+            "('0x' || substring(sha256(s), 1, 16))::UBIGINT) AS h "
+            "FROM toks WHERE len(t) >= 8), "
+            "ch AS (SELECT doc_id, CAST(list_reduce("
+            "list_prepend(0::UBIGINT, list_slice(h, 8*i + 1, 8*i + 8)), "
+            f"(acc, x) -> CAST((acc::HUGEINT * {_FNV_P} + x) % {_POW64} "
+            "AS UBIGINT)) AS UBIGINT) AS chunk "
+            "FROM th, unnest(range(len(h) // 8)) AS r(i)), "
+            "cnt AS (SELECT chunk, count(*) AS total FROM ch GROUP BY chunk), "
+            "d AS (SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+            "CAST(sum(CASE WHEN cnt.total > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dup_chunks "
+            "FROM ch JOIN cnt USING (chunk) GROUP BY ch.doc_id) "
+            "SELECT doc_id, n_chunks, n_dup_chunks, "
+            "CAST(n_dup_chunks AS DOUBLE) / n_chunks AS dup_chunk_frac "
+            "FROM d"),
         "minhash_pairs": _minhash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "near_dedup": _near_dedup_sql(),
@@ -3262,6 +3300,7 @@ def build_queries() -> Dict[str, Callable]:
         "repetition": q_repetition,
         "near_dedup": q_near_dedup,
         "similarity_join": q_similarity_join,
+        "chunk_dup": q_chunk_dup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,

@@ -33,7 +33,7 @@ import pyarrow as pa
 
 __all__ = [
     "ExactDedup", "MinHashDedup", "SimHashDedup",
-    "tokenize", "shingle_hashes", "ngram_jaccard",
+    "tokenize", "shingle_hashes", "ngram_jaccard", "chunk_dup_stats",
 ]
 
 logger = logging.getLogger("fast_carpenter_ray.dedup")
@@ -569,3 +569,107 @@ def near_dedup(ds, dedup: "MinHashDedup", exact_first: bool = True):
         return batch.filter(pa.array(~np.isin(ids, ray.get(drop_ref))))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def chunk_dup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_tokens: int = 8, num_partitions: Optional[int] = None):
+    """Cross-document duplicated-chunk fraction — the corpus-level
+    repetition signal (which spans of a doc also appear verbatim in
+    OTHER docs; cf. "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022 — public literature).
+
+    Per doc: NON-OVERLAPPING ``chunk_tokens``-token windows, each hashed
+    with the same sha256-prefix + rolling-fold math as
+    :func:`shingle_hashes` (so a SQL engine replays it); the incomplete
+    tail window is dropped.  A chunk is "duplicated" when its hash
+    occurs in more than one (doc, position) across the corpus.
+
+    Shuffle inventory: one chunk-keyed hash combine for global counts
+    and one chunk-keyed hash join back onto the (doc, chunk) rows —
+    both move only (hash, small ints), never text.  Returns a Dataset
+    ``(doc_id, n_chunks, n_dup_chunks, dup_chunk_frac)``; the fraction
+    is one exact-int f64 division.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..agg import default_partitions
+
+    if num_partitions is None:
+        num_partitions = default_partitions(4)
+    w = int(chunk_tokens)
+    P = np.uint64(1099511628211)
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cache: dict = {}
+        out_id, out_h = [], []
+        for i, t in zip(ids, batch[text_col].to_pylist()):
+            toks = tokenize(t or "")
+            k = len(toks) // w
+            if k == 0:
+                continue
+            th = np.fromiter(
+                (cache.setdefault(x, _stable_token_hash(x))
+                 for x in toks[:k * w]), dtype=np.uint64, count=k * w
+            ).reshape(k, w)
+            h = np.zeros(k, dtype=np.uint64)
+            for j in range(w):
+                h = h * P + th[:, j]
+            out_id.append(np.full(k, i, dtype=np.int64))
+            out_h.append(h.view(np.int64))
+        if not out_id:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.int64()),
+                             "nc": pa.array([], pa.int64())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
+            "chunk": pa.array(np.concatenate(out_h), type=pa.int64()),
+            "nc": pa.array(np.ones(sum(len(x) for x in out_id),
+                                   dtype=np.int64)),
+        })
+
+    rows = ds.map_batches(chunk_rows, batch_format="pyarrow").materialize()
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "n_chunks": pa.array([], pa.int64()),
+                      "n_dup_chunks": pa.array([], pa.int64()),
+                      "dup_chunk_frac": pa.array([], pa.float64())})
+    if rows.count() == 0:
+        return rd.from_arrow(empty)
+
+    counts = rows.select_columns(["chunk", "nc"]).groupby(
+        "chunk", num_partitions=num_partitions).aggregate(
+        Sum("nc", alias_name="total"))
+    joined = rows.join(counts, join_type="inner", on=("chunk",),
+                       num_partitions=num_partitions)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["dup"] = (df["total"] > 1).astype(np.int64)
+        out = df.groupby(id_col, sort=False).agg(
+            n_chunks=("chunk", "size"), n_dup_chunks=("dup", "sum")
+        ).reset_index()
+        for c in ("n_chunks", "n_dup_chunks"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # per-doc partial counts shrink inside the map; one id-keyed combine
+    from ..agg import combine_partials
+
+    agg = combine_partials(
+        joined.map_batches(per_doc, batch_format="pyarrow"),
+        keys=[id_col], value_cols=["n_chunks", "n_dup_chunks"], mode="hash",
+        num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chunks"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = batch["n_dup_chunks"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "n_chunks": pa.array(nc, type=pa.int64()),
+            "n_dup_chunks": pa.array(nd, type=pa.int64()),
+            "dup_chunk_frac": pa.array(nd / nc, type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -212,3 +212,27 @@ def test_near_dedup_exact_first_same_survivors(ray_session):
     a = sorted(near_dedup(ds, mh, exact_first=True).to_pandas()["doc_id"])
     b = sorted(near_dedup(ds, mh, exact_first=False).to_pandas()["doc_id"])
     assert a == b and len(a) > 0
+
+
+def test_chunk_dup_stats(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.dedup import chunk_dup_stats
+
+    # doc 0: 16 tokens -> 2 chunks; doc 1 repeats doc 0's first 8 tokens
+    # (1 shared chunk) + 8 unique; doc 2 all unique; doc 3 too short
+    w8 = [f"a{j}" for j in range(8)]
+    texts = [" ".join(w8 + [f"b{j}" for j in range(8)]),
+             " ".join(w8 + [f"c{j}" for j in range(8)]),
+             " ".join(f"d{j}" for j in range(16)),
+             "tiny doc"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": texts})).repartition(2)
+    out = (chunk_dup_stats(ds, chunk_tokens=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 3 has no full chunk -> absent
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_chunks"].tolist() == [2, 2, 2]
+    assert out["n_dup_chunks"].tolist() == [1, 1, 0]
+    assert out["dup_chunk_frac"].tolist() == [0.5, 0.5, 0.0]
