@@ -715,6 +715,82 @@ def q_similarity_join(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _token_val_lists(sf_dir: str):
+    """documents -> (doc_id, vals) with ``vals`` a jagged int64 list
+    column (sha256-prefix token hash mod 1000 per token) — the list
+    payload the reference's jagged operators (M8, A2) work over."""
+    import ray.data as rd
+
+    from ..stages.dedup import _stable_token_hash, tokenize
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_lists(batch: pa.Table) -> pa.Table:
+        cache: dict = {}
+        vals = [[cache.setdefault(w, _stable_token_hash(w) % 1000)
+                 for w in tokenize(t or "")]
+                for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "vals": pa.array(vals, type=pa.list_(pa.int64())),
+        })
+
+    return ds.map_batches(to_lists, batch_format="pyarrow")
+
+
+def q_jagged_reduce(sf_dir: str):
+    """The reference's jagged-array reductions (M8 — arrays.py
+    reduce_list / nth / counts, reference tree_wrapper JaggedMethod)
+    under a SQL oracle: per-list sum/max/min/count/first/argmax over a
+    synthesized int list column, all exact ints."""
+    from ..arrays import counts, nth, reduce_list
+
+    ds = _token_val_lists(sf_dir)
+
+    def reduce_batch(batch: pa.Table) -> pa.Table:
+        col = batch["vals"]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n": pa.array(counts(col).astype(np.int64)),
+            "vsum": pa.array(reduce_list(col, "sum").astype(np.int64)),
+            "vmax": pa.array(reduce_list(col, "max").astype(np.int64)),
+            "vmin": pa.array(reduce_list(col, "min").astype(np.int64)),
+            "first": pa.array(nth(col, 0, fill_missing=-1).astype(np.int64)),
+            "amax": pa.array(reduce_list(col, "argmax").astype(np.int64)),
+        })
+
+    return ds.map_batches(reduce_batch, batch_format="pyarrow")
+
+
+def q_jagged_explode(sf_dir: str):
+    """The reference's equal-jagged explode (A2 — binned_dataframe
+    _explode: list columns must share offsets, flat columns repeat)
+    under a SQL oracle: explode (vals, position) against doc_id and
+    aggregate the exploded rows so the output is order-insensitive."""
+    from ..stages.binned_dataframe import _explode
+
+    ds = _token_val_lists(sf_dir)
+
+    def explode_batch(batch: pa.Table) -> pa.Table:
+        col = batch["vals"]
+        from ..arrays import list_offsets_values
+
+        offsets, values = list_offsets_values(col)
+        pos = np.arange(len(values), dtype=np.int64) - np.repeat(
+            offsets[:-1], np.diff(offsets))
+        flat = _explode({"doc_id": batch["doc_id"].to_numpy(
+            zero_copy_only=False), "v": col}, len(batch))
+        return pa.table({
+            "doc_id": pa.array(flat["doc_id"], type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+            "v": pa.array(np.asarray(flat["v"], dtype=np.int64)),
+        })
+
+    out = ds.map_batches(explode_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
 def q_chunk_dup(sf_dir: str):
     """Cross-document duplicated-chunk fraction (stages/dedup.py
     chunk_dup_stats) over the planted-dup corpus: each planted copy is
@@ -2714,6 +2790,27 @@ def build_oracles() -> Dict[str, str]:
             "CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard "
             "FROM i WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) "
             ">= 0.9"),
+        "jagged_reduce": (
+            "WITH toks AS (SELECT doc_id, list_transform(list_filter("
+            "regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), "
+            "t -> t != ''), s -> "
+            "('0x' || substring(sha256(s), 1, 16))::UBIGINT % 1000) AS v "
+            "FROM documents) "
+            "SELECT doc_id, CAST(len(v) AS BIGINT) AS n, "
+            "CAST(list_aggregate(v, 'sum') AS BIGINT) AS vsum, "
+            "CAST(list_max(v) AS BIGINT) AS vmax, "
+            "CAST(list_min(v) AS BIGINT) AS vmin, "
+            "CAST(coalesce(v[1], -1) AS BIGINT) AS first, "
+            "CAST(list_position(v, list_max(v)) - 1 AS BIGINT) AS amax "
+            "FROM toks"),
+        "jagged_explode": (
+            "WITH toks AS (SELECT doc_id, list_transform(list_filter("
+            "regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), "
+            "t -> t != ''), s -> "
+            "('0x' || substring(sha256(s), 1, 16))::UBIGINT % 1000) AS l "
+            "FROM documents) "
+            "SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) "
+            "AS pos, CAST(unnest(l) AS BIGINT) AS v FROM toks"),
         "chunk_dup": (
             "WITH corpus AS ("
             "SELECT doc_id, text FROM documents "
@@ -3300,6 +3397,8 @@ def build_queries() -> Dict[str, Callable]:
         "repetition": q_repetition,
         "near_dedup": q_near_dedup,
         "similarity_join": q_similarity_join,
+        "jagged_reduce": q_jagged_reduce,
+        "jagged_explode": q_jagged_explode,
         "chunk_dup": q_chunk_dup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
