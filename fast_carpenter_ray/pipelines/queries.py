@@ -791,6 +791,53 @@ def q_jagged_explode(sf_dir: str):
     return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
 
 
+def q_reduce_cut(sf_dir: str):
+    """The reference's jagged reduce cuts (F2 ReduceSingleCut — 'any'
+    and nth-element with fill_missing=False) as SelectPhaseSpace region
+    columns over the jagged token-value column, under a SQL oracle."""
+    from ..stages.selection import SelectPhaseSpace
+
+    ds = _token_val_lists(sf_dir)
+    ds = SelectPhaseSpace("s1", {"reduce": "any", "formula": "vals > 900"},
+                          region_name="any_gt").apply(ds)
+    ds = SelectPhaseSpace("s2", {"reduce": 0, "formula": "vals > 900"},
+                          region_name="first_gt").apply(ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "any_gt": batch["any_gt"].cast(pa.int64()),
+            "first_gt": batch["first_gt"].cast(pa.int64()),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def q_binned_padded(sf_dir: str):
+    """BinnedDataframe with pad_missing=True (A3 densify): the full bin
+    product appears, empty bins carried as zero rows — edges extend past
+    the data range so padding is observable.  Oracle: a generated bin
+    table LEFT JOINed onto the counts."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    hist = BinnedDataframe("hist", [
+        {"in": "n_chars", "out": "chars_bin",
+         "bins": {"edges": [float(x) for x in range(0, 4001, 250)]}},
+    ], pad_missing=True)
+    # densify happens in the reference-shaped collect() rendering; the
+    # engine pads the full interval index INCLUDING the +/-inf guard
+    # bins (reference semantics), so the bin code is the position - 1:
+    # -1 = (-inf, 0), 0..15 = the finite bins, 16 = [4000, inf)
+    df = hist.collect(hist.aggregate(ds)).reset_index()
+    out = pd.DataFrame({
+        "chars_bin": np.arange(len(df), dtype=np.int64) - 1,
+        "n": df["n"].fillna(0).astype(np.int64),
+    })
+    return out.sort_values("chars_bin").reset_index(drop=True)
+
+
 def q_chunk_dup(sf_dir: str):
     """Cross-document duplicated-chunk fraction (stages/dedup.py
     chunk_dup_stats) over the planted-dup corpus: each planted copy is
@@ -2790,6 +2837,26 @@ def build_oracles() -> Dict[str, str]:
             "CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard "
             "FROM i WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) "
             ">= 0.9"),
+        "reduce_cut": (
+            "WITH toks AS (SELECT doc_id, list_transform(list_filter("
+            "regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), "
+            "t -> t != ''), s -> "
+            "('0x' || substring(sha256(s), 1, 16))::UBIGINT % 1000) AS l "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(list_filter(l, x -> x > 900)) > 0 AS BIGINT) "
+            "AS any_gt, "
+            "CAST(coalesce(l[1] > 900, false) AS BIGINT) AS first_gt "
+            "FROM toks"),
+        "binned_padded": (
+            "WITH bins AS (SELECT unnest(range(-1, 17)) AS chars_bin), "
+            "c AS (SELECT CAST(CASE WHEN n_chars < 0 THEN -1 "
+            "ELSE least(floor(n_chars / 250.0), 16) END AS BIGINT) "
+            "AS chars_bin, count(*) AS n FROM documents "
+            "WHERE n_chars IS NOT NULL GROUP BY 1) "
+            "SELECT CAST(bins.chars_bin AS BIGINT) AS chars_bin, "
+            "CAST(coalesce(c.n, 0) AS BIGINT) AS n "
+            "FROM bins LEFT JOIN c USING (chars_bin)"),
         "jagged_reduce": (
             "WITH toks AS (SELECT doc_id, list_transform(list_filter("
             "regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), "
@@ -3397,6 +3464,8 @@ def build_queries() -> Dict[str, Callable]:
         "repetition": q_repetition,
         "near_dedup": q_near_dedup,
         "similarity_join": q_similarity_join,
+        "reduce_cut": q_reduce_cut,
+        "binned_padded": q_binned_padded,
         "jagged_reduce": q_jagged_reduce,
         "jagged_explode": q_jagged_explode,
         "chunk_dup": q_chunk_dup,
