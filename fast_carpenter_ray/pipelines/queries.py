@@ -838,6 +838,21 @@ def q_binned_padded(sf_dir: str):
     return out.sort_values("chars_bin").reset_index(drop=True)
 
 
+def q_polygon_cover(sf_dir: str):
+    """The PIP stage's cell-cover prefilter index itself (geo/pip.py
+    PolygonIndex.cover — the machinery every pip_join query rides on)
+    under a SQL oracle: (poly_id, cell) rows of the full cover
+    rectangle, reproduced in SQL from the corner-cell grid math."""
+    from ..geo.pip import PolygonIndex
+
+    idx = PolygonIndex(rect_polygons(), res=RES)
+    rows = [(pid, cell) for cell, pids in sorted(idx.cover.items())
+            for pid in pids]
+    out = pd.DataFrame(rows, columns=["poly_id", "cell"])
+    out = out.astype({"poly_id": np.int64, "cell": np.int64})
+    return out.sort_values(["poly_id", "cell"]).reset_index(drop=True)
+
+
 def q_chunk_dup(sf_dir: str):
     """Cross-document duplicated-chunk fraction (stages/dedup.py
     chunk_dup_stats) over the planted-dup corpus: each planted copy is
@@ -2495,6 +2510,20 @@ def build_oracles() -> Dict[str, str]:
         "cell_encode": (
             f"WITH base AS ({geo}) SELECT doc_id, lat, lng, {cell} AS cell "
             f"FROM base WHERE lat IS NOT NULL"),
+        "polygon_cover": (
+            "WITH z AS (SELECT poly_id, "
+            "CAST(least(greatest(floor((lng0 + 180.0) / 360.0 * 64), 0), "
+            "63) AS BIGINT) AS ix0, "
+            "CAST(least(greatest(floor((lng1 + 180.0) / 360.0 * 64), 0), "
+            "63) AS BIGINT) AS ix1, "
+            "CAST(least(greatest(floor((lat0 + 90.0) / 180.0 * 64), 0), "
+            "63) AS BIGINT) AS iy0, "
+            "CAST(least(greatest(floor((lat1 + 90.0) / 180.0 * 64), 0), "
+            f"63) AS BIGINT) AS iy1 FROM {zones}) "
+            "SELECT CAST(poly_id AS BIGINT) AS poly_id, "
+            "CAST(y * 64 + x AS BIGINT) AS cell "
+            "FROM z, unnest(range(iy0, iy1 + 1)) AS ys(y), "
+            "unnest(range(ix0, ix1 + 1)) AS xs(x)"),
         "pip_join": (
             f"WITH base AS ({geo}) "
             f"SELECT doc_id, CAST(poly_id AS BIGINT) AS poly_id FROM base, {zones} "
@@ -3464,6 +3493,7 @@ def build_queries() -> Dict[str, Callable]:
         "repetition": q_repetition,
         "near_dedup": q_near_dedup,
         "similarity_join": q_similarity_join,
+        "polygon_cover": q_polygon_cover,
         "reduce_cut": q_reduce_cut,
         "binned_padded": q_binned_padded,
         "jagged_reduce": q_jagged_reduce,
