@@ -111,17 +111,23 @@ def combine_partials(parts, keys: Sequence[str], value_cols: Sequence[str],
     import ray.data as rd
 
     shrunk = parts.map_batches(combine, batch_format="pyarrow", batch_size=None)
-    local = shrunk.to_pandas()  # bounded: (#blocks x #keys) rows, guarded below
+    # materialize distributed FIRST and count BEFORE pulling to the
+    # driver: checking the row budget only after to_pandas() could not
+    # prevent the driver OOM it guards against (the shrunken partials
+    # stay in the object store; count() is metadata-cheap on them)
+    shrunk = shrunk.materialize()
+    n_partial = shrunk.count()
+    if n_partial > max_driver_rows:
+        raise ValueError(
+            f"combine_partials(mode='tree'): driver merge of {n_partial} "
+            f"partial rows exceeds the {max_driver_rows}-row budget — this "
+            f"key space is not summary-sized; use mode='hash'")
+    local = shrunk.to_pandas()  # bounded: guarded above
     if len(local) == 0:
         # all partials empty: to_pandas() loses the schema — rebuild it so
         # downstream column access still works
         local = pd.DataFrame({c: pd.Series([], dtype="float64")
                               for c in [*keys, *value_cols]})
-    if len(local) > max_driver_rows:
-        raise ValueError(
-            f"combine_partials(mode='tree'): driver merge of {len(local)} "
-            f"partial rows exceeds the {max_driver_rows}-row budget — this "
-            f"key space is not summary-sized; use mode='hash'")
     final = (local.groupby(list(keys), observed=True, sort=False)[list(value_cols)]
              .agg(agg).reset_index())
     final = final.sort_values(list(keys)).reset_index(drop=True)

@@ -37,6 +37,43 @@ __all__ = ["asof_join", "asof_join_bucketed"]
 _SIDE = "__asof_side"
 
 
+def _make_resolver(by, on, lcols, on_r, rcols, r_out, how):
+    """Shared per-group as-of resolution (flat AND bucketed paths — one
+    implementation so a semantics fix can never drift between them):
+    sort the right side's times once, searchsorted every left time,
+    null-fill or drop unmatched per ``how``."""
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        is_r = group[_SIDE].to_numpy() == 1
+        lrows = group[~is_r]
+        rrows = group[is_r]
+        out_cols = [by, on] + lcols + [on_r] + r_out
+        if len(lrows) == 0:
+            return lrows.reindex(columns=out_cols)
+        lvals = lrows[on].to_numpy()
+        if len(rrows) == 0:
+            matched = np.zeros(len(lrows), dtype=bool)
+            out = lrows.copy()
+            out[on_r] = pd.NA
+        else:
+            rs = rrows.sort_values(on, kind="stable")
+            rvals = rs[on].to_numpy()
+            idx = np.searchsorted(rvals, lvals, side="right") - 1
+            matched = idx >= 0
+            take = np.clip(idx, 0, None)
+            out = lrows.copy()
+            out[on_r] = rvals[take]
+            out.loc[~matched, on_r] = pd.NA
+            for c, co in zip(rcols, r_out):
+                out[co] = rs[co].to_numpy()[take]
+                out.loc[~matched, co] = pd.NA
+        if how == "inner":
+            out = out[matched]
+        return out.reindex(columns=out_cols)
+
+    return resolve
+
+
 def asof_join(left, right, on: str, by: str,
               left_cols: Optional[Sequence[str]] = None,
               right_cols: Optional[Sequence[str]] = None,
@@ -84,36 +121,9 @@ def asof_join(left, right, on: str, by: str,
     tagged = left.map_batches(_tag_left, batch_format="pyarrow").union(
         right.map_batches(_tag_right, batch_format="pyarrow"))
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        is_r = group[_SIDE].to_numpy() == 1
-        lrows = group[~is_r]
-        rrows = group[is_r]
-        out_cols = [by, on] + lcols + [on_r] + r_out
-        if len(lrows) == 0:
-            return lrows.reindex(columns=out_cols)
-        lvals = lrows[on].to_numpy()
-        if len(rrows) == 0:
-            matched = np.zeros(len(lrows), dtype=bool)
-            out = lrows.copy()
-            out[on_r] = pd.NA
-        else:
-            rs = rrows.sort_values(on, kind="stable")
-            rvals = rs[on].to_numpy()
-            idx = np.searchsorted(rvals, lvals, side="right") - 1
-            matched = idx >= 0
-            take = np.clip(idx, 0, None)
-            out = lrows.copy()
-            out[on_r] = rvals[take]
-            out.loc[~matched, on_r] = pd.NA
-            for c, co in zip(rcols, r_out):
-                out[co] = rs[co].to_numpy()[take]
-                out.loc[~matched, co] = pd.NA
-        if how == "inner":
-            out = out[matched]
-        return out.reindex(columns=out_cols)
-
     from ..agg import default_partitions
 
+    resolve = _make_resolver(by, on, lcols, on_r, rcols, r_out, how)
     return tagged.groupby(by, num_partitions=default_partitions()).map_groups(
         resolve, batch_format="pandas")
 
@@ -260,33 +270,6 @@ def asof_join_bucketed(left, right, on: str, by: str, bucket_width: int,
               .union(right.map_batches(tag_right, batch_format="pyarrow"))
               .union(carries.map_batches(tag_carry, batch_format="pyarrow")))
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        is_r = group[_SIDE].to_numpy() == 1
-        lrows = group[~is_r]
-        rrows = group[is_r]
-        out_cols = [by, on] + lcols + [on_r] + r_out
-        if len(lrows) == 0:
-            return lrows.reindex(columns=out_cols)
-        lvals = lrows[on].to_numpy()
-        if len(rrows) == 0:
-            matched = np.zeros(len(lrows), dtype=bool)
-            out = lrows.copy()
-            out[on_r] = pd.NA
-        else:
-            rs = rrows.sort_values(on, kind="stable")
-            rvals = rs[on].to_numpy()
-            idx = np.searchsorted(rvals, lvals, side="right") - 1
-            matched = idx >= 0
-            take = np.clip(idx, 0, None)
-            out = lrows.copy()
-            out[on_r] = rvals[take]
-            out.loc[~matched, on_r] = pd.NA
-            for c, co in zip(rcols, r_out):
-                out[co] = rs[co].to_numpy()[take]
-                out.loc[~matched, co] = pd.NA
-        if how == "inner":
-            out = out[matched]
-        return out.reindex(columns=out_cols)
-
+    resolve = _make_resolver(by, on, lcols, on_r, rcols, r_out, how)
     return tagged.groupby([by, _B], num_partitions=np_).map_groups(
         resolve, batch_format="pandas")

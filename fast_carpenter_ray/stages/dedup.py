@@ -138,11 +138,15 @@ class ExactDedup:
             out = df.groupby("_content_hash", sort=False)[id_col].min().reset_index()
             return pa.Table.from_pandas(out, preserve_index=False)
 
+        if num_partitions is None:
+            # never fall through to Ray's 200-partition default: aggregator
+            # startup scales with the partition count (agg.default_partitions)
+            from ..agg import default_partitions
+
+            num_partitions = default_partitions()
         hashed = ds.map_batches(self.hash_batch, batch_format="pyarrow")
         keep = hashed.select_columns(["_content_hash", self.id_col])
         keep = keep.map_batches(partial_min, batch_format="pyarrow")
-        if num_partitions:
-            keep = keep.repartition(num_partitions)
         return keep.groupby("_content_hash",
                             num_partitions=num_partitions).aggregate(
             Min(self.id_col, alias_name=self.id_col))
@@ -465,13 +469,25 @@ class SimHashDedup:
             _cap_bucket(ids, self.max_bucket, f"SimHashDedup[{self.name}]")
             ids, sh = ids[:self.max_bucket], sh[:self.max_bucket]  # already id-sorted
         iu = np.triu_indices(len(ids), k=1)
-        x = sh[iu[0]] ^ sh[iu[1]]
-        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * x.itemsize).sum(axis=1)
-        hit = ham <= self.max_hamming
+        # chunk the pair axis: a full max_bucket=4096 bucket has 8.4M
+        # pairs, and unpackbits scratch is 64 bytes/pair (~540 MB in one
+        # shot) — bound peak memory to ~64 MB per group task instead
+        CHUNK = 1_000_000
+        out_a, out_b, out_h = [], [], []
+        for s0 in range(0, len(iu[0]), CHUNK):
+            a = iu[0][s0:s0 + CHUNK]
+            b = iu[1][s0:s0 + CHUNK]
+            x = sh[a] ^ sh[b]
+            ham = np.unpackbits(x.view(np.uint8)).reshape(
+                len(x), 8 * x.itemsize).sum(axis=1)
+            hit = ham <= self.max_hamming
+            out_a.append(ids[a[hit]])
+            out_b.append(ids[b[hit]])
+            out_h.append(ham[hit])
         return pd.DataFrame({
-            "id_a": ids[iu[0][hit]].astype(np.int64),
-            "id_b": ids[iu[1][hit]].astype(np.int64),
-            "hamming": ham[hit].astype(np.int64),
+            "id_a": np.concatenate(out_a).astype(np.int64),
+            "id_b": np.concatenate(out_b).astype(np.int64),
+            "hamming": np.concatenate(out_h).astype(np.int64),
         })
 
     def candidate_pairs(self, ds, num_partitions: Optional[int] = None):

@@ -108,7 +108,10 @@ def latest_by_key(ds, key: str, version: str, value: str,
         if len(x) and (x.min() < 0 or x.max() >= bound):
             raise ValueError(
                 f"latest_by_key: value outside [0, {bound}) cannot pack")
-        if len(v) and v.max() > (2**62) // bound:
+        if len(v) and (v.max() > (2**62) // bound
+                       or v.min() < -((2**62) // bound)):
+            # check BOTH signs: a large-negative version would wrap int64
+            # and silently win the packed max
             raise ValueError("latest_by_key: version * value_bound "
                              "overflows int64")
         df = pd.DataFrame({key: k, "_packed": v * bound + x})

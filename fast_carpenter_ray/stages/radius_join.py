@@ -39,8 +39,7 @@ __all__ = ["radius_join"]
 
 
 def radius_join(ds, sites, radius: float, res: int = 6,
-                metric: str = "euclid", lat: str = "lat", lng: str = "lng",
-                max_candidate_frac: float = 1.0):
+                metric: str = "euclid", lat: str = "lat", lng: str = "lng"):
     """Inner join of each point to every site within ``radius``.
 
     ``radius`` is squared-degrees' square root (i.e. degrees) for

@@ -63,7 +63,9 @@ def heavy_hitters(ds, col: str, min_frac: float, k: Optional[int] = None,
     ``k`` defaults to ``ceil(2/min_frac)`` so the MG guarantee
     (frequency > n/(k+1) survives) covers the threshold with margin.
     ``exact=False`` skips the verification pass and returns lower-bound
-    counts (item set may then include sub-threshold items).
+    counts filtered at ``thresh - total/(k+1)`` (the MG undercount
+    bound): a SUPERSET of the true heavy hitters — it may include
+    sub-threshold items but never misses a true one.
     """
     if not (0.0 < min_frac <= 1.0):
         raise ValueError("heavy_hitters: min_frac must be in (0, 1]")
@@ -93,9 +95,15 @@ def heavy_hitters(ds, col: str, min_frac: float, k: Optional[int] = None,
     thresh = int(np.ceil(total * min_frac))
 
     if not exact:
+        # MG estimates undercount by at most total/(k+1), so filtering at
+        # the raw threshold would FALSELY EXCLUDE true heavy hitters whose
+        # counter was decremented; filter at thresh - error_bound to keep
+        # the promised superset (may include sub-threshold items, never
+        # misses a true one)
+        err = int(np.ceil(total / (k + 1))) if total else 0
         out = pd.DataFrame({"item": list(merged.keys()),
                             "n": list(merged.values())})
-        return (out[out["n"] >= thresh]
+        return (out[out["n"] >= max(1, thresh - err)]
                 .sort_values("item").reset_index(drop=True)
                 .astype({"item": np.int64, "n": np.int64}))
 

@@ -135,8 +135,12 @@ def grouped_mode(ds, group: str, col: str, mode: str = "tree"):
         keys=[group, "value"], value_cols=["n"], mode=mode).to_pandas()
     if counts.empty:
         return counts
-    # combine sorts by (group, value); stable sort by count desc keeps
-    # the smallest value first within equal counts
+    # explicit (group, value) sort first: tree mode arrives sorted but
+    # HASH mode does not, and the tie rule below relies on it — without
+    # this, tied modes were nondeterministic under mode="hash"
+    counts = counts.sort_values([group, "value"], kind="stable")
+    # stable sort by count desc keeps the smallest value first within
+    # equal counts
     s = counts.sort_values("n", ascending=False, kind="stable")
     out = s.drop_duplicates(group, keep="first")
     out["n"] = out["n"].astype(np.int64)

@@ -410,8 +410,11 @@ def window_funcs_bucketed(ds, key: str = "user_id", ts: str = "ts",
             key: group[key].iloc[0], _B: g[_B].to_numpy(),
             "_rn_off": np.concatenate(([0], np.cumsum(n)[:-1])),
             "_v_off": np.concatenate(([0], np.cumsum(s)[:-1])),
-            # previous PRESENT bucket's last ts; sentinel -1 on the first
-            "_plt": np.concatenate(([-1], lt[:-1])),
+            # previous PRESENT bucket's last ts; int64-min sentinel on
+            # the first (a real ts can be negative, so -1 would be
+            # ambiguous; int64-min cannot be a valid last-ts because the
+            # gap computation would have overflowed long before)
+            "_plt": np.concatenate(([np.iinfo(np.int64).min], lt[:-1])),
         })
 
     offs = (slimmed.map_batches(summarize, batch_format="pyarrow")
@@ -453,12 +456,13 @@ def window_funcs_bucketed(ds, key: str = "user_id", ts: str = "ts",
                                  "running_v": z, "gap_us": z})
         rn_off = int(off["_rn_off"].iloc[0]) if len(off) else 0
         v_off = int(off["_v_off"].iloc[0]) if len(off) else 0
-        plt = int(off["_plt"].iloc[0]) if len(off) else -1
+        sent = np.iinfo(np.int64).min
+        plt = int(off["_plt"].iloc[0]) if len(off) else sent
         g = rows.sort_values(["_t", id_col], kind="stable")
         t = g["_t"].to_numpy().astype(np.int64)
         gap = np.empty(len(g), dtype=np.int64)
         # no earlier bucket => key's first event ever => -1 sentinel
-        gap[0] = t[0] - plt if plt >= 0 else -1
+        gap[0] = t[0] - plt if plt != sent else -1
         if len(g) > 1:
             gap[1:] = np.diff(t)
         return pd.DataFrame({

@@ -414,3 +414,29 @@ def test_ewma_matches_sequential_scan(ray_session):
             e = x if e is None else 0.3 * x + 0.7 * e
         assert row["ewma"] == pytest.approx(e, abs=1e-9)
         assert row["n"] == len(g)
+
+
+def test_window_funcs_bucketed_negative_ts_gap(ray_session):
+    """A negative timestamp in an earlier bucket must carry as the true
+    previous-event time, not the 'no earlier bucket' sentinel (the old
+    -1 sentinel conflated the two when ts < 0)."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import (window_funcs,
+                                                   window_funcs_bucketed)
+
+    tab = pa.table({
+        "user_id": pa.array([1, 1, 2], type=pa.int64()),
+        "event_id": pa.array([10, 11, 12], type=pa.int64()),
+        "ts": pa.array([-5, 100, 7], type=pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0]),
+    })
+    ds = rd.from_arrow(tab).repartition(2)
+    flat = (window_funcs(ds).to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+    buck = (window_funcs_bucketed(ds, bucket_width=10).to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+    assert flat["gap_us"].tolist() == [-1, 105, -1]
+    for c in ["user_id", "event_id", "rn", "running_v", "gap_us"]:
+        np.testing.assert_array_equal(buck[c].to_numpy().astype(np.int64),
+                                      flat[c].to_numpy().astype(np.int64))
