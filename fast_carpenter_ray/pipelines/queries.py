@@ -1490,6 +1490,31 @@ def q_grouped_corr(sf_dir: str):
     return out
 
 
+def q_grouped_ols(sf_dir: str):
+    """Exact per-language OLS fit of n_tokens on n_chars
+    (stages/stats.py grouped_ols — the regression leg of the
+    grouped_corr moment machinery): slope and intercept from exactly-
+    summed int64 moments, round(6) for the hash like corr."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text", "n_chars"])
+
+    def with_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("")
+        batch["n_tokens"] = s.str.split().str.len().fillna(0).astype(np.int64)
+        return batch
+
+    from ..stages.stats import grouped_ols
+
+    out = grouped_ols(ds.map_batches(with_tokens, batch_format="pandas"),
+                      group="lang", x="n_chars", y="n_tokens")
+    out["slope"] = out["slope"].round(6)
+    out["intercept"] = out["intercept"].round(6)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def q_inverted_index(sf_dir: str):
     """Inverted index with capped postings (stages/index.py): distinct
     (token, doc) dedup -> one token-keyed shuffle -> df + first-10
@@ -3220,6 +3245,20 @@ def build_oracles() -> Dict[str, str]:
             "sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr "
             "FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 "
             "ORDER BY lang"),
+        "grouped_ols": (
+            "WITH t AS (SELECT lang, n_chars AS x, "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS y "
+            "FROM documents), "
+            "s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, "
+            "sum(x*x) AS sxx FROM t GROUP BY lang), "
+            "f AS (SELECT lang, n, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) "
+            "AS slope, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd "
+            "FROM s WHERE n*sxx - sx*sx > 0) "
+            "SELECT lang, n, round(slope, 6) AS slope, "
+            "round((syd - slope * sxd) / n, 6) AS intercept FROM f"),
         "inverted_index": (
             "WITH w AS (SELECT DISTINCT doc_id, "
             "unnest(regexp_split_to_array(text, '\\s+')) AS token "
@@ -3437,6 +3476,7 @@ def build_queries() -> Dict[str, Callable]:
         "cell_entropy": q_cell_entropy,
         "idw": q_idw,
         "grouped_corr": q_grouped_corr,
+        "grouped_ols": q_grouped_ols,
         "inverted_index": q_inverted_index,
         "dataset_diff": q_dataset_diff,
         "link_graph": q_link_graph,

@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["grouped_corr", "grouped_entropy", "grouped_mode",
-           "zipf_slope", "grouped_collect_set", "pivot_counts"]
+           "zipf_slope", "grouped_collect_set", "pivot_counts", "grouped_ols"]
 
 
 def grouped_corr(ds, group: str, x: str, y: str, mode: str = "tree"):
@@ -300,3 +300,51 @@ def pivot_counts(ds, row_key: str, col_key: str, mode: str = "tree"):
     wide.columns = [str(c) for c in wide.columns]
     wide = wide[sorted(wide.columns)].astype(np.int64)
     return wide.reset_index().sort_values(row_key).reset_index(drop=True)
+
+
+def grouped_ols(ds, group: str, x: str, y: str, mode: str = "tree"):
+    """Per-group ordinary-least-squares fit of ``y`` on ``x`` (both
+    integer columns): ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` and
+    ``intercept = (Sy - slope*Sx) / n`` — the regression leg sharing
+    :func:`grouped_corr`'s exact integer-moment shape (one pass of five
+    int64 partials per group, one combine, closed-form driver finish;
+    every float op a fixed-order expression over exactly-summed ints, so
+    a SQL oracle computing the same expression agrees bit-for-bit).
+
+    Returns ``(group, n, slope, intercept)``; zero-variance-x groups are
+    dropped (the SQL WHERE denominator > 0 rule).
+    """
+    from ..agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            group: batch[group].to_pandas(),
+            "_x": batch[x].to_numpy(zero_copy_only=False).astype(np.int64),
+            "_y": batch[y].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        df["_xy"] = df["_x"] * df["_y"]
+        df["_xx"] = df["_x"] * df["_x"]
+        df["_n"] = np.int64(1)
+        out = (df.groupby(group, sort=False)
+               [["_n", "_x", "_y", "_xy", "_xx"]].sum().reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    sums = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[group], value_cols=["_n", "_x", "_y", "_xy", "_xx"],
+        mode=mode).to_pandas()
+    n = sums["_n"].to_numpy().astype(np.int64)
+    sx = sums["_x"].to_numpy().astype(np.int64)
+    sy = sums["_y"].to_numpy().astype(np.int64)
+    sxy = sums["_xy"].to_numpy().astype(np.int64)
+    sxx = sums["_xx"].to_numpy().astype(np.int64)
+    vx = n * sxx - sx * sx
+    ok = vx > 0
+    slope = (n * sxy - sx * sy).astype(np.float64)[ok] / vx.astype(
+        np.float64)[ok]
+    intercept = (sy.astype(np.float64)[ok]
+                 - slope * sx.astype(np.float64)[ok]) / n.astype(
+        np.float64)[ok]
+    out = pd.DataFrame({group: sums[group][ok], "n": n[ok],
+                        "slope": slope, "intercept": intercept})
+    return out.sort_values(group).reset_index(drop=True)

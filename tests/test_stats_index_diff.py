@@ -138,3 +138,26 @@ def test_latest_by_key_bound_checks(ray_session):
     with pytest.raises(Exception, match="pack"):
         latest_by_key(rd.from_pandas(df), key="k", version="ver",
                       value="v").to_pandas()
+
+
+def test_grouped_ols_matches_numpy_polyfit(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import grouped_ols
+
+    rng = np.random.default_rng(9)
+    n = 300
+    g = rng.integers(0, 3, n)
+    x = rng.integers(0, 100, n)
+    y = 3 * x + rng.integers(-10, 10, n)
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(g, type=pa.int64()),
+        "x": pa.array(x, type=pa.int64()),
+        "y": pa.array(y, type=pa.int64())})).repartition(4)
+    out = grouped_ols(ds, "g", "x", "y")
+    for _, row in out.iterrows():
+        m = g == row["g"]
+        slope, intercept = np.polyfit(x[m].astype(float), y[m].astype(float), 1)
+        assert abs(row["slope"] - slope) < 1e-9
+        assert abs(row["intercept"] - intercept) < 1e-7
+        assert 2.8 < row["slope"] < 3.2
