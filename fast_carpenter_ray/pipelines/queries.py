@@ -1490,6 +1490,18 @@ def q_grouped_corr(sf_dir: str):
     return out
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted Bernoulli sample (stages/sample.py
+    weighted_sample): keep probability min(1, rate*weight), the exact
+    int64 hash-uniform predicate the SQL oracle replays verbatim
+    (weights are dyadic k/1024, so the quantization is exact)."""
+    from ..stages.sample import weighted_sample
+
+    ds = _pages_geo(sf_dir)
+    out = weighted_sample(ds, "doc_id", "weight", rate=0.6)
+    return out.select_columns(["doc_id", "weight"])
+
+
 def q_grouped_ols(sf_dir: str):
     """Exact per-language OLS fit of n_tokens on n_chars
     (stages/stats.py grouped_ols — the regression leg of the
@@ -2526,6 +2538,8 @@ _TRAJECTORY_SQL = (
 
 
 def build_oracles() -> Dict[str, str]:
+    from ..stages.sample import weighted_sample_sql
+
     geo = _geo_sql_base()
     cell = _cell_sql()
     zones = rect_zones_sql_values()
@@ -3245,6 +3259,9 @@ def build_oracles() -> Dict[str, str]:
             "sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr "
             "FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 "
             "ORDER BY lang"),
+        "weighted_sample": (
+            f"WITH base AS ({geo}) SELECT doc_id, weight FROM base "
+            f"WHERE {weighted_sample_sql('doc_id', 'weight', rate=0.6)}"),
         "grouped_ols": (
             "WITH t AS (SELECT lang, n_chars AS x, "
             "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
@@ -3477,6 +3494,7 @@ def build_queries() -> Dict[str, Callable]:
         "idw": q_idw,
         "grouped_corr": q_grouped_corr,
         "grouped_ols": q_grouped_ols,
+        "weighted_sample": q_weighted_sample,
         "inverted_index": q_inverted_index,
         "dataset_diff": q_dataset_diff,
         "link_graph": q_link_graph,

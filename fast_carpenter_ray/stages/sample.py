@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["hash_sample", "stratified_sample", "group_topk", "count_distinct"]
+__all__ = ["hash_sample", "stratified_sample", "group_topk", "count_distinct", "weighted_sample"]
 
 _A = 2654435761  # Knuth multiplicative constant
 _B = 40503
@@ -147,3 +147,43 @@ def count_distinct(ds, group: str, value: str):
 
     return pairs.groupby(group, num_partitions=default_partitions()).map_groups(
         final, batch_format="pandas")
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, rate: float,
+                    weight_scale: int = 1024, seed: int = 0):
+    """Deterministic weighted Bernoulli sampling: keep each row with
+    probability ``min(1, rate * weight)`` — the importance-sampling
+    primitive (upweight rare/high-quality docs in a curation pipeline).
+
+    Same exact-integer hash-uniform as :func:`hash_sample`: the row's
+    uniform draw is ``h(id) / 1e6`` and the keep test is
+    ``h < rate * weight * 1e6``, computed entirely in int64 via
+    ``weight_q = round(weight * weight_scale)`` (fixture weights are
+    dyadic k/1024, so ``weight_q`` is EXACT at the default scale and the
+    SQL oracle reproduces the predicate bit-for-bit).  Deterministic on
+    any partitioning / resume.
+    """
+    if rate < 0:
+        raise ValueError("weighted_sample: rate must be >= 0")
+    # thresh(w) = round(rate * 1e6) * weight_q // weight_scale, capped at 1e6
+    r_q = int(round(rate * _M))
+    ws = int(weight_scale)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        wq = np.round(w * ws).astype(np.int64)
+        thresh = np.minimum(r_q * wq // ws, _M)
+        h = ((ids % _M) * _A_MOD + _B + np.int64(seed)) % _M
+        return batch.filter(pa.array(h < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample_sql(id_col: str, weight_col: str, rate: float,
+                        weight_scale: int = 1024, seed: int = 0) -> str:
+    """The WHERE predicate reproducing :func:`weighted_sample`."""
+    r_q = int(round(rate * _M))
+    return (f"((({id_col} % {_M}) * {_A_MOD} + {_B} + {seed}) % {_M}) < "
+            f"least({r_q} * CAST(round({weight_col} * {weight_scale}) "
+            f"AS BIGINT) // {weight_scale}, {_M})")

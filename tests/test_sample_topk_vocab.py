@@ -195,3 +195,37 @@ def test_hash_sample_no_overflow_for_huge_ids(ray_session):
         f"(CAST({2**62} AS BIGINT)), (CAST({2**62+123457} AS BIGINT))) "
         f"t(doc_id) WHERE {sample_sql('doc_id', 0.5)}").fetchdf()
     assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+
+
+def test_weighted_sample_probability_scales_with_weight(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.sample import weighted_sample
+
+    n = 200_000
+    ids = np.arange(n, dtype=np.int64)
+    # half the rows weight 1/4, half weight 1: keep rates should differ 4x
+    w = np.where(ids % 2 == 0, 0.25, 1.0)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "weight": pa.array(w)})).repartition(4)
+    out = weighted_sample(ds, "doc_id", "weight", rate=0.5).to_pandas()
+    lo = (out["doc_id"] % 2 == 0).sum()
+    hi = (out["doc_id"] % 2 == 1).sum()
+    assert abs(lo / (n / 2) - 0.125) < 0.01
+    assert abs(hi / (n / 2) - 0.5) < 0.01
+    # deterministic: same rows on a different partitioning
+    out2 = weighted_sample(ds.repartition(7), "doc_id", "weight",
+                           rate=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_weighted_sample_rate_caps_at_one(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.sample import weighted_sample
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(1000, dtype=np.int64)),
+        "weight": pa.array(np.full(1000, 8.0))}))
+    out = weighted_sample(ds, "doc_id", "weight", rate=1.0).to_pandas()
+    assert len(out) == 1000  # min(1, 8) = always kept
