@@ -207,21 +207,35 @@ def grouped_collect_set(ds, group: str, col: str, sep: str = ",",
         keys=[group, "value"], value_cols=["one"], mode=mode,
         agg="max")
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        vals = sorted(str(x) for x in g["value"])
-        return pd.DataFrame({group: [g[group].iloc[0]],
-                             "values": [sep.join(vals)],
-                             "n_distinct": np.array([len(vals)],
-                                                    dtype=np.int64)})
-
     if mode == "hash":
-        # group space scales with the data: the sorted join happens in a
-        # distributed group-keyed map_groups; NOTHING reaches the driver
+        # group space scales with the data: join distributed, NOTHING on
+        # the driver.  Keyed on a BOUNDED group-hash bucket (all of a
+        # group's pairs share a bucket), not per-group — map_groups with
+        # one task invocation per key is the measured-slow many-tiny-
+        # groups pattern (BASELINE.md lesson 7)
         from ..agg import default_partitions
 
-        return pairs.groupby(group,
-                             num_partitions=default_partitions()).map_groups(
-            join_group, batch_format="pandas")
+        np_ = default_partitions()
+        n_buckets = max(64, np_ * 8)
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            h = (pd.util.hash_pandas_object(
+                t[group].to_pandas(), index=False).to_numpy()
+                % n_buckets).astype(np.int64)
+            return t.append_column("_bkt", pa.array(h, type=pa.int64()))
+
+        def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.assign(_vs=g["value"].astype(str)).sort_values(
+                [group, "_vs"], kind="stable")
+            out = g.groupby(group, sort=True)["_vs"].agg(
+                [lambda v: sep.join(v), "size"]).reset_index()
+            out.columns = [group, "values", "n_distinct"]
+            out["n_distinct"] = out["n_distinct"].astype(np.int64)
+            return out
+
+        return pairs.map_batches(add_bucket, batch_format="pyarrow").groupby(
+            "_bkt", num_partitions=np_).map_groups(
+            join_bucket, batch_format="pandas")
 
     pairs = pairs if isinstance(pairs, pd.DataFrame) else pairs.to_pandas()
     if pairs.empty:
@@ -246,10 +260,11 @@ def pivot_counts(ds, row_key: str, col_key: str, mode: str = "tree"):
     one driver-resident piece in every mode).  ``mode="tree"``: the
     summary-sized long table pivots on the driver (pandas frame).
     ``mode="hash"`` (row spaces that scale with the data): the column
-    set comes from its own tiny combine, the long table regroups by
-    ``row_key`` and each group widens in a distributed ``map_groups``
-    against the broadcast column list — a Dataset, nothing row-shaped on
-    the driver.
+    set comes from its own tiny combine, the long table regroups by a
+    BOUNDED row-key-hash bucket (all of a row's entries share a bucket)
+    and each bucket widens with one vectorized ``pivot_table`` against
+    the broadcast column list — a Dataset, nothing row-shaped on the
+    driver, no per-key task overhead (BASELINE.md lesson 7).
     """
     from ..agg import combine_partials
 
@@ -280,17 +295,26 @@ def pivot_counts(ds, row_key: str, col_key: str, mode: str = "tree"):
             keys=[col_key], value_cols=["_one"], mode="tree").to_pandas()
         col_names = sorted(str(c) for c in cols[col_key])
 
-        def widen(g: pd.DataFrame) -> pd.DataFrame:
-            row = {row_key: [g[row_key].iloc[0]]}
-            got = {str(k): int(v) for k, v in
-                   zip(g[col_key], g["n"])}
-            for c in col_names:
-                row[c] = np.array([got.get(c, 0)], dtype=np.int64)
-            return pd.DataFrame(row)
+        np_ = default_partitions()
+        n_buckets = max(64, np_ * 8)
 
-        return long.groupby(row_key,
-                            num_partitions=default_partitions()).map_groups(
-            widen, batch_format="pandas")
+        def add_bucket(t: pa.Table) -> pa.Table:
+            h = (pd.util.hash_pandas_object(
+                t[row_key].to_pandas(), index=False).to_numpy()
+                % n_buckets).astype(np.int64)
+            return t.append_column("_bkt", pa.array(h, type=pa.int64()))
+
+        def widen_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.assign(_cs=g[col_key].astype(str))
+            wide = g.pivot_table(index=row_key, columns="_cs", values="n",
+                                 aggfunc="sum", fill_value=0)
+            wide = wide.reindex(columns=col_names, fill_value=0).astype(
+                np.int64)
+            return wide.reset_index()
+
+        return long.map_batches(add_bucket, batch_format="pyarrow").groupby(
+            "_bkt", num_partitions=np_).map_groups(
+            widen_bucket, batch_format="pandas")
 
     long = long if isinstance(long, pd.DataFrame) else long.to_pandas()
     if long.empty:
