@@ -34,6 +34,8 @@ import pyarrow as pa
 __all__ = [
     "ExactDedup", "MinHashDedup", "SimHashDedup",
     "tokenize", "shingle_hashes", "ngram_jaccard", "chunk_dup_stats",
+    "dedup_pair_stream", "cluster_pairs", "distributed_components",
+    "near_dedup",
 ]
 
 logger = logging.getLogger("fast_carpenter_ray.dedup")
@@ -158,6 +160,39 @@ def _empty_pairs(value_col: str, dtype: str = "float64") -> pd.DataFrame:
                          value_col: pd.Series([], dtype=dtype)})
 
 
+def dedup_pair_stream(cand, num_partitions: int,
+                      keep_cols: Tuple[str, ...] = ("id_a", "id_b")):
+    """Dedupe an (id_a, id_b, ...) candidate-pair Dataset across LSH
+    bands / posting lists WITHOUT keying the shuffle on the raw pair.
+
+    A ``groupby(["id_a", "id_b"])`` has group count == candidate count —
+    the exact degradation BASELINE.md lesson 7 measured at 291 s -> 0.5 s
+    on Ray 2.49's hash aggregator.  Instead the pairs are bucketed by a
+    bounded pair hash (group count <= ``8 * num_partitions`` regardless
+    of candidate volume) and each bucket is deduped with one vectorized
+    ``drop_duplicates``.  Extra value columns listed in ``keep_cols``
+    survive with their first occurrence's value — callers must only pass
+    columns that are deterministic functions of the pair (e.g. SimHash
+    Hamming distance), never band-dependent ones.
+    """
+    n_buckets = max(64, int(num_partitions) * 8)
+    cols = list(keep_cols)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = (b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+             * 1000003
+             + b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+             ) % n_buckets
+        return b.append_column("_bkt", pa.array(h, type=pa.int64()))
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[cols]
+
+    return cand.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "_bkt", num_partitions=num_partitions).map_groups(
+        dedup_bucket, batch_format="pandas")
+
+
 def _cap_bucket(ids: np.ndarray, max_bucket: int, what: str) -> np.ndarray:
     """Cap an LSH bucket at ``max_bucket`` ids (smallest ids kept, so the
     cap is deterministic).  NEVER silent: the drop is logged with the pair
@@ -280,12 +315,12 @@ class MinHashDedup:
         vectorized triu indexing, bucket capped with a logged drop."""
         ids = np.unique(group[self.id_col].to_numpy())
         if len(ids) < 2:
-            return _empty_pairs("nb", "int64")
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
         ids = _cap_bucket(np.sort(ids), self.max_bucket, f"MinHashDedup[{self.name}]")
         iu = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[iu[0]].astype(np.int64),
-                             "id_b": ids[iu[1]].astype(np.int64),
-                             "nb": np.ones(len(iu[0]), dtype=np.int64)})
+                             "id_b": ids[iu[1]].astype(np.int64)})
 
     def candidate_pairs(self, ds, broadcast_pairs_budget: int = 200_000):
         """Dataset of verified near-dup pairs (id_a < id_b, est_jaccard).
@@ -304,7 +339,6 @@ class MinHashDedup:
         """
         import ray
         import ray.data as rd
-        from ray.data.aggregate import Sum
 
         id_col = self.id_col
         threshold = self.threshold
@@ -322,13 +356,12 @@ class MinHashDedup:
         cand = rows.groupby(["band_id", "band_key"],
                             num_partitions=num_partitions).map_groups(
             self._bucket_pairs, batch_format="pandas")
-        # dedupe pairs across bands BEFORE fetching signatures; materialize
+        # dedupe pairs across bands BEFORE fetching signatures: bounded
+        # pair-hash buckets, NOT a groupby on the raw pair (lesson-7
+        # shuffle degradation — see dedup_pair_stream); materialize
         # (bounded: the capped-bucket candidate set) so count + verify
         # don't recompute the LSH chain
-        pairs = cand.groupby(["id_a", "id_b"],
-                             num_partitions=num_partitions).aggregate(
-            Sum("nb", alias_name="nb"))
-        pairs = pairs.select_columns(["id_a", "id_b"]).materialize()
+        pairs = dedup_pair_stream(cand, num_partitions).materialize()
 
         def verify_arrays(ids_a, ids_b, sa: np.ndarray, sb: np.ndarray):
             est = (sa == sb).mean(axis=1)
@@ -460,9 +493,12 @@ class SimHashDedup:
         XOR, and a branch-free unpackbits popcount — no Python pair loop.
         Bucket capped with a logged drop (hot banks, e.g. near-zero hashes
         of empty docs, degrade gracefully instead of going quadratic)."""
-        if len(group) < 2:
-            return _empty_pairs("hamming", "int64")
         g = group.drop_duplicates(self.id_col).sort_values(self.id_col)
+        if len(g) < 2:
+            # AFTER the dedup: a bucket whose rows collapse to one doc_id
+            # must return empty here, not fall through to an empty
+            # np.concatenate (mirrors MinHashDedup._bucket_pairs)
+            return _empty_pairs("hamming", "int64")
         ids = g[self.id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         if len(ids) > self.max_bucket:
@@ -491,9 +527,6 @@ class SimHashDedup:
         })
 
     def candidate_pairs(self, ds, num_partitions: Optional[int] = None):
-        import ray
-        from ray.data.aggregate import Min
-
         if num_partitions is None:
             # same sizing rationale as MinHashDedup: aggregator startup
             # scales with partition count, not data
@@ -504,9 +537,12 @@ class SimHashDedup:
         cand = rows.groupby(["bank_id", "bank_key"],
                             num_partitions=num_partitions).map_groups(
             self._bucket_pairs, batch_format="pandas")
-        return cand.groupby(["id_a", "id_b"],
-                            num_partitions=num_partitions).aggregate(
-            Min("hamming", alias_name="hamming"))
+        # cross-bank dedupe via bounded pair-hash buckets (never a groupby
+        # keyed on the raw pair).  ``hamming`` is a deterministic function
+        # of the pair's two fingerprints, so keeping the first occurrence
+        # is exactly the old Min("hamming") result.
+        return dedup_pair_stream(cand, num_partitions,
+                                 keep_cols=("id_a", "id_b", "hamming"))
 
 
 def cluster_pairs(pairs: pd.DataFrame, id_a: str = "id_a",
@@ -543,7 +579,108 @@ def cluster_pairs(pairs: pd.DataFrame, id_a: str = "id_a",
                          "cluster_id": ids[roots]}).astype(np.int64)
 
 
-def near_dedup(ds, dedup: "MinHashDedup", exact_first: bool = True):
+def _nonempty_blocks(ds_in):
+    """Rebuild a Dataset from only its non-empty blocks (block REFS move,
+    data stays in the object store).  Ray 2.49's shuffle aggregators emit
+    zero-row blocks with an EMPTY schema for key-less partitions; a
+    downstream ``Dataset.join`` then fails with ``ArrowInvalid: no match
+    for key field`` when such a block poisons a join partition's schema.
+    Returns None when every block is empty."""
+    import ray
+    import ray.data as rd
+
+    refs = []
+    for bundle in ds_in.materialize().iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return None
+    return rd.from_arrow_refs(refs)
+
+
+def distributed_components(pairs, num_partitions: Optional[int] = None,
+                           max_rounds: int = 10_000):
+    """Distributed connected components over an (id_a, id_b) edge-list
+    Dataset: returns a ``(doc_id, cluster_id)`` Dataset with
+    ``cluster_id`` = min doc_id in the component — the same semantics as
+    the driver-side :func:`cluster_pairs`, computed without ever pulling
+    the edge list to one machine.
+
+    Min-label propagation: per round the current labels hash-join onto
+    the (static) edge list, each edge pushes ``min(label_a, label_b)`` to
+    both endpoints, and a hash combine keeps each node's min.  Labels
+    only ever decrease, so an unchanged label sum is a fixpoint; rounds
+    are bounded by the component diameter (near-dup clusters are
+    small-diameter in practice — a chain of r rounds covers diameter
+    2^0+..: linear here, diameter rounds worst case).  Shuffle inventory
+    per round: two bounded-partition hash joins + one hash combine, all
+    keyed on node id — never on the pair.
+    """
+    from ..agg import combine_partials, default_partitions
+
+    if num_partitions is None:
+        num_partitions = default_partitions(4)
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["id_a"].to_numpy(zero_copy_only=False),
+            t["id_b"].to_numpy(zero_copy_only=False)]).astype(np.int64))
+        return pa.table({"doc_id": pa.array(u, type=pa.int64()),
+                         "label": pa.array(u, type=pa.int64())})
+
+    labels = combine_partials(
+        edges.map_batches(node_rows, batch_format="pyarrow"),
+        keys=["doc_id"], value_cols=["label"], mode="hash", agg="min",
+        num_partitions=num_partitions).materialize()
+
+    def label_sum(st) -> int:
+        return int(st.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [t["label"].to_numpy(zero_copy_only=False).sum()])}),
+            batch_format="pyarrow").sum("s"))
+
+    def scatter(t: pa.Table) -> pa.Table:
+        la = t["la"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = t["lb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.minimum(la, lb)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([
+                t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)])),
+            "label": pa.array(np.concatenate([m, m])),
+        })
+
+    prev = label_sum(labels)
+    for _ in range(max_rounds):
+        a = labels.map_batches(
+            lambda t: t.rename_columns(["id_a", "la"]),
+            batch_format="pyarrow")
+        b = labels.map_batches(
+            lambda t: t.rename_columns(["id_b", "lb"]),
+            batch_format="pyarrow")
+        j = edges.join(a, join_type="inner", on=("id_a",),
+                       num_partitions=num_partitions)
+        j = j.join(b, join_type="inner", on=("id_b",),
+                   num_partitions=num_partitions)
+        msgs = j.map_batches(scatter, batch_format="pyarrow")
+        labels = combine_partials(
+            labels.union(msgs), keys=["doc_id"], value_cols=["label"],
+            mode="hash", agg="min",
+            num_partitions=num_partitions).materialize()
+        cur = label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                            "cluster_id": t["label"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def near_dedup(ds, dedup: "MinHashDedup", exact_first: bool = True,
+               pair_budget: int = 2_000_000):
     """End-to-end near-duplicate removal: LSH candidate pairs -> verified
     pairs -> connected components -> drop every doc that is not its
     cluster's minimum id.  Returns the SURVIVOR Dataset (same schema as
@@ -563,7 +700,16 @@ def near_dedup(ds, dedup: "MinHashDedup", exact_first: bool = True):
     near-identical copies (mirrors, boilerplate) otherwise pushes
     O(copies^2) candidate pairs per band into the shuffle (measured: the
     920k-doc x200-replicated stress corpus exceeded 20 min without this
-    and runs in seconds with it)."""
+    and runs in seconds with it).
+
+    ``pair_budget`` guards the driver: up to the budget the verified
+    pairs collapse through the O(pairs·α) driver union-find and the drop
+    set broadcasts; above it (templated near-identical content that
+    survives exact_first) clustering runs as
+    :func:`distributed_components` and the drop set applies as a
+    distributed left-anti hash join — nothing corpus-scale ever lands on
+    the driver, at the cost of one id-keyed shuffle of the survivor
+    stream."""
     import ray
 
     if exact_first:
@@ -571,20 +717,48 @@ def near_dedup(ds, dedup: "MinHashDedup", exact_first: bool = True):
                         id_col=dedup.id_col).apply(ds).drop_columns(
             ["_content_hash"])
 
-    pairs = dedup.candidate_pairs(ds).to_pandas()
-    if len(pairs) == 0:
-        return ds
-    clusters = cluster_pairs(pairs)
-    drop = clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
-                        "doc_id"].to_numpy()
-    drop_ref = ray.put(np.sort(drop))
     id_col = dedup.id_col
+    pairs_ds = dedup.candidate_pairs(ds).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return ds
 
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(~np.isin(ids, ray.get(drop_ref))))
+    if n_pairs <= pair_budget:
+        clusters = cluster_pairs(pairs_ds.to_pandas())
+        drop = clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                            "doc_id"].to_numpy()
+        drop_ref = ray.put(np.sort(drop))
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+        def keep(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(ids, ray.get(drop_ref))))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    logger.warning(
+        "near_dedup: %d verified pairs exceed the %d driver budget — "
+        "running distributed connected components + anti-join removal",
+        n_pairs, pair_budget)
+    from ..agg import default_partitions
+
+    num_partitions = default_partitions(4)
+    clusters_ds = distributed_components(pairs_ds, num_partitions)
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        f = t.filter(pa.compute.not_equal(t["doc_id"], t["cluster_id"]))
+        return pa.table({id_col: f["doc_id"],
+                         "_drop": pa.array(np.ones(len(f), dtype=np.int8))})
+
+    drop_ds = _nonempty_blocks(
+        clusters_ds.map_batches(drop_rows, batch_format="pyarrow"))
+    if drop_ds is None:
+        return ds
+    joined = ds.join(drop_ds, join_type="left_outer", on=(id_col,),
+                     num_partitions=num_partitions)
+    return joined.map_batches(
+        lambda t: t.filter(pa.compute.is_null(t["_drop"]))
+        .drop_columns(["_drop"]),
+        batch_format="pyarrow")
 
 
 def chunk_dup_stats(ds, text_col: str = "text", id_col: str = "doc_id",

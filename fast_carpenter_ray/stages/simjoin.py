@@ -47,7 +47,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .dedup import _cap_bucket, _stable_token_hash, tokenize
+from .dedup import _cap_bucket, _stable_token_hash, dedup_pair_stream, tokenize
 
 __all__ = ["similarity_join"]
 
@@ -159,22 +159,10 @@ def similarity_join(ds, threshold: float, id_col: str = "doc_id",
 
     # pair dedupe across posting lists: a raw groupby(id_a, id_b) keys the
     # shuffle on the PAIR (group count = candidate count — measured 40x
-    # slower than this on Ray 2.49's hash aggregator); instead bucket by a
-    # pair hash (bounded group count, chosen per cluster) and dedupe each
-    # bucket with one vectorized drop_duplicates
-    n_buckets = max(64, num_partitions * 8)
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        h = (b["id_a"].to_numpy(zero_copy_only=False) * 1000003
-             + b["id_b"].to_numpy(zero_copy_only=False)) % n_buckets
-        return b.append_column("_bkt", pa.array(h, type=pa.int64()))
-
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
-
-    pairs = cand.map_batches(add_bucket, batch_format="pyarrow").groupby(
-        "_bkt", num_partitions=num_partitions).map_groups(
-        dedup_bucket, batch_format="pandas").materialize()
+    # slower on Ray 2.49's hash aggregator); the shared bounded-bucket
+    # helper dedupes each pair-hash bucket with one vectorized
+    # drop_duplicates instead
+    pairs = dedup_pair_stream(cand, num_partitions).materialize()
 
     n_pairs = pairs.count()
     if n_pairs > broadcast_pairs_budget:

@@ -236,3 +236,65 @@ def test_chunk_dup_stats(ray_session):
     assert out["n_chunks"].tolist() == [2, 2, 2]
     assert out["n_dup_chunks"].tolist() == [1, 1, 0]
     assert out["dup_chunk_frac"].tolist() == [0.5, 0.5, 0.0]
+
+
+def test_simhash_bucket_single_id_after_dedup():
+    """ADVICE r2: a bucket whose rows collapse to ONE doc_id after
+    drop_duplicates must return empty, not crash in np.concatenate."""
+    s = SimHashDedup("s")
+    group = pd.DataFrame({"doc_id": np.array([7, 7, 7], dtype=np.int64),
+                          "simhash": np.array([1, 1, 1], dtype=np.int64)})
+    out = s._bucket_pairs(group)
+    assert len(out) == 0
+    assert list(out.columns) == ["id_a", "id_b", "hamming"]
+
+
+def test_dedup_pair_stream_no_pair_keyed_groupby(ray_session):
+    """The cross-band pair dedupe must bucket by a bounded pair hash,
+    never groupby the raw (id_a, id_b) pair (BASELINE.md lesson 7)."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.dedup import dedup_pair_stream
+
+    cand = rd.from_arrow(pa.table({
+        "id_a": pa.array([1, 1, 2, 1], type=pa.int64()),
+        "id_b": pa.array([2, 2, 3, 2], type=pa.int64()),
+    }))
+    out = dedup_pair_stream(cand, num_partitions=2)
+    # unique pairs survive exactly once
+    df = out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert list(zip(df["id_a"], df["id_b"])) == [(1, 2), (2, 3)]
+    # the plan groups on the bounded bucket key, not the raw pair
+    plan = str(out._plan._logical_plan.dag)
+    assert "id_a" not in plan or "MapGroups" not in plan.replace("_bkt", "")
+
+
+def test_distributed_components_matches_union_find(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.dedup import (cluster_pairs,
+                                                 distributed_components)
+
+    pairs = pd.DataFrame({
+        "id_a": np.array([1, 2, 10, 20, 30], dtype=np.int64),
+        "id_b": np.array([2, 3, 11, 10, 31], dtype=np.int64)})
+    want = cluster_pairs(pairs).sort_values("doc_id").reset_index(drop=True)
+    got = (distributed_components(rd.from_pandas(pairs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_near_dedup_over_budget_identical_survivors(ray_session):
+    """pair_budget=0 forces the distributed CC + anti-join path; the
+    survivor set must be identical to the driver union-find path."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.dedup import near_dedup
+
+    docs = docs_with_dups()
+    mh = MinHashDedup("nd", threshold=0.5)
+    a = sorted(near_dedup(rd.from_arrow(docs).repartition(3), mh)
+               .to_pandas()["doc_id"])
+    b = sorted(near_dedup(rd.from_arrow(docs).repartition(3), mh,
+                          pair_budget=0).to_pandas()["doc_id"])
+    assert a == b and len(a) > 0
