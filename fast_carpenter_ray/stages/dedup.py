@@ -459,7 +459,9 @@ class SimHashDedup:
                          dtype=np.uint64, count=len(toks))
         bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)
-        return int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
+        # vectorized bit pack: bit i of the fingerprint = (votes[i] > 0)
+        return int(((votes > 0).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
 
     def fingerprint_batch(self, batch: pa.Table) -> pa.Table:
         cache: dict = {}
@@ -474,18 +476,20 @@ class SimHashDedup:
         fp = self.fingerprint_batch(batch)
         sh = fp["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         ids = fp[self.id_col].to_numpy(zero_copy_only=False)
-        bank_id, bank_key, out_ids, out_sh = [], [], [], []
-        for b in range(self.n_banks):
-            bank = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            bank_id.extend([b] * len(ids))
-            bank_key.extend(bank.tolist())
-            out_ids.extend(ids.tolist())
-            out_sh.extend(sh.view(np.int64).tolist())
+        n = len(ids)
+        # [n_banks, n] 16-bit bank keys in one shift — no per-bank lists
+        shifts = np.uint64(16) * np.arange(self.n_banks, dtype=np.uint64)
+        keys = ((sh[None, :] >> shifts[:, None])
+                & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table({
-            "bank_id": pa.array(bank_id, type=pa.int32()),
-            "bank_key": pa.array(bank_key, type=pa.int64()),
-            self.id_col: pa.array(out_ids, type=pa.int64()),
-            "simhash": pa.array(out_sh, type=pa.int64()),
+            "bank_id": pa.array(
+                np.repeat(np.arange(self.n_banks, dtype=np.int32), n),
+                type=pa.int32()),
+            "bank_key": pa.array(keys.ravel(), type=pa.int64()),
+            self.id_col: pa.array(np.tile(ids, self.n_banks),
+                                  type=pa.int64()),
+            "simhash": pa.array(np.tile(sh.view(np.int64), self.n_banks),
+                                type=pa.int64()),
         })
 
     def _bucket_pairs(self, group: pd.DataFrame) -> pd.DataFrame:

@@ -221,13 +221,22 @@ class KNNJoiner:
                 "rank", pa.array(np.tile(np.arange(1, kk + 1), int(valid.sum())),
                                  type=pa.int32()))
             return out
-        neighbors = [
-            [{"site_id": int(i), dcol: float(d)} for i, d in zip(row_i, row_d)]
-            if ok else None
-            for ok, row_i, row_d in zip(valid, out_ids, out_d)
-        ]
-        typ = pa.list_(pa.struct([("site_id", pa.int64()), (dcol, pa.float64())]))
-        return batch.append_column("neighbors", pa.array(neighbors, type=typ))
+        # vectorized list<struct> assembly straight from the dense [n, kk]
+        # id/dist arrays: a StructArray over the valid rows' flattened
+        # values + a ListArray with cumulative offsets (invalid rows are
+        # zero-length + null via mask) — no per-row Python in the
+        # flagship chain (round-2 verdict #3)
+        counts = np.where(valid, kk, 0).astype(np.int32)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        values = pa.StructArray.from_arrays(
+            [pa.array(out_ids[valid].ravel(), type=pa.int64()),
+             pa.array(out_d[valid].ravel(), type=pa.float64())],
+            names=["site_id", dcol])
+        neighbors = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), values,
+            mask=pa.array(~valid))
+        return batch.append_column("neighbors", neighbors)
 
 
 def knn_join(ds, sites: pa.Table, k: int = 3, res: int = 6, max_ring: int = 4,

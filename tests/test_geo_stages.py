@@ -396,3 +396,32 @@ def test_cluster_cells_random_agrees(ray_session):
     got = sorted(map(tuple, cluster_cells(ds, res=res, min_count=1)
                      .to_pandas()[["cell", "cluster"]].to_numpy()))
     assert got == exp
+
+
+def test_knn_list_mode_schema_and_vectorized_values(sf_dir):
+    """Pins the exact list<struct<site_id,dist>> schema of the flagship
+    neighbors column and cross-checks the vectorized ListArray assembly
+    against a per-row reference construction (round-2 verdict #3)."""
+    batch = geo_batch(sf_dir, n=40)
+    joiner = KNNJoiner(sites_table(), k=3, explode=False)
+    out = joiner(batch)
+    typ = out.schema.field("neighbors").type
+    assert typ == pa.list_(pa.struct(
+        [("site_id", pa.int64()), ("dist_m", pa.float64())]))
+    # reference per-row construction from the same dense kNN answer
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    lng = batch["lng"].to_numpy(zero_copy_only=False)
+    ok = ~np.isnan(lat)
+    sites = sites_table()
+    ids, dists = brute_force_knn(
+        lat[ok], lng[ok], sites["lat"].to_numpy(), sites["lng"].to_numpy(),
+        sites["site_id"].to_numpy(), 3)
+    want, j = [], 0
+    for valid in ok:
+        if not valid:
+            want.append(None)
+            continue
+        want.append([{"site_id": int(i), "dist_m": float(d)}
+                     for i, d in zip(ids[j], dists[j])])
+        j += 1
+    assert out["neighbors"].to_pylist() == want
