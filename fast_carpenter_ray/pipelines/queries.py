@@ -2538,7 +2538,8 @@ _TRAJECTORY_SQL = (
 
 
 def build_oracles() -> Dict[str, str]:
-    from ..stages.sample import weighted_sample_sql
+    from ..stages.sample import (mix_hash_sql, sample_sql,
+                                 weighted_sample_sql)
 
     geo = _geo_sql_base()
     cell = _cell_sql()
@@ -2847,14 +2848,13 @@ def build_oracles() -> Dict[str, str]:
             "CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE), "
             "CAST(sum(n_chars) AS DOUBLE) FROM documents"),
         "doc_sample": (
-            "SELECT doc_id, lang FROM documents "
-            "WHERE (((doc_id % 1000000) * 435761 + 40503 + 0) % 1000000) "
-            "< 370000"),
+            f"SELECT doc_id, lang FROM documents "
+            f"WHERE {sample_sql('doc_id', 0.37)}"),
         "stratified_sample": (
-            "SELECT doc_id, lang FROM documents "
-            "WHERE (((doc_id % 1000000) * 435761 + 40503 + 0) % 1000000) < "
-            "(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 "
-            "ELSE 50000 END)"),
+            f"SELECT doc_id, lang FROM documents "
+            f"WHERE {mix_hash_sql('doc_id')} < "
+            f"(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 "
+            f"ELSE 50000 END)"),
         "top_docs": (
             "WITH r AS (SELECT lang, doc_id, n_chars, "
             "row_number() OVER (PARTITION BY lang "
@@ -2963,7 +2963,8 @@ def build_oracles() -> Dict[str, str]:
             f"(acc, x) -> CAST((acc::HUGEINT * {_FNV_P} + x) % {_POW64} "
             "AS UBIGINT)) AS UBIGINT) AS chunk "
             "FROM th, unnest(range(len(h) // 8)) AS r(i)), "
-            "cnt AS (SELECT chunk, count(*) AS total FROM ch GROUP BY chunk), "
+            "cnt AS (SELECT chunk, count(DISTINCT doc_id) AS total "
+            "FROM ch GROUP BY chunk), "
             "d AS (SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
             "CAST(sum(CASE WHEN cnt.total > 1 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_dup_chunks "

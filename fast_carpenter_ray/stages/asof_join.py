@@ -41,7 +41,13 @@ def _make_resolver(by, on, lcols, on_r, rcols, r_out, how):
     """Shared per-group as-of resolution (flat AND bucketed paths — one
     implementation so a semantics fix can never drift between them):
     sort the right side's times once, searchsorted every left time,
-    null-fill or drop unmatched per ``how``."""
+    null-fill or drop unmatched per ``how``.
+
+    Tie determinism: right rows sharing one ``on`` value within a key are
+    ordered by ``(on, *payload)``, so the matched row is the PAYLOAD-MAX
+    of the tied set — a pure function of the data, never of distributed
+    union arrival order (two tied rows with identical payloads are
+    interchangeable by definition)."""
 
     def resolve(group: pd.DataFrame) -> pd.DataFrame:
         is_r = group[_SIDE].to_numpy() == 1
@@ -56,7 +62,7 @@ def _make_resolver(by, on, lcols, on_r, rcols, r_out, how):
             out = lrows.copy()
             out[on_r] = pd.NA
         else:
-            rs = rrows.sort_values(on, kind="stable")
+            rs = rrows.sort_values([on] + r_out, kind="stable")
             rvals = rs[on].to_numpy()
             idx = np.searchsorted(rvals, lvals, side="right") - 1
             matched = idx >= 0
@@ -178,8 +184,12 @@ def asof_join_bucketed(left, right, on: str, by: str, bucket_width: int,
                            _B: t // w, on: t})
         for c in rcols:
             df[c] = batch[c].to_numpy(zero_copy_only=False)
-        idx = df.groupby([by, _B], sort=False)[on].idxmax()
-        return pa.Table.from_pandas(df.loc[idx], preserve_index=False)
+        # per (key, bucket) keep the (on, *payload)-max row — the same
+        # deterministic tie-break as _make_resolver, so bucketed == flat
+        # even when right rows tie on ``on``
+        df = df.sort_values([on] + rcols, kind="stable")
+        keep = df.groupby([by, _B], sort=False).tail(1)
+        return pa.Table.from_pandas(keep, preserve_index=False)
 
     def left_buckets(batch: pa.Table) -> pa.Table:
         t = _on_i64(batch)
@@ -203,8 +213,9 @@ def asof_join_bucketed(left, right, on: str, by: str, bucket_width: int,
     # ---- pass 2: per-key forward-fill -> carry rows --------------------
     def carry(group: pd.DataFrame) -> pd.DataFrame:
         # one row per (bucket): latest right row from any earlier bucket
-        g = (group.sort_values([_B, on], kind="stable", na_position="first")
-             .drop_duplicates(_B, keep="last")  # per bucket: latest right, else presence row
+        g = (group.sort_values([_B, on] + rcols, kind="stable",
+                               na_position="first")
+             .drop_duplicates(_B, keep="last")  # per bucket: (on, payload)-max right, else presence row
              .reset_index(drop=True))
         has_right = g[on].notna().to_numpy()
         n = len(g)

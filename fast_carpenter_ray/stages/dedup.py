@@ -776,11 +776,16 @@ def chunk_dup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     with the same sha256-prefix + rolling-fold math as
     :func:`shingle_hashes` (so a SQL engine replays it); the incomplete
     tail window is dropped.  A chunk is "duplicated" when its hash
-    occurs in more than one (doc, position) across the corpus.
+    occurs in more than one DISTINCT document — a chunk repeated twice
+    within a single doc does not count (that is within-doc repetition,
+    covered by ``text.RepetitionStats``); ``n_chunks`` still counts
+    chunk POSITIONS per doc, so a dup chunk appearing at two positions
+    in a doc contributes 2 to ``n_dup_chunks``.
 
-    Shuffle inventory: one chunk-keyed hash combine for global counts
-    and one chunk-keyed hash join back onto the (doc, chunk) rows —
-    both move only (hash, small ints), never text.  Returns a Dataset
+    Shuffle inventory: one chunk-keyed hash combine over per-batch
+    DISTINCT (doc, chunk) pairs for the doc counts and one chunk-keyed
+    hash join back onto the (doc, chunk) rows — both move only (hash,
+    small ints), never text.  Returns a Dataset
     ``(doc_id, n_chunks, n_dup_chunks, dup_chunk_frac)``; the fraction
     is one exact-int f64 division.
     """
@@ -831,7 +836,17 @@ def chunk_dup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     if rows.count() == 0:
         return rd.from_arrow(empty)
 
-    counts = rows.select_columns(["chunk", "nc"]).groupby(
+    def pair_distinct(batch: pa.Table) -> pa.Table:
+        # distinct (doc, chunk) per batch; docs never span batches and
+        # doc_ids are globally unique, so summing these gives the exact
+        # distinct-DOC count per chunk
+        df = batch.to_pandas()[[id_col, "chunk"]].drop_duplicates()
+        return pa.table({
+            "chunk": pa.array(df["chunk"].to_numpy(), type=pa.int64()),
+            "nc": pa.array(np.ones(len(df), dtype=np.int64)),
+        })
+
+    counts = rows.map_batches(pair_distinct, batch_format="pyarrow").groupby(
         "chunk", num_partitions=num_partitions).aggregate(
         Sum("nc", alias_name="total"))
     joined = rows.join(counts, join_type="inner", on=("chunk",),

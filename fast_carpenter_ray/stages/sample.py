@@ -6,11 +6,17 @@ subsetting for eval/dev splits; "best k documents per language/domain"
 curation).
 
 * :func:`hash_sample` — DETERMINISTIC row sampling keyed on an id column:
-  keep rows where ``(id*A + B) % M < fraction*M``.  Pure per-batch filter
-  — no shuffle, no RNG state, resumable (the same row always makes the
-  same decision, so a re-run or a resumed checkpoint samples identically).
-  The hash is plain int64 arithmetic so a SQL oracle reproduces the exact
-  row set.
+  keep rows where ``mix64(id, seed) % M < fraction*M``.  Pure per-batch
+  filter — no shuffle, no RNG state, resumable (the same row always makes
+  the same decision, so a re-run or a resumed checkpoint samples
+  identically).  ``mix64`` is a splitmix64-style avalanche hash (add a
+  seed-dependent golden-ratio offset, two xor-shift + odd-multiply
+  rounds, one final xor-shift) whose multiply constants are <= 40 bits so
+  a SQL engine replays every step exactly with HUGEINT mod-2^64
+  arithmetic — unlike the earlier affine ``(id*A + B) % M`` map, ids
+  structured mod M (e.g. microsecond timestamps on second boundaries) no
+  longer collapse onto one hash value, and different seeds give genuinely
+  independent (not shifted) samples.
 
 * :func:`group_topk` — top ``k`` rows per group by a sort column.  Shape:
   per-batch partial top-k (each block contributes at most ``k`` rows per
@@ -29,20 +35,49 @@ import pyarrow as pa
 
 __all__ = ["hash_sample", "stratified_sample", "group_topk", "count_distinct", "weighted_sample"]
 
-_A = 2654435761  # Knuth multiplicative constant
-_B = 40503
 _M = 1_000_000
-_A_MOD = _A % _M  # reduce BEFORE multiplying: (id%M)*(A%M) never exceeds
-                  # ~4.4e11, so the hash is exact int64 for ANY nonneg id
-                  # (id*A would wrap above ~3.5e9 ids and break the SQL
-                  # oracle, which errors on BIGINT overflow instead)
+_M64 = 1 << 64
+_GAMMA = 0x9E3779B97F4A7C15   # golden-ratio gamma (splitmix64 increment)
+_C1 = 0x5851F42D              # 31-bit odd multiplier (PCG LCG low word)
+_C2 = 0x14057B7EF7            # 37-bit odd multiplier (PCG LCG 40-bit slice)
+# the multiply constants are deliberately <= 40 bits: z * C stays under
+# 2^104 < HUGEINT max, so DuckDB replays the mod-2^64 multiplies exactly
+# (splitmix64's native 63-bit constants would overflow HUGEINT)
+
+
+def mix_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized splitmix64-style avalanche hash of int64 ids into
+    [0, 1e6), bit-identical to :func:`mix_hash_sql`'s DuckDB expression
+    (cross-checked in tests).  ``seed`` selects the sequence position —
+    samples at different seeds are independent, not shifted copies."""
+    s = np.uint64(((seed + 1) * _GAMMA) % _M64)
+    z = ids.astype(np.int64).view(np.uint64) + s
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(_C1)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(_C2)
+    z ^= z >> np.uint64(31)
+    return (z % np.uint64(_M)).astype(np.int64)
+
+
+def mix_hash_sql(id_col: str, seed: int = 0) -> str:
+    """DuckDB expression reproducing :func:`mix_hash` bit-for-bit:
+    UBIGINT xor/shift + HUGEINT mod-2^64 multiplies."""
+    s = ((seed + 1) * _GAMMA) % _M64
+    z0 = (f"CAST((CAST({id_col} AS HUGEINT) + {s}) % {_M64} AS UBIGINT)")
+    z1 = f"xor({z0}, {z0} >> 30)"
+    z2 = f"CAST((CAST({z1} AS HUGEINT) * {_C1}) % {_M64} AS UBIGINT)"
+    z3 = f"xor({z2}, {z2} >> 27)"
+    z4 = f"CAST((CAST({z3} AS HUGEINT) * {_C2}) % {_M64} AS UBIGINT)"
+    z5 = f"xor({z4}, {z4} >> 31)"
+    return f"CAST({z5} % {_M} AS BIGINT)"
 
 
 def hash_sample(ds, id_col: str, fraction: float, seed: int = 0):
     """Keep a deterministic ``fraction`` of rows keyed on int ``id_col``.
 
-    ``seed`` shifts the hash so independent samples can be drawn from the
-    same corpus.  Fraction resolution is 1/1e6.
+    ``seed`` selects an independent sample (distinct splitmix64 stream
+    position).  Fraction resolution is 1/1e6.
     """
     if not (0.0 <= fraction <= 1.0):
         raise ValueError("hash_sample: fraction must be in [0, 1]")
@@ -50,8 +85,7 @@ def hash_sample(ds, id_col: str, fraction: float, seed: int = 0):
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = ((ids % _M) * _A_MOD + _B + np.int64(seed)) % _M
-        return batch.filter(pa.array(h < thresh))
+        return batch.filter(pa.array(mix_hash(ids, seed) < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -59,8 +93,7 @@ def hash_sample(ds, id_col: str, fraction: float, seed: int = 0):
 def sample_sql(id_col: str, fraction: float, seed: int = 0) -> str:
     """The WHERE predicate reproducing :func:`hash_sample` in DuckDB."""
     thresh = int(round(fraction * _M))
-    return (f"((({id_col} % {_M}) * {_A_MOD} + {_B} + {seed}) "
-            f"% {_M}) < {thresh}")
+    return f"{mix_hash_sql(id_col, seed)} < {thresh}"
 
 
 def group_topk(ds, group: str, order_by: str, k: int,
@@ -116,7 +149,7 @@ def stratified_sample(ds, id_col: str, group_col: str,
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = ((ids % _M) * _A_MOD + _B + np.int64(seed)) % _M
+        h = mix_hash(ids, seed)
         groups = batch[group_col].to_pandas()
         t = groups.map(thresh).fillna(dthresh).to_numpy(dtype=np.int64)
         return batch.filter(pa.array(h < t))
@@ -174,8 +207,7 @@ def weighted_sample(ds, id_col: str, weight_col: str, rate: float,
         w = batch[weight_col].to_numpy(zero_copy_only=False)
         wq = np.round(w * ws).astype(np.int64)
         thresh = np.minimum(r_q * wq // ws, _M)
-        h = ((ids % _M) * _A_MOD + _B + np.int64(seed)) % _M
-        return batch.filter(pa.array(h < thresh))
+        return batch.filter(pa.array(mix_hash(ids, seed) < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -184,6 +216,6 @@ def weighted_sample_sql(id_col: str, weight_col: str, rate: float,
                         weight_scale: int = 1024, seed: int = 0) -> str:
     """The WHERE predicate reproducing :func:`weighted_sample`."""
     r_q = int(round(rate * _M))
-    return (f"((({id_col} % {_M}) * {_A_MOD} + {_B} + {seed}) % {_M}) < "
+    return (f"{mix_hash_sql(id_col, seed)} < "
             f"least({r_q} * CAST(round({weight_col} * {weight_scale}) "
             f"AS BIGINT) // {weight_scale}, {_M})")

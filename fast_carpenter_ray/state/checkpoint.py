@@ -68,6 +68,20 @@ class CheckpointSink:
         self.id_col = id_col  # kept for lineage context; keying is content-based
         os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
 
+    def _write_lineage(self, lineage_path: str, key: str, batch: pa.Table,
+                       path: str) -> None:
+        record = {
+            "partition": key,
+            "rows": len(batch),
+            "bytes": os.path.getsize(path),
+            "columns": batch.column_names,
+            "written_at": time.time(),
+        }
+        ltmp = lineage_path + f".tmp.{os.getpid()}"
+        with open(ltmp, "w") as f:
+            json.dump(record, f)
+        os.replace(ltmp, lineage_path)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         key = _partition_key(batch)
         path = os.path.join(self.out_dir, f"part-{key}.parquet")
@@ -77,17 +91,14 @@ class CheckpointSink:
             tmp = path + f".tmp.{os.getpid()}"
             pq.write_table(batch, tmp)
             os.replace(tmp, path)  # atomic publish
-            record = {
-                "partition": key,
-                "rows": len(batch),
-                "bytes": os.path.getsize(path),
-                "columns": batch.column_names,
-                "written_at": time.time(),
-            }
-            ltmp = lineage_path + f".tmp.{os.getpid()}"
-            with open(ltmp, "w") as f:
-                json.dump(record, f)
-            os.replace(ltmp, lineage_path)
+            self._write_lineage(lineage_path, key, batch, path)
+        elif not os.path.exists(lineage_path):
+            # the data file and its sidecar publish in two renames; a crash
+            # between them leaves an orphan parquet.  The resume pass lands
+            # here (same content => same key) — backfill the sidecar so
+            # metrics/manifest see the partition instead of it staying
+            # invisible forever.
+            self._write_lineage(lineage_path, key, batch, path)
         return pa.table({
             "partition": [key],
             "rows": pa.array([len(batch)], type=pa.int64()),
@@ -130,7 +141,11 @@ def checkpoint_write(ds, out_dir: str, id_col: Optional[str] = None,
             "disambiguate the input (e.g. a distinct id column per block)")
 
     run_keys = set(lineage["partition"])
-    disk_keys = set(completed_partitions(out_dir))
+    # drift scan over the DATA files on disk, not the lineage sidecars:
+    # an orphan part-*.parquet without a sidecar (crash between the two
+    # publishes under an older layout) must still be visible to drift
+    # detection and on_stale='delete'
+    disk_keys = set(_disk_partitions(out_dir))
     stale = sorted(disk_keys - run_keys)
     if stale:
         if on_stale == "error":
@@ -159,6 +174,17 @@ def checkpoint_write(ds, out_dir: str, id_col: Optional[str] = None,
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
     return lineage
+
+
+def _disk_partitions(out_dir: str) -> List[str]:
+    """Partition keys present as part-*.parquet DATA files on disk
+    (authoritative for drift detection — sidecars can lag a crash)."""
+    if not os.path.isdir(out_dir):
+        return []
+    return sorted(
+        f[len("part-"):-len(".parquet")]
+        for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(".parquet"))
 
 
 def completed_partitions(out_dir: str) -> List[str]:

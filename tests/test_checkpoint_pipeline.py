@@ -183,3 +183,49 @@ derive:
     assert t.column_names == ["v"]
     with pytest.raises(KeyError):
         Alias("r", {"v": "missing"})(pa.table({"value": [1.0]}))
+
+
+def test_checkpoint_orphan_sidecar_backfilled(ray_session, tmp_path):
+    """ADVICE r2: a crash between the data-file publish and the sidecar
+    publish leaves an orphan part-*.parquet.  The resume pass must (a)
+    backfill the missing sidecar and (b) keep the partition visible to
+    the drift scan (which now reads data files, not sidecars)."""
+    import ray.data as rd
+
+    out = str(tmp_path / "ckpt")
+    ds = rd.range(100).map_batches(
+        lambda t: pa.table({"v": t["id"]}), batch_format="pyarrow")
+    lineage = checkpoint_write(ds, out)
+    keys = list(lineage["partition"])
+    # simulate the crash: remove one sidecar, keep the parquet
+    victim = keys[0]
+    os.remove(os.path.join(out, "_lineage", f"part-{victim}.json"))
+    assert victim not in completed_partitions(out)
+    # drift scan still sees the orphan data file
+    from fast_carpenter_ray.state.checkpoint import _disk_partitions
+    assert victim in _disk_partitions(out)
+    # resume: same input -> same keys; the skipped branch backfills
+    lineage2 = checkpoint_write(ds, out)
+    assert bool(lineage2.loc[lineage2["partition"] == victim,
+                             "skipped"].iloc[0])
+    assert victim in completed_partitions(out)
+    m = collect_metrics(out).to_pandas()
+    assert set(m["partition"]) == set(keys)
+
+
+def test_checkpoint_stale_orphan_deleted(ray_session, tmp_path):
+    """An orphan parquet from an OLD layout (no sidecar) must be caught
+    by drift detection and removed by on_stale='delete'."""
+    import ray.data as rd
+
+    out = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(out, "_lineage"), exist_ok=True)
+    # plant an orphan data file with no sidecar
+    orphan = os.path.join(out, "part-deadbeefdeadbeef.parquet")
+    pa.parquet.write_table(pa.table({"v": [1]}), orphan)
+    ds = rd.range(10).map_batches(
+        lambda t: pa.table({"v": t["id"]}), batch_format="pyarrow")
+    with pytest.raises(ValueError, match="stale"):
+        checkpoint_write(ds, out)
+    checkpoint_write(ds, out, on_stale="delete")
+    assert not os.path.exists(orphan)

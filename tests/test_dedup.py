@@ -298,3 +298,32 @@ def test_near_dedup_over_budget_identical_survivors(ray_session):
     b = sorted(near_dedup(rd.from_arrow(docs).repartition(3), mh,
                           pair_budget=0).to_pandas()["doc_id"])
     assert a == b and len(a) > 0
+
+
+def test_chunk_dup_stats_is_cross_document(ray_session):
+    """ADVICE r2: a chunk repeated twice WITHIN one doc (no other doc has
+    it) is not duplicated; a chunk shared across docs counts at every
+    position it occupies."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.dedup import chunk_dup_stats
+
+    w8 = [f"a{j}" for j in range(8)]
+    texts = [" ".join(w8 + w8),                       # doc 0: same chunk twice (within-doc)
+             " ".join(w8 + [f"b{j}" for j in range(8)]),  # doc 1 shares chunk w8
+             " ".join(f"c{j}" for j in range(16))]    # doc 2 unique
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()), "text": texts}))
+    out = (chunk_dup_stats(ds, chunk_tokens=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_chunks"].tolist() == [2, 2, 2]
+    # doc 0's w8 chunk IS in another doc (doc 1) -> both its positions dup
+    assert out["n_dup_chunks"].tolist() == [2, 1, 0]
+
+    # and the pure within-doc case: drop doc 1 -> doc 0 has NO dup chunks
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 2], type=pa.int64()),
+        "text": [texts[0], texts[2]]}))
+    out2 = (chunk_dup_stats(ds2, chunk_tokens=8).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert out2["n_dup_chunks"].tolist() == [0, 0]

@@ -229,3 +229,29 @@ def test_weighted_sample_rate_caps_at_one(ray_session):
         "weight": pa.array(np.full(1000, 8.0))}))
     out = weighted_sample(ds, "doc_id", "weight", rate=1.0).to_pandas()
     assert len(out) == 1000  # min(1, 8) = always kept
+
+
+def test_mix_hash_structured_ids_and_seed_independence():
+    """ADVICE r2: ids structured mod 1e6 (e.g. microsecond timestamps on
+    second boundaries) must NOT collapse onto one hash value, and
+    different seeds must give near-independent samples."""
+    import duckdb
+
+    from fast_carpenter_ray.stages.sample import mix_hash, mix_hash_sql
+
+    ids = (np.arange(5000, dtype=np.int64) * 1_000_000)  # all ≡ 0 mod 1e6
+    h = mix_hash(ids)
+    assert len(np.unique(h)) > 4900          # old affine hash: exactly 1
+    frac = (h < 370_000).mean()
+    assert 0.33 < frac < 0.41                # ~37% kept, not all-or-none
+    # seeds decorrelate: overlap of two 37% samples ≈ 13.7%, not 37%
+    h2 = mix_hash(ids, seed=1)
+    both = ((h < 370_000) & (h2 < 370_000)).mean()
+    assert 0.09 < both < 0.19
+    # bit-exact vs the DuckDB replay
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS id",
+                [[int(x) for x in ids[:500]]])
+    got = [r[0] for r in con.execute(
+        f"SELECT {mix_hash_sql('id', seed=3)} FROM t").fetchall()]
+    np.testing.assert_array_equal(np.array(got), mix_hash(ids[:500], seed=3))

@@ -440,3 +440,32 @@ def test_window_funcs_bucketed_negative_ts_gap(ray_session):
     for c in ["user_id", "event_id", "rn", "running_v", "gap_us"]:
         np.testing.assert_array_equal(buck[c].to_numpy().astype(np.int64),
                                       flat[c].to_numpy().astype(np.int64))
+
+
+def test_asof_join_tied_right_rows_deterministic(ray_session):
+    """ADVICE r2: multiple right rows sharing one 'on' value within a key
+    must resolve to a data-determined row (the payload-max of the tied
+    set) on BOTH the flat and the bucketed path, on any partitioning."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.asof_join import asof_join_bucketed
+
+    left = pa.table({"k": pa.array([1, 1, 2], type=pa.int64()),
+                     "t": pa.array([10, 20, 10], type=pa.int64()),
+                     "lv": pa.array([100, 200, 300], type=pa.int64())})
+    # key 1 has THREE right rows tied at t=5; payload-max is pv=9
+    right = pa.table({"k": pa.array([1, 1, 1, 2], type=pa.int64()),
+                      "t": pa.array([5, 5, 5, 4], type=pa.int64()),
+                      "pv": pa.array([7, 9, 3, 1], type=pa.int64())})
+    for rep in (1, 3, 5):
+        got = (asof_join(rd.from_arrow(left).repartition(rep),
+                         rd.from_arrow(right).repartition(rep),
+                         on="t", by="k", how="inner").to_pandas()
+               .sort_values(["k", "t"]).reset_index(drop=True))
+        assert got["pv_r"].tolist() == [9, 9, 1]
+        gotb = (asof_join_bucketed(rd.from_arrow(left).repartition(rep),
+                                   rd.from_arrow(right).repartition(rep),
+                                   on="t", by="k", bucket_width=7,
+                                   how="inner").to_pandas()
+                .sort_values(["k", "t"]).reset_index(drop=True))
+        assert gotb["pv_r"].tolist() == [9, 9, 1]
