@@ -2158,6 +2158,48 @@ def q_ann_ivf(sf_dir: str):
     return got.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_ann_ivf_pruned(sf_dir: str):
+    """Centroid-partitioned IVF index with READ-time block pruning
+    (stages/ann.py build_ivf_index + ivf_search).  The query searches at
+    full probe (== exact brute-force ranking, under the same SQL oracle
+    as ann_cosine) and ASSERTS that a partial-probe search of the same
+    index reads strictly fewer parquet files than the layout holds — the
+    measured fragment-pruning win the flat ivf_topk path lacks."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.ann import build_ivf_index, ivf_search
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qtab = emb.filter(pa.compute.less(emb["vec_id"], 10))
+    queries = {
+        "id": qtab["vec_id"].to_numpy(zero_copy_only=False),
+        "matrix": np.stack([np.asarray(v, dtype=np.float64)
+                            for v in qtab["embedding"].to_pylist()]),
+    }
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    idx = tempfile.mkdtemp(prefix="fcr_ivf_")
+    build_ivf_index(ds, idx, n_centroids=16)
+    part, pstats = ivf_search(idx, queries, k=10, nprobe=4)
+    if not pstats["files_read"] < pstats["files_total"]:
+        raise AssertionError(
+            f"IVF partial probe read {pstats['files_read']} of "
+            f"{pstats['files_total']} files - no block pruning")
+    full, _ = ivf_search(idx, queries, k=10, nprobe=16)
+    got = full.to_pandas()
+    got["r4"] = got["cosine"].round(4)
+    got = got.sort_values(["query_id", "r4", "neighbor_id"],
+                          ascending=[True, False, True])
+    got = got.groupby("query_id", group_keys=False).head(5)
+    got["rank"] = got.groupby("query_id").cumcount() + 1
+    out = got[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
 def q_image_features(sf_dir: str):
     """Multimodal plumbing demo: binary payloads through the (fake) decode
     actor pool -> feature summary (rows-only check; decode is stubbed)."""
@@ -3445,6 +3487,16 @@ def build_oracles() -> Dict[str, str]:
             "SELECT query_id, neighbor_id, "
             "row_number() OVER (PARTITION BY query_id ORDER BY r4 DESC, neighbor_id) AS rank "
             "FROM p) WHERE rank <= 5"),
+        "ann_ivf_pruned": (
+            "WITH q AS (SELECT vec_id AS query_id, "
+            "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10), "
+            "p AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 4) AS r4 "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "SELECT query_id, neighbor_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY r4 DESC, neighbor_id) AS rank "
+            "FROM p) WHERE rank <= 5"),
     }
 
 
@@ -3539,6 +3591,7 @@ def build_queries() -> Dict[str, Callable]:
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_pruned": q_ann_ivf_pruned,
         "lookup_join": q_lookup_join,
         "lookup_semi": q_lookup_semi,
         "lookup_anti": q_lookup_anti,

@@ -469,3 +469,36 @@ def test_asof_join_tied_right_rows_deterministic(ray_session):
                                    how="inner").to_pandas()
                 .sort_values(["k", "t"]).reset_index(drop=True))
         assert gotb["pv_r"].tolist() == [9, 9, 1]
+
+
+def test_ivf_index_prunes_blocks_and_full_probe_exact(ray_session, sf_dir, tmp_path):
+    """build_ivf_index writes a centroid-partitioned layout; ivf_search
+    reads strictly fewer files at partial probe and reproduces the exact
+    brute-force ranking at full probe (round-2 verdict #4)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.ann import (ann_topk, build_ivf_index,
+                                               ivf_search)
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qtab = emb.filter(pa.compute.less(emb["vec_id"], 5))
+    queries = {"id": qtab["vec_id"].to_numpy(zero_copy_only=False),
+               "matrix": np.stack([np.asarray(v, dtype=np.float64)
+                                   for v in qtab["embedding"].to_pylist()])}
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_centroids=8)
+    part, pstats = ivf_search(idx, queries, k=5, nprobe=2)
+    assert pstats["files_read"] < pstats["files_total"]
+    assert pstats["cells_probed"] < pstats["cells_total"]
+    full, fstats = ivf_search(idx, queries, k=5, nprobe=8)
+    assert fstats["files_read"] == fstats["files_total"]
+    bf = (ann_topk(ds, queries, k=5).to_pandas()
+          .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    fu = (full.to_pandas()
+          .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        fu[["query_id", "neighbor_id", "rank"]],
+        bf[["query_id", "neighbor_id", "rank"]])
