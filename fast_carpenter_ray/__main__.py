@@ -22,6 +22,11 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="fast_carpenter_ray")
     parser.add_argument("pipeline", nargs="?", help="processing config YAML")
     parser.add_argument("--input", help="input parquet path/glob")
+    parser.add_argument("--datasets",
+                        help="dataset-config YAML (name/eventtype/files per "
+                             "dataset) — the reference's "
+                             "'fast_carpenter datasets.yml sequence.yml' "
+                             "entry point; mutually exclusive with --input")
     parser.add_argument("--source", default="parquet",
                         help="registered source name (parquet/csv/json/pages)")
     parser.add_argument("--outdir", default="output")
@@ -39,14 +44,19 @@ def main(argv=None) -> int:
             print(f"{name:24s} {path}")
         return 0
 
-    if not args.pipeline or not args.input:
-        parser.error("pipeline YAML and --input are required")
+    if args.input and args.datasets:
+        parser.error("--input and --datasets are mutually exclusive")
+    if not args.pipeline or not (args.input or args.datasets):
+        parser.error("pipeline YAML and --input (or --datasets) are required")
 
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
+
+    if args.datasets:
+        return _run_datasets(args)
 
     from .pipelines.config import load_pipeline
     from .sources import get_source
@@ -95,6 +105,82 @@ def main(argv=None) -> int:
     print(f"wrote {len(lineage)} row partitions "
           f"({int(lineage['rows'].sum())} rows, "
           f"{int(lineage['skipped'].sum())} skipped)")
+    return 0
+
+
+def _run_datasets(args) -> int:
+    """Multi-dataset run: loop the dataset config through the stage
+    sequence (reference ``__main__.py:66-80`` semantics) — per-dataset
+    streaming pipelines with the dataset's ``eventtype`` driving the
+    weighted/raw counter switch, summaries combined on the driver
+    (cut-flow tables concatenated; binned tables stacked under a leading
+    ``dataset`` index level, the reference's ``dataset_col=True``)."""
+    import os
+
+    import pandas as pd
+
+    from .pipelines.config import load_pipeline
+    from .pipelines.datasets import load_datasets_yaml
+    from .state.bookkeeping import write_manifest
+    from .state.checkpoint import checkpoint_write
+
+    specs = load_datasets_yaml(args.datasets)
+    os.makedirs(args.outdir, exist_ok=True)
+    write_manifest(args.outdir, config={"pipeline": args.pipeline,
+                                        "datasets": args.datasets},
+                   input=[s.name for s in specs], source="parquet")
+
+    # which stages take the eventtype switch (CutFlow/SelectPhaseSpace)
+    probe = load_pipeline(args.pipeline)
+    mc_stages = [n for n, s in probe if hasattr(s, "is_mc")]
+
+    cuts: dict = {}
+    tbls: dict = {}
+    writers: dict = {}
+    total_rows = 0
+    for spec in specs:
+        # rebuild the sequence per dataset so eventtype reaches the
+        # counter stages (reference: backends/coffea.py:106)
+        seq = load_pipeline(args.pipeline, extra_kwargs={
+            n: {"is_mc": spec.is_mc} for n in mc_stages})
+        out = spec.load(args.columns)
+        for name, stage in seq:
+            writers[name] = stage
+            if hasattr(stage, "cutflow"):
+                cuts.setdefault(name, []).append(
+                    stage.collect(stage.cutflow(out), dataset_name=spec.name))
+            if hasattr(stage, "apply"):
+                out = stage.apply(out)
+            if hasattr(stage, "aggregate"):
+                t = (stage.collect(stage.aggregate(out))
+                     if hasattr(stage, "collect")
+                     else stage.aggregate(out).to_pandas())
+                tbls.setdefault(name, []).append((spec.name, t))
+        lineage = checkpoint_write(
+            out, os.path.join(args.outdir, "rows", spec.name),
+            out.schema().names[0])
+        total_rows += int(lineage["rows"].sum())
+
+    for name, frames in cuts.items():
+        path = os.path.join(args.outdir, f"cuts_{name}.csv")
+        combined = pd.concat(frames)
+        stage = writers[name]
+        if hasattr(stage, "write_csv"):
+            stage.write_csv(combined, path)
+        else:
+            combined.to_csv(path, float_format="%.17g")
+        print(f"wrote {path}")
+    for name, entries in tbls.items():
+        path = os.path.join(args.outdir, f"tbl_{name}.csv")
+        combined = pd.concat([t for _, t in entries],
+                             keys=[n for n, _ in entries], names=["dataset"])
+        stage = writers[name]
+        if hasattr(stage, "write_csv"):
+            stage.write_csv(combined, path)
+        else:
+            combined.to_csv(path, float_format="%.17g")
+        print(f"wrote {path}")
+    print(f"wrote {total_rows} rows across {len(specs)} dataset(s)")
     return 0
 
 

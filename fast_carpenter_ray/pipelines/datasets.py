@@ -24,7 +24,53 @@ from typing import Callable, Dict, List, Optional, Sequence
 
 import pandas as pd
 
-__all__ = ["DatasetSpec", "MultiDatasetRun"]
+__all__ = ["DatasetSpec", "MultiDatasetRun", "load_datasets_yaml"]
+
+
+def load_datasets_yaml(config) -> "List[DatasetSpec]":
+    """Parse a dataset-config YAML into :class:`DatasetSpec` entries — the
+    fast-curator analogue (reference entry point:
+    ``fast_carpenter datasets.yml sequence.yml``,
+    ``fast_carpenter/__main__.py:66-73``).
+
+    .. code-block:: yaml
+
+        defaults:
+          eventtype: mc
+        datasets:
+          - name: ttbar
+            files: ["/data/ttbar/*.parquet"]
+          - name: data_2012
+            eventtype: data
+            files: ["/data/run2012/*.parquet"]
+
+    ``files`` / ``paths`` are interchangeable; ``defaults`` fills missing
+    per-dataset keys (fast-curator's defaults block).
+    """
+    if isinstance(config, str):
+        import yaml
+
+        if "\n" not in config and config.endswith((".yml", ".yaml")):
+            with open(config) as f:
+                config = yaml.safe_load(f)
+        else:
+            config = yaml.safe_load(config)
+    if not isinstance(config, dict) or "datasets" not in config:
+        raise ValueError("dataset config needs a 'datasets' list")
+    defaults = dict(config.get("defaults", {}))
+    specs = []
+    for entry in config["datasets"]:
+        if not isinstance(entry, dict) or "name" not in entry:
+            raise ValueError(f"each dataset entry needs a 'name': {entry!r}")
+        merged = {**defaults, **entry}
+        paths = merged.get("files", merged.get("paths"))
+        if isinstance(paths, str):
+            paths = [paths]
+        specs.append(DatasetSpec(
+            name=merged["name"],
+            eventtype=merged.get("eventtype", "mc"),
+            paths=list(paths) if paths else None))
+    return specs
 
 
 @dataclass
