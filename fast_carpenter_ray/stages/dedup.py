@@ -355,13 +355,20 @@ class MinHashDedup:
         rows = sigs.map_batches(self.band_rows, batch_format="pyarrow")
         cand = rows.groupby(["band_id", "band_key"],
                             num_partitions=num_partitions).map_groups(
-            self._bucket_pairs, batch_format="pandas")
-        # dedupe pairs across bands BEFORE fetching signatures: bounded
-        # pair-hash buckets, NOT a groupby on the raw pair (lesson-7
-        # shuffle degradation — see dedup_pair_stream); materialize
-        # (bounded: the capped-bucket candidate set) so count + verify
-        # don't recompute the LSH chain
-        pairs = dedup_pair_stream(cand, num_partitions).materialize()
+            self._bucket_pairs, batch_format="pandas").materialize()
+        # dedupe pairs across bands BEFORE fetching signatures.  Within
+        # the broadcast budget (the normal case) the RAW candidate rows
+        # are already driver-sized, so the dedupe is one vectorized
+        # drop_duplicates on the driver — no extra shuffle.  Above it,
+        # bounded pair-hash buckets, NOT a groupby on the raw pair
+        # (lesson-7 shuffle degradation — see dedup_pair_stream).
+        n_cand = cand.count()
+        if n_cand > broadcast_pairs_budget:
+            pairs = dedup_pair_stream(cand, num_partitions).materialize()
+        else:
+            pairs = rd.from_pandas(
+                cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+                .reset_index(drop=True)).materialize()
 
         def verify_arrays(ids_a, ids_b, sa: np.ndarray, sb: np.ndarray):
             est = (sa == sb).mean(axis=1)
@@ -530,7 +537,10 @@ class SimHashDedup:
             "hamming": np.concatenate(out_h).astype(np.int64),
         })
 
-    def candidate_pairs(self, ds, num_partitions: Optional[int] = None):
+    def candidate_pairs(self, ds, num_partitions: Optional[int] = None,
+                        driver_dedupe_budget: int = 500_000):
+        import ray.data as rd
+
         if num_partitions is None:
             # same sizing rationale as MinHashDedup: aggregator startup
             # scales with partition count, not data
@@ -540,13 +550,20 @@ class SimHashDedup:
         rows = ds.map_batches(self.bank_rows, batch_format="pyarrow")
         cand = rows.groupby(["bank_id", "bank_key"],
                             num_partitions=num_partitions).map_groups(
-            self._bucket_pairs, batch_format="pandas")
-        # cross-bank dedupe via bounded pair-hash buckets (never a groupby
-        # keyed on the raw pair).  ``hamming`` is a deterministic function
-        # of the pair's two fingerprints, so keeping the first occurrence
-        # is exactly the old Min("hamming") result.
-        return dedup_pair_stream(cand, num_partitions,
-                                 keep_cols=("id_a", "id_b", "hamming"))
+            self._bucket_pairs, batch_format="pandas").materialize()
+        # cross-bank dedupe: driver drop_duplicates when the raw candidate
+        # rows are driver-sized (saves a whole shuffle), else bounded
+        # pair-hash buckets (never a groupby keyed on the raw pair).
+        # ``hamming`` is a deterministic function of the pair's two
+        # fingerprints, so keeping the first occurrence is exactly the
+        # old Min("hamming") result.
+        if cand.count() > driver_dedupe_budget:
+            return dedup_pair_stream(cand, num_partitions,
+                                     keep_cols=("id_a", "id_b", "hamming"))
+        df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+        if len(df) == 0:
+            df = _empty_pairs("hamming", "int64")
+        return rd.from_pandas(df.reset_index(drop=True))
 
 
 def cluster_pairs(pairs: pd.DataFrame, id_a: str = "id_a",
@@ -684,7 +701,8 @@ def distributed_components(pairs, num_partitions: Optional[int] = None,
 
 
 def near_dedup(ds, dedup: "MinHashDedup", exact_first: bool = True,
-               pair_budget: int = 2_000_000):
+               pair_budget: int = 2_000_000,
+               exact_broadcast_budget: int = 2_000_000):
     """End-to-end near-duplicate removal: LSH candidate pairs -> verified
     pairs -> connected components -> drop every doc that is not its
     cluster's minimum id.  Returns the SURVIVOR Dataset (same schema as
@@ -716,12 +734,27 @@ def near_dedup(ds, dedup: "MinHashDedup", exact_first: bool = True,
     stream."""
     import ray
 
-    if exact_first:
-        ds = ExactDedup("near_dedup_exact", key=dedup.text_col,
-                        id_col=dedup.id_col).apply(ds).drop_columns(
-            ["_content_hash"])
-
     id_col = dedup.id_col
+    if exact_first:
+        ex = ExactDedup("near_dedup_exact", key=dedup.text_col,
+                        id_col=id_col)
+        # survivors() shuffles only (hash, id); when the survivor id set
+        # is broadcastable the full-row co-location shuffle of apply()
+        # is skipped entirely (the row stream stays unshuffled — one
+        # isin filter).  Above the budget, apply()'s hash-partitioned
+        # first-wins is the honest path.
+        surv = ex.survivors(ds).materialize()
+        if surv.count() <= exact_broadcast_budget:
+            keep_ids = np.sort(surv.to_pandas()[id_col].to_numpy())
+            keep_ref = ray.put(keep_ids)
+
+            def keep_exact(batch: pa.Table) -> pa.Table:
+                ids = batch[id_col].to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(np.isin(ids, ray.get(keep_ref))))
+
+            ds = ds.map_batches(keep_exact, batch_format="pyarrow")
+        else:
+            ds = ex.apply(ds).drop_columns(["_content_hash"])
     pairs_ds = dedup.candidate_pairs(ds).materialize()
     n_pairs = pairs_ds.count()
     if n_pairs == 0:

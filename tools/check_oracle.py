@@ -81,6 +81,10 @@ def main():
         dt = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(mine)} rows ({dt:.1f}s) [no oracle]")
+            del mine
+            import gc
+
+            gc.collect()
             continue
         try:
             theirs = canonical(con.sql(oracles[name]).df())
@@ -110,6 +114,13 @@ def main():
             failures.append(name)
         print(f"{status}{name}: rows {len(mine)}/{len(theirs)} cols={ok_cols} "
               f"({dt:.1f}s)")
+        # drop refs + gc between queries: lingering Dataset/DataFrame refs
+        # pin object-store blocks and degrade later queries 3-5x
+        # (BASELINE.md measurement; bench.py does the same)
+        del mine, theirs
+        import gc
+
+        gc.collect()
     print("FAILURES:", failures if failures else "none")
     return 1 if failures else 0
 
