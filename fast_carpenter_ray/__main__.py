@@ -35,6 +35,16 @@ def main(argv=None) -> int:
                         help="projection pushdown at the read")
     parser.add_argument("--help-stages", action="store_true",
                         help="list known stage names and exit")
+    parser.add_argument("--profile", action="store_true",
+                        help="profile the driver process (cProfile) and "
+                             "write <outdir>/profile.txt — reference "
+                             "fast_carpenter --profile "
+                             "(fast_carpenter/__main__.py:40-43)")
+    parser.add_argument("--nblocks-per-dataset", type=int, default=None,
+                        help="quick-test mode: read only the first N "
+                             "parquet files of each dataset — reference "
+                             "--nblocks-per-dataset "
+                             "(fast_carpenter/__main__.py:36-39)")
     args = parser.parse_args(argv)
 
     if args.help_stages:
@@ -55,9 +65,48 @@ def main(argv=None) -> int:
         ray.init(address="local", include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
 
+    if args.profile:
+        import cProfile
+        import pstats
+
+        os.makedirs(args.outdir, exist_ok=True)
+        prof = cProfile.Profile()
+        prof.enable()
+        try:
+            rc = _run_datasets(args) if args.datasets else _run_single(args)
+        finally:
+            prof.disable()
+            path = os.path.join(args.outdir, "profile.txt")
+            with open(path, "w") as fh:
+                pstats.Stats(prof, stream=fh).sort_stats(
+                    "cumulative").print_stats(60)
+            print(f"wrote {path}")
+        return rc
+
     if args.datasets:
         return _run_datasets(args)
+    return _run_single(args)
 
+
+def _truncate_paths(paths, nblocks):
+    """Quick-test block cap: resolve globs/dirs to concrete parquet files
+    and keep the first ``nblocks`` (sorted, deterministic)."""
+    import glob as _glob
+
+    files = []
+    for p in paths:
+        if any(c in p for c in "*?["):
+            files.extend(sorted(_glob.glob(p)))
+        elif os.path.isdir(p):
+            files.extend(sorted(
+                os.path.join(p, f) for f in os.listdir(p)
+                if f.endswith(".parquet")))
+        else:
+            files.append(p)
+    return files[:nblocks] if files else list(paths)
+
+
+def _run_single(args) -> int:
     from .pipelines.config import load_pipeline
     from .sources import get_source
     from .state.bookkeeping import write_manifest
@@ -67,7 +116,10 @@ def main(argv=None) -> int:
     read_kwargs = {}
     if args.num_blocks:
         read_kwargs["override_num_blocks"] = args.num_blocks
-    ds = get_source(args.source)(args.input, columns=args.columns, **read_kwargs)
+    input_path = args.input
+    if args.nblocks_per_dataset:
+        input_path = _truncate_paths([args.input], args.nblocks_per_dataset)
+    ds = get_source(args.source)(input_path, columns=args.columns, **read_kwargs)
 
     os.makedirs(args.outdir, exist_ok=True)
     write_manifest(args.outdir, config={"pipeline": args.pipeline},
@@ -125,6 +177,11 @@ def _run_datasets(args) -> int:
     from .state.checkpoint import checkpoint_write
 
     specs = load_datasets_yaml(args.datasets)
+    if args.nblocks_per_dataset:
+        for spec in specs:
+            if spec.paths:
+                spec.paths = _truncate_paths(spec.paths,
+                                             args.nblocks_per_dataset)
     os.makedirs(args.outdir, exist_ok=True)
     write_manifest(args.outdir, config={"pipeline": args.pipeline,
                                         "datasets": args.datasets},

@@ -699,6 +699,45 @@ def q_near_dedup(sf_dir: str):
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _decontam_parts(sf_dir: str):
+    """Corpus = all documents; eval set = every 50th document (a small
+    benchmark-sized subset, verbatim rows of the corpus — the planted
+    contamination signal: eval docs themselves must score 1.0)."""
+    import ray.data as rd
+
+    from ..stages.decontam import Decontaminate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def eval_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 50 == 0))
+
+    d = Decontaminate("decontam", width=3, threshold=0.5)
+    ev = d.eval_ngrams(docs.map_batches(eval_filter, batch_format="pyarrow"))
+    return d, docs, ev
+
+
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination scoring (stages/decontam.py): per-doc
+    distinct-shingle counts, eval-set hits, overlap fraction and the
+    contamination flag.  Counts are exact ints and overlap_frac one IEEE
+    division of exact ints, so the oracle's sha256-prefix + FNV-roll
+    shingle replay hashes bit-exactly."""
+    d, docs, ev = _decontam_parts(sf_dir)
+    out = d.stats(docs, ev).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_decontam_clean(sf_dir: str):
+    """Decontamination filtering: surviving doc_ids (overlap below the
+    0.5 threshold) — the streaming ``clean`` pass, corpus never shuffles."""
+    d, docs, ev = _decontam_parts(sf_dir)
+    out = d.clean(docs, ev).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_similarity_join(sf_dir: str):
     """Exact all-pairs token-Jaccard self-join (stages/simjoin.py):
     prefix-filter inverted index -> capped posting-list candidates ->
@@ -2444,6 +2483,34 @@ def _near_dedup_sql() -> str:
         "(SELECT id FROM comp WHERE id != cluster)")
 
 
+def _decontam_stats_sql() -> str:
+    """CTE prefix ending in ``stats(doc_id, n_sh, n_hit)`` — the
+    decontamination shingle math replayed in SQL: the same lowercase
+    whitespace tokenization, chr(0) padding to the shingle width,
+    sha256-prefix token hashes and FNV-multiplier rolling window hash
+    mod 2^64 as ``dedup.shingle_hashes`` (width=3), distinct per doc;
+    eval set = distinct shingles of every 50th doc; n_hit = membership
+    count of the doc's distinct shingles in the eval set."""
+    w = 3
+    return (
+        "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(coalesce(text, '')), '\\s+'), t -> t != '') AS t0 "
+        "FROM documents), "
+        f"padded AS (SELECT doc_id, list_concat(t0, list_transform("
+        f"range(greatest(0, {w} - len(t0))), x -> chr(0))) AS t FROM toks), "
+        "th AS (SELECT doc_id, list_transform(t, s -> "
+        "('0x' || substring(sha256(s), 1, 16))::UBIGINT) AS h FROM padded), "
+        "sh AS (SELECT DISTINCT doc_id, CAST(("
+        f"(h[i]::HUGEINT * {_FNV_P} + h[i+1]) % {_POW64} "
+        f"* {_FNV_P} + h[i+2]) % {_POW64} AS UBIGINT) AS shingle "
+        "FROM th, unnest(range(1, len(h) - 1)) AS u(i)), "
+        "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), "
+        "stats AS (SELECT s.doc_id, count(*) AS n_sh, "
+        "sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit "
+        "FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle "
+        "GROUP BY s.doc_id)")
+
+
 def _simhash_pairs_sql() -> str:
     """simhash_pairs oracle: per-token sha256-prefix hashes vote on each
     of the 64 bits (+1/-1, multiplicity counted); bit set iff the vote is
@@ -3017,6 +3084,17 @@ def build_oracles() -> Dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "near_dedup": _near_dedup_sql(),
+        "decontam": (
+            _decontam_stats_sql()
+            + " SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles, "
+            "CAST(n_hit AS BIGINT) AS n_hit, "
+            "CAST(n_hit AS DOUBLE) / n_sh AS overlap_frac, "
+            "CAST(CASE WHEN CAST(n_hit AS DOUBLE) / n_sh >= 0.5 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS contaminated FROM stats"),
+        "decontam_clean": (
+            _decontam_stats_sql()
+            + " SELECT doc_id FROM stats "
+            "WHERE CAST(n_hit AS DOUBLE) / n_sh < 0.5"),
         # the rolling-hash fingerprint recomputed entirely in SQL: same
         # RE2 tokenization, same sha256-prefix token hash, same
         # 128-bit (HUGEINT) roll mod 2^64, same 63-bit mask — bit-exact
@@ -3604,6 +3682,8 @@ def build_queries() -> Dict[str, Callable]:
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
         "near_dedup": q_near_dedup,
+        "decontam": q_decontam,
+        "decontam_clean": q_decontam_clean,
         "similarity_join": q_similarity_join,
         "polygon_cover": q_polygon_cover,
         "reduce_cut": q_reduce_cut,

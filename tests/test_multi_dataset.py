@@ -151,3 +151,48 @@ def test_cli_datasets_yaml_end_to_end(ray_session, tmp_path):
     rc2 = main([str(pipeline), "--datasets", str(datasets),
                 "--outdir", str(outdir)])
     assert rc2 == 0
+
+
+def test_cli_profile_and_nblocks(ray_session, tmp_path):
+    """--nblocks-per-dataset caps each dataset at its first N parquet
+    files (reference quick-test mode, fast_carpenter/__main__.py:36-39);
+    --profile writes <outdir>/profile.txt."""
+    import pyarrow.parquet as pq
+
+    from fast_carpenter_ray.__main__ import main
+
+    # one dataset split across 3 files of 10 rows each
+    files = []
+    for j in range(3):
+        t = pa.table({
+            "doc_id": pa.array(range(j * 10, j * 10 + 10), type=pa.int64()),
+            "x": pa.array([float(i % 5) for i in range(10)]),
+            "w": pa.array([1.0] * 10),
+        })
+        p = str(tmp_path / f"part{j}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+
+    pipeline = tmp_path / "pipeline.yml"
+    pipeline.write_text(
+        "stages:\n"
+        "  - sel: CutFlow\n"
+        "sel:\n"
+        "  selection: \"x < 3\"\n"
+        "  weights: {w: w}\n")
+    datasets = tmp_path / "datasets.yml"
+    datasets.write_text(
+        "datasets:\n"
+        f"  - {{name: d, eventtype: mc, files: ['{tmp_path}/part*.parquet']}}\n")
+
+    outdir = tmp_path / "out_capped"
+    rc = main([str(pipeline), "--datasets", str(datasets),
+               "--outdir", str(outdir), "--nblocks-per-dataset", "1",
+               "--profile"])
+    assert rc == 0
+    cuts = pd.read_csv(outdir / "cuts_sel.csv", header=[0, 1],
+                       index_col=[0, 1, 2, 3])
+    # only the first file's 10 rows were read
+    assert cuts.iloc[0][("totals_incl", "unweighted")] == 10
+    prof = (outdir / "profile.txt").read_text()
+    assert "cumulative" in prof
