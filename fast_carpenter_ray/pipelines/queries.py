@@ -738,6 +738,152 @@ def q_decontam_clean(sf_dir: str):
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _pii_corpus(sf_dir: str):
+    """documents with deterministic planted PII (the base synthetic text
+    contains none): every 7th doc gains an email, every 11th a phone
+    number, every 13th an IPv4 — appended in that fixed order so the
+    SQL mirror concatenates identically."""
+    import ray.data as rd
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            if i % 7 == 0:
+                t += f" contact user{i}@example.com"
+            if i % 11 == 0:
+                t += f" call +1-555-{i % 10000:04d}"
+            if i % 13 == 0:
+                t += f" from 10.{i % 256}.0.1"
+            out.append(t)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, type=pa.string())})
+
+    return base.map_batches(plant, batch_format="pyarrow")
+
+
+#: SQL mirror of ``_pii_corpus``'s planted suffixes.
+_PII_CORPUS_SQL = (
+    "SELECT doc_id, coalesce(text, '') "
+    "|| CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id "
+    "|| '@example.com' ELSE '' END "
+    "|| CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
+    "|| CASE WHEN doc_id % 13 = 0 THEN ' from 10.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END AS text "
+    "FROM documents")
+
+
+def q_pii_stats(sf_dir: str):
+    """PII detection counts (stages/pii.py PIIStats) over the planted
+    corpus — non-overlapping regex match counts, bit-identical between
+    pandas str.count and DuckDB regexp_extract_all (RE2) for the
+    alternation-free patterns in PII_PATTERNS."""
+    from ..stages.pii import PIIStats
+
+    out = PIIStats().apply(_pii_corpus(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (stages/pii.py redact): typed placeholders applied
+    in pattern order; compared as sha256 of the rewritten text (DuckDB
+    sha256 == hashlib, verified)."""
+    import hashlib
+
+    from ..stages.pii import redact
+
+    def digest(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "redacted_sha": pa.array(
+                [hashlib.sha256(t.encode("utf-8")).hexdigest()
+                 for t in batch["text"].to_pylist()], type=pa.string()),
+        })
+
+    out = (redact(_pii_corpus(sf_dir))
+           .map_batches(digest, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_train_order(sf_dir: str):
+    """Deterministic training-order shuffle (stages/sample.py
+    train_order): the first 200 docs of the seed-0 permutation with
+    their rank — the engine path is a real distributed sort by the
+    splitmix-style key; the oracle replays the hash and ORDER BYs it."""
+    import ray.data as rd
+
+    from ..stages.sample import train_order
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    head = train_order(ds, id_col="doc_id", seed=0).limit(200).to_pandas()
+    head["rank"] = np.arange(1, len(head) + 1, dtype=np.int64)
+    return head[["rank", "doc_id", "shuffle_key"]]
+
+
+def q_mixture_sample(sf_dir: str):
+    """Domain rebalancing (stages/sample.py mixture_sample): cap each
+    language at ~100 docs with the exact-integer per-group hash
+    threshold; corpus streams, only the tiny lang-count table shuffles."""
+    import ray.data as rd
+
+    from ..stages.sample import mixture_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    out = mixture_sample(ds, "lang", cap=100, id_col="doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_PACK_L, _PACK_B = 64, 8
+
+
+def _TRAIN_KEY():
+    from ..stages.sample import mix_hash_sql
+    return mix_hash_sql("doc_id", 0)
+
+
+def _mix_doc_sql():
+    from ..stages.sample import mix_hash_sql
+    return mix_hash_sql("d.doc_id", 0)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence-packing placement map (stages/packing.py): docs
+    hash-bucketed, concatenated in id order, cut into 64-token windows;
+    all-int64 outputs so the DuckDB window-cumsum oracle hashes
+    bit-exactly.  Only (id, bucket, n_tokens) rows enter the shuffle."""
+    import ray.data as rd
+
+    from ..stages.packing import pack_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = pack_sequences(ds, seq_len=_PACK_L, n_buckets=_PACK_B).to_pandas()
+    return (out[["doc_id", "bucket", "n_tokens", "start_tok",
+                 "first_seq", "last_seq"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_pack_summary(sf_dir: str):
+    """Per-bucket packing manifest (stages/packing.py bucket_summary):
+    doc/token totals and ceil-divided sequence counts."""
+    import ray.data as rd
+
+    from ..stages.packing import bucket_summary
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = bucket_summary(ds, seq_len=_PACK_L, n_buckets=_PACK_B).to_pandas()
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def q_similarity_join(sf_dir: str):
     """Exact all-pairs token-Jaccard self-join (stages/simjoin.py):
     prefix-filter inverted index -> capped posting-list candidates ->
@@ -2511,6 +2657,52 @@ def _decontam_stats_sql() -> str:
         "GROUP BY s.doc_id)")
 
 
+def _pii_stats_sql() -> str:
+    """pii_stats oracle: RE2 regexp_extract_all counts over the planted
+    corpus — PII_PATTERNS is the single source of truth, shared with the
+    engine stage (the patterns were chosen for bit-exact Python-re /
+    RE2 agreement, pinned by tests/test_curation.py)."""
+    from ..stages.pii import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, (pat, _) in PII_PATTERNS.items())
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for pat, _ in PII_PATTERNS.values())
+    return (
+        f"WITH c AS ({_PII_CORPUS_SQL}) "
+        f"SELECT doc_id, {counts}, "
+        f"CAST(CASE WHEN {total} > 0 THEN 1 ELSE 0 END AS BIGINT) "
+        "AS has_pii FROM c")
+
+
+def _pii_redact_sql() -> str:
+    """pii_redact oracle: nested global regexp_replace in PII_PATTERNS
+    order, hashed with DuckDB's sha256 (== hashlib, verified)."""
+    from ..stages.pii import PII_PATTERNS
+
+    red = "text"
+    for pat, repl in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return (
+        f"WITH c AS ({_PII_CORPUS_SQL}) "
+        f"SELECT doc_id, sha256({red}) AS redacted_sha FROM c")
+
+
+def _pack_lens_sql() -> str:
+    """CTE ``n1(doc_id, bucket, n)``: whitespace token counts and the
+    mix-hash bucket assignment shared by the packing oracles."""
+    from ..stages.sample import mix_hash_sql
+
+    return (
+        "WITH n0 AS (SELECT doc_id, CAST(len(list_filter("
+        "regexp_split_to_array(coalesce(text, ''), '\\s+'), "
+        "t -> t != '')) AS BIGINT) AS n FROM documents), "
+        f"n1 AS (SELECT doc_id, ({mix_hash_sql('doc_id', 0)}) % {_PACK_B} "
+        "AS bucket, n FROM n0 WHERE n > 0)")
+
+
 def _simhash_pairs_sql() -> str:
     """simhash_pairs oracle: per-token sha256-prefix hashes vote on each
     of the 64 bits (+1/-1, multiplicity counted); bit set iff the vote is
@@ -3095,6 +3287,33 @@ def build_oracles() -> Dict[str, str]:
             _decontam_stats_sql()
             + " SELECT doc_id FROM stats "
             "WHERE CAST(n_hit AS DOUBLE) / n_sh < 0.5"),
+        "pii_stats": _pii_stats_sql(),
+        "pii_redact": _pii_redact_sql(),
+        "train_order": (
+            "SELECT CAST(row_number() OVER (ORDER BY "
+            f"{_TRAIN_KEY()}, doc_id) AS BIGINT) AS rank, doc_id, "
+            f"{_TRAIN_KEY()} AS shuffle_key FROM documents "
+            f"ORDER BY shuffle_key, doc_id LIMIT 200"),
+        "mixture_sample": (
+            "WITH n AS (SELECT lang, count(*) AS n FROM documents "
+            "GROUP BY lang) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN n USING (lang) "
+            f"WHERE {_mix_doc_sql()} < least(1000000, 100 * 1000000 // n.n)"),
+        "pack_sequences": (
+            _pack_lens_sql() + ", "
+            "p AS (SELECT doc_id, bucket, n, CAST(coalesce(sum(n) OVER ("
+            "PARTITION BY bucket ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS start FROM n1) "
+            "SELECT doc_id, bucket, n AS n_tokens, start AS start_tok, "
+            f"start // {_PACK_L} AS first_seq, "
+            f"(start + n - 1) // {_PACK_L} AS last_seq FROM p"),
+        "pack_summary": (
+            _pack_lens_sql()
+            + " SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n) AS BIGINT) AS total_tokens, "
+            f"CAST((sum(n) + {_PACK_L - 1}) // {_PACK_L} AS BIGINT) "
+            "AS n_seqs FROM n1 GROUP BY bucket"),
         # the rolling-hash fingerprint recomputed entirely in SQL: same
         # RE2 tokenization, same sha256-prefix token hash, same
         # 128-bit (HUGEINT) roll mod 2^64, same 63-bit mask — bit-exact
@@ -3684,6 +3903,12 @@ def build_queries() -> Dict[str, Callable]:
         "near_dedup": q_near_dedup,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,
+        "pii_stats": q_pii_stats,
+        "pii_redact": q_pii_redact,
+        "train_order": q_train_order,
+        "mixture_sample": q_mixture_sample,
+        "pack_sequences": q_pack_sequences,
+        "pack_summary": q_pack_summary,
         "similarity_join": q_similarity_join,
         "polygon_cover": q_polygon_cover,
         "reduce_cut": q_reduce_cut,

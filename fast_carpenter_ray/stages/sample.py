@@ -33,7 +33,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["hash_sample", "stratified_sample", "group_topk", "count_distinct", "weighted_sample"]
+__all__ = ["hash_sample", "stratified_sample", "group_topk", "count_distinct",
+           "weighted_sample", "train_order", "mixture_sample"]
 
 _M = 1_000_000
 _M64 = 1 << 64
@@ -219,3 +220,76 @@ def weighted_sample_sql(id_col: str, weight_col: str, rate: float,
     return (f"{mix_hash_sql(id_col, seed)} < "
             f"least({r_q} * CAST(round({weight_col} * {weight_scale}) "
             f"AS BIGINT) // {weight_scale}, {_M})")
+
+
+def train_order(ds, id_col: str = "doc_id", seed: int = 0):
+    """Deterministic global training-order shuffle: every row gets
+    ``shuffle_key = mix_hash(id, seed)`` and the dataset is sorted by
+    ``(shuffle_key, id)`` — a reproducible, seed-selectable permutation
+    of the corpus (the "shuffle the training data" step, but replayable
+    on resume and identical on any partitioning, unlike
+    ``random_shuffle``).
+
+    Scale note: the sort is the one genuinely global AllToAll this op
+    needs — that IS the shuffle.  mix_hash is uniform, so range
+    partitioning of the key space is balanced by construction (no skew,
+    no salting needed), and downstream ``write_parquet`` emits the
+    permuted corpus as ordered shards a trainer can stream.
+    """
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "shuffle_key", pa.array(mix_hash(ids, seed), type=pa.int64()))
+
+    return ds.map_batches(key, batch_format="pyarrow").sort(
+        ["shuffle_key", id_col])
+
+
+def mixture_sample(ds, group_col: str, cap: int, id_col: str,
+                   seed: int = 0, max_groups: int = 1_000_000):
+    """Domain rebalancing: cap every ``group_col`` group at ~``cap``
+    rows by keeping each row with the deterministic per-group rate
+    ``min(1, cap / n_group)`` — the "downweight over-represented
+    domains to a target mixture" curation step.
+
+    Two phases, no data shuffle: (1) exact group counts — the only
+    shuffle, over (group, 1) pairs with per-batch pre-aggregation, its
+    result bounded by the number of distinct groups (budget-guarded by
+    ``max_groups``); (2) thresholds broadcast into a per-batch filter —
+    at 100 TB the corpus streams through once and never moves.
+
+    Exact-integer predicate (SQL-replayable, see
+    :func:`mixture_sample_sql`): keep iff
+    ``mix_hash(id, seed) < min(1e6, cap * 1e6 // n_group)``.
+    """
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(group_col).aggregate(
+        Count(alias_name="n")).materialize()
+    n_groups = counts.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"mixture_sample: {n_groups} distinct groups exceeds the "
+            f"{max_groups} driver budget — group on a coarser key")
+    cdf = counts.to_pandas()  # bounded: guarded above
+    thr = {g: min(_M, (int(cap) * _M) // int(n))
+           for g, n in zip(cdf[group_col], cdf["n"])}
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        t = batch[group_col].map(thr).fillna(0).to_numpy().astype(np.int64)
+        return batch[mix_hash(ids, seed) < t]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def mixture_sample_sql(table: str, group_col: str, cap: int, id_col: str,
+                       seed: int = 0) -> str:
+    """Full SELECT reproducing :func:`mixture_sample` in DuckDB."""
+    return (
+        f"WITH n AS (SELECT {group_col}, count(*) AS n FROM {table} "
+        f"GROUP BY {group_col}) "
+        f"SELECT t.* FROM {table} t JOIN n USING ({group_col}) "
+        f"WHERE {mix_hash_sql('t.' + id_col, seed)} < "
+        f"least({_M}, {int(cap)} * {_M} // n.n)")
