@@ -884,6 +884,40 @@ def q_pack_summary(sf_dir: str):
     return out.sort_values("bucket").reset_index(drop=True)
 
 
+_BM25_TERMS = ["spark", "window", "hash"]
+
+
+def q_bm25(sf_dir: str):
+    """BM25 ranked retrieval (stages/bm25.py): top-20 docs for a fixed
+    query-term set.  Rank-only oracle (row_number over score DESC, id)
+    — immune to sub-ulp ln() drift between NumPy and DuckDB; all inputs
+    to the score (tf, dl, N, Σdl, df) are exact ints."""
+    import ray.data as rd
+
+    from ..stages.bm25 import bm25_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = bm25_topk(ds, _BM25_TERMS, k=20)
+    return out[["rank", "doc_id"]]
+
+
+def q_classifier(sf_dir: str):
+    """Hashed-feature linear classifier scoring (stages/classifier.py):
+    integer weights x token counts give an exact int64 logit, so the
+    full model-scoring chain sits under a hash-exact SQL replay
+    (sha256-prefix bucket hash + splitmix-style weight derivation)."""
+    import ray.data as rd
+
+    from ..stages.classifier import LinearTextClassifier
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    clf = LinearTextClassifier(dim=65536, seed=7)
+    out = clf.apply(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_similarity_join(sf_dir: str):
     """Exact all-pairs token-Jaccard self-join (stages/simjoin.py):
     prefix-filter inverted index -> capped posting-list candidates ->
@@ -2703,6 +2737,59 @@ def _pack_lens_sql() -> str:
         "AS bucket, n FROM n0 WHERE n > 0)")
 
 
+def _bm25_sql() -> str:
+    """bm25 oracle: the exact-int corpus stats (tf/dl/N/Σdl/df) and the
+    engine's fixed order of float operations, compared rank-only."""
+    k1, b, k = 1.2, 0.75, 20
+    m = len(_BM25_TERMS)
+    tfs = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{j}"
+        for j, t in enumerate(_BM25_TERMS))
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{j}"
+        for j in range(m))
+    score = " + ".join(
+        f"greatest(ln((n - df{j} + 0.5) / (df{j} + 0.5)), 0) "
+        f"* (tf{j} * ({k1} + 1.0)) "
+        f"/ (tf{j} + {k1} * (1.0 - {b} + {b} * (dl / (sum_dl / n))))"
+        for j in range(m))
+    any_tf = " + ".join(f"tf{j}" for j in range(m))
+    return (
+        "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "coalesce(text, ''), '\\s+'), x -> x != '') AS toks "
+        "FROM documents), "
+        f"s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tfs} "
+        "FROM t), "
+        "g AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        f"CAST(sum(dl) AS DOUBLE) AS sum_dl, {dfs} FROM s), "
+        f"sc AS (SELECT doc_id, {score} AS score FROM s, g "
+        f"WHERE {any_tf} > 0) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) "
+        "AS BIGINT) AS rank, doc_id FROM sc "
+        f"ORDER BY score DESC, doc_id LIMIT {k}")
+
+
+def _classifier_sql() -> str:
+    """classifier oracle: sha256-prefix bucket hash % dim, splitmix-style
+    integer weight per bucket, per-doc sum — all exact ints."""
+    from ..stages.classifier import LinearTextClassifier
+
+    clf = LinearTextClassifier(dim=65536, seed=7)
+    w = clf.weight_sql("b")
+    return (
+        "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "coalesce(text, ''), '\\s+'), x -> x != '') AS toks "
+        "FROM documents), "
+        "u AS (SELECT doc_id, unnest(toks) AS w FROM t), "
+        "h AS (SELECT doc_id, CAST(('0x' || substring(sha256(w), 1, 16))"
+        f"::UBIGINT % {clf.dim} AS BIGINT) AS b FROM u), "
+        f"z AS (SELECT doc_id, CAST(sum({w}) AS BIGINT) AS logit "
+        "FROM h GROUP BY doc_id) "
+        "SELECT t.doc_id, coalesce(z.logit, 0) AS logit, "
+        "CAST(CASE WHEN coalesce(z.logit, 0) >= 0 THEN 1 ELSE 0 END "
+        "AS BIGINT) AS label FROM t LEFT JOIN z USING (doc_id)")
+
+
 def _simhash_pairs_sql() -> str:
     """simhash_pairs oracle: per-token sha256-prefix hashes vote on each
     of the 64 bits (+1/-1, multiplicity counted); bit set iff the vote is
@@ -3287,6 +3374,8 @@ def build_oracles() -> Dict[str, str]:
             _decontam_stats_sql()
             + " SELECT doc_id FROM stats "
             "WHERE CAST(n_hit AS DOUBLE) / n_sh < 0.5"),
+        "bm25": _bm25_sql(),
+        "classifier": _classifier_sql(),
         "pii_stats": _pii_stats_sql(),
         "pii_redact": _pii_redact_sql(),
         "train_order": (
@@ -3903,6 +3992,8 @@ def build_queries() -> Dict[str, Callable]:
         "near_dedup": q_near_dedup,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,
+        "bm25": q_bm25,
+        "classifier": q_classifier,
         "pii_stats": q_pii_stats,
         "pii_redact": q_pii_redact,
         "train_order": q_train_order,
