@@ -104,7 +104,10 @@ def run_bench() -> dict:
     for name in ("zonal", "cutflow", "binned_lineitem", "dedup_exact",
                  "token_count", "ann_cosine", "window_agg", "asof_join",
                  "hop_window", "raster_zonal", "vocab", "top_docs",
-                 "link_graph", "retention", "idw"):
+                 "link_graph", "retention", "idw",
+                 # round-3 curation/retrieval operators
+                 "decontam", "bm25", "classifier", "pack_sequences",
+                 "mixture_sample", "train_order", "pii_stats"):
         best = float("inf")
         for _ in range(2):
             import gc
