@@ -918,6 +918,67 @@ def q_classifier(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_llm_curation(sf_dir: str):
+    """The full LLM-corpus curation story as ONE streaming chain —
+    classifier gate -> PII redaction -> benchmark decontamination ->
+    exact dedup -> domain-mixture rebalance -> sequence packing — over
+    the planted-PII corpus.  Every stage is individually hash-exact
+    against SQL, so the COMPOSITE sits under a single end-to-end DuckDB
+    replay too (stage outputs feed stage inputs on both sides).
+
+    Shuffle inventory of the whole chain: one content-hash exchange
+    (dedup), one tiny lang-count aggregate, one int-rows packing
+    shuffle — the text stream itself crosses the wire only for the
+    dedup co-location; everything else is map_batches."""
+    import ray.data as rd
+
+    from ..stages.classifier import LinearTextClassifier
+    from ..stages.decontam import Decontaminate
+    from ..stages.dedup import ExactDedup
+    from ..stages.packing import pack_sequences
+    from ..stages.pii import redact
+    from ..stages.sample import mixture_sample
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            if i % 7 == 0:
+                t += f" contact user{i}@example.com"
+            if i % 11 == 0:
+                t += f" call +1-555-{i % 10000:04d}"
+            if i % 13 == 0:
+                t += f" from 10.{i % 256}.0.1"
+            out.append(t)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, type=pa.string()),
+                         "lang": batch["lang"]})
+
+    ds = base.map_batches(plant, batch_format="pyarrow")
+    ds = LinearTextClassifier(dim=65536, seed=7).filter_positive(ds)
+    ds = redact(ds)
+    d = Decontaminate("curation", width=3, threshold=0.5)
+
+    def eval_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 50 == 0))
+
+    ev = d.eval_ngrams(ds.map_batches(eval_filter, batch_format="pyarrow"))
+    ds = d.clean(ds, ev)
+    ds = ExactDedup("curation", key="text").apply(ds) \
+        .drop_columns(["_content_hash"])
+    ds = mixture_sample(ds, "lang", cap=100, id_col="doc_id")
+    out = pack_sequences(ds, seq_len=_PACK_L, n_buckets=_PACK_B).to_pandas()
+    return (out[["doc_id", "bucket", "n_tokens", "start_tok",
+                 "first_seq", "last_seq"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_similarity_join(sf_dir: str):
     """Exact all-pairs token-Jaccard self-join (stages/simjoin.py):
     prefix-filter inverted index -> capped posting-list candidates ->
@@ -2663,32 +2724,42 @@ def _near_dedup_sql() -> str:
         "(SELECT id FROM comp WHERE id != cluster)")
 
 
-def _decontam_stats_sql() -> str:
-    """CTE prefix ending in ``stats(doc_id, n_sh, n_hit)`` — the
-    decontamination shingle math replayed in SQL: the same lowercase
-    whitespace tokenization, chr(0) padding to the shingle width,
-    sha256-prefix token hashes and FNV-multiplier rolling window hash
-    mod 2^64 as ``dedup.shingle_hashes`` (width=3), distinct per doc;
-    eval set = distinct shingles of every 50th doc; n_hit = membership
-    count of the doc's distinct shingles in the eval set."""
+def _decontam_cte(src: str, prefix: str = "") -> str:
+    """CTE chain (no leading WITH) ending in ``<prefix>stats(doc_id,
+    n_sh, n_hit)`` over source relation ``src`` — the decontamination
+    shingle math replayed in SQL: the same lowercase whitespace
+    tokenization, chr(0) padding to the shingle width, sha256-prefix
+    token hashes and FNV-multiplier rolling window hash mod 2^64 as
+    ``dedup.shingle_hashes`` (width=3), distinct per doc; eval set =
+    distinct shingles of every 50th doc; n_hit = membership count of
+    the doc's distinct shingles in the eval set."""
     w = 3
+    p = prefix
     return (
-        "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
-        "lower(coalesce(text, '')), '\\s+'), t -> t != '') AS t0 "
-        "FROM documents), "
-        f"padded AS (SELECT doc_id, list_concat(t0, list_transform("
-        f"range(greatest(0, {w} - len(t0))), x -> chr(0))) AS t FROM toks), "
-        "th AS (SELECT doc_id, list_transform(t, s -> "
-        "('0x' || substring(sha256(s), 1, 16))::UBIGINT) AS h FROM padded), "
-        "sh AS (SELECT DISTINCT doc_id, CAST(("
+        f"{p}toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        f"lower(coalesce(text, '')), '\\s+'), t -> t != '') AS t0 "
+        f"FROM {src}), "
+        f"{p}padded AS (SELECT doc_id, list_concat(t0, list_transform("
+        f"range(greatest(0, {w} - len(t0))), x -> chr(0))) AS t "
+        f"FROM {p}toks), "
+        f"{p}th AS (SELECT doc_id, list_transform(t, s -> "
+        f"('0x' || substring(sha256(s), 1, 16))::UBIGINT) AS h "
+        f"FROM {p}padded), "
+        f"{p}sh AS (SELECT DISTINCT doc_id, CAST(("
         f"(h[i]::HUGEINT * {_FNV_P} + h[i+1]) % {_POW64} "
         f"* {_FNV_P} + h[i+2]) % {_POW64} AS UBIGINT) AS shingle "
-        "FROM th, unnest(range(1, len(h) - 1)) AS u(i)), "
-        "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), "
-        "stats AS (SELECT s.doc_id, count(*) AS n_sh, "
+        f"FROM {p}th, unnest(range(1, len(h) - 1)) AS u(i)), "
+        f"{p}ev AS (SELECT DISTINCT shingle FROM {p}sh "
+        "WHERE doc_id % 50 = 0), "
+        f"{p}stats AS (SELECT s.doc_id, count(*) AS n_sh, "
         "sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit "
-        "FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle "
+        f"FROM {p}sh s LEFT JOIN {p}ev e ON s.shingle = e.shingle "
         "GROUP BY s.doc_id)")
+
+
+def _decontam_stats_sql() -> str:
+    """decontam oracle CTE prefix over the documents table."""
+    return "WITH " + _decontam_cte("documents")
 
 
 def _pii_stats_sql() -> str:
@@ -2788,6 +2859,66 @@ def _classifier_sql() -> str:
         "SELECT t.doc_id, coalesce(z.logit, 0) AS logit, "
         "CAST(CASE WHEN coalesce(z.logit, 0) >= 0 THEN 1 ELSE 0 END "
         "AS BIGINT) AS label FROM t LEFT JOIN z USING (doc_id)")
+
+
+def _llm_curation_sql() -> str:
+    """llm_curation oracle: the six curation stages composed as one
+    CTE chain — classifier gate (sha-prefix bucket + splitmix weight),
+    PII regexp_replace, decontamination shingle filter, GROUP BY text
+    dedup (min id — sha256 content hash is injective on text), mixture
+    threshold join, window-cumsum packing."""
+    from ..stages.classifier import LinearTextClassifier
+    from ..stages.pii import PII_PATTERNS
+    from ..stages.sample import mix_hash_sql
+
+    clf = LinearTextClassifier(dim=65536, seed=7)
+    red = "text"
+    for pat, repl in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    corpus = (
+        "SELECT doc_id, coalesce(text, '') "
+        "|| CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id "
+        "|| '@example.com' ELSE '' END "
+        "|| CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
+        "|| CASE WHEN doc_id % 13 = 0 THEN ' from 10.' "
+        "|| CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END AS text, "
+        "lang FROM documents")
+    return (
+        f"WITH corpus AS ({corpus}), "
+        "ctoks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "coalesce(text, ''), '\\s+'), x -> x != '') AS toks FROM corpus), "
+        "cu AS (SELECT doc_id, unnest(toks) AS w FROM ctoks), "
+        "ch AS (SELECT doc_id, CAST(('0x' || substring(sha256(w), 1, 16))"
+        f"::UBIGINT % {clf.dim} AS BIGINT) AS b FROM cu), "
+        f"cz AS (SELECT doc_id, CAST(sum({clf.weight_sql('b')}) AS BIGINT) "
+        "AS logit FROM ch GROUP BY doc_id), "
+        "keep1 AS (SELECT c.doc_id, c.text, c.lang FROM corpus c "
+        "LEFT JOIN cz USING (doc_id) WHERE coalesce(cz.logit, 0) >= 0), "
+        f"red AS (SELECT doc_id, lang, {red} AS text FROM keep1), "
+        + _decontam_cte("red", "d") + ", "
+        "keep2 AS (SELECT r.doc_id, r.lang, r.text FROM red r "
+        "JOIN dstats s USING (doc_id) "
+        "WHERE CAST(n_hit AS DOUBLE) / n_sh < 0.5), "
+        "ddup AS (SELECT min(doc_id) AS doc_id FROM keep2 GROUP BY text), "
+        "keep3 AS (SELECT k.* FROM keep2 k JOIN ddup USING (doc_id)), "
+        "mn AS (SELECT lang, count(*) AS n FROM keep3 GROUP BY lang), "
+        "keep4 AS (SELECT k.doc_id, k.text FROM keep3 k "
+        "JOIN mn USING (lang) "
+        f"WHERE {mix_hash_sql('k.doc_id', 0)} < "
+        "least(1000000, 100 * 1000000 // mn.n)), "
+        "p0 AS (SELECT doc_id, CAST(len(list_filter("
+        "regexp_split_to_array(coalesce(text, ''), '\\s+'), "
+        "t -> t != '')) AS BIGINT) AS n FROM keep4), "
+        f"p1 AS (SELECT doc_id, ({mix_hash_sql('doc_id', 0)}) % {_PACK_B} "
+        "AS bucket, n FROM p0 WHERE n > 0), "
+        "pp AS (SELECT doc_id, bucket, n, CAST(coalesce(sum(n) OVER ("
+        "PARTITION BY bucket ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS start FROM p1) "
+        "SELECT doc_id, bucket, n AS n_tokens, start AS start_tok, "
+        f"start // {_PACK_L} AS first_seq, "
+        f"(start + n - 1) // {_PACK_L} AS last_seq FROM pp")
 
 
 def _simhash_pairs_sql() -> str:
@@ -3375,6 +3506,7 @@ def build_oracles() -> Dict[str, str]:
             + " SELECT doc_id FROM stats "
             "WHERE CAST(n_hit AS DOUBLE) / n_sh < 0.5"),
         "bm25": _bm25_sql(),
+        "llm_curation": _llm_curation_sql(),
         "classifier": _classifier_sql(),
         "pii_stats": _pii_stats_sql(),
         "pii_redact": _pii_redact_sql(),
@@ -3993,6 +4125,7 @@ def build_queries() -> Dict[str, Callable]:
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,
         "bm25": q_bm25,
+        "llm_curation": q_llm_curation,
         "classifier": q_classifier,
         "pii_stats": q_pii_stats,
         "pii_redact": q_pii_redact,

@@ -64,7 +64,7 @@ class LinearTextClassifier:
         self.weights = (mix_hash(np.arange(self.dim, dtype=np.int64),
                                  self.seed) % 17 - 8).astype(np.int64)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def _logits(self, batch: pd.DataFrame) -> np.ndarray:
         toks = batch[self.text_col].fillna("").str.split()
         lens = toks.str.len().fillna(0).to_numpy().astype(np.int64)
         flat = [w for ws in toks for w in ws]
@@ -77,11 +77,25 @@ class LinearTextClassifier:
             offsets = np.minimum(offsets, max(len(flat) - 1, 0))
             logit = np.add.reduceat(w, offsets).astype(np.int64)
             logit[lens == 0] = 0
+        return logit
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        logit = self._logits(batch)
         return pd.DataFrame({
             self.id_col: batch[self.id_col].to_numpy(),
             "logit": logit,
             "label": (logit >= 0).astype(np.int64),
         })
+
+    def filter_positive(self, ds):
+        """Classifier-as-gate (the curation shape): keep rows the model
+        accepts (``logit >= 0``), schema preserved — one streaming pass,
+        score and filter fused in the same task."""
+
+        def keep(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[self._logits(batch) >= 0]
+
+        return ds.map_batches(keep, batch_format="pandas")
 
     def apply(self, ds, concurrency=None):
         """Actor-pool scoring stage; ``concurrency=None`` falls back to

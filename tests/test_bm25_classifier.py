@@ -90,3 +90,14 @@ def test_classifier_actor_pool_equals_task_mode(ray_session):
     actor = (clf.apply(_ds(CORPUS), concurrency=(1, 2)).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
     assert task.equals(actor)
+
+
+def test_classifier_filter_positive_matches_labels(ray_session):
+    clf = LinearTextClassifier(dim=64, seed=3)
+    scored = (clf.apply(_ds(CORPUS)).to_pandas()
+              .set_index("doc_id").sort_index())
+    kept = clf.filter_positive(_ds(CORPUS)).to_pandas()
+    want = sorted(scored.index[scored["label"] == 1])
+    assert sorted(kept["doc_id"]) == want
+    # schema preserved by the gate
+    assert kept.columns.tolist() == ["doc_id", "text"]
