@@ -98,6 +98,17 @@ def run_bench() -> dict:
     timings["flagship"] = round(flagship_sec, 3)
 
     # ---- representative queries ---------------------------------------
+    if os.environ.get("GRAFT_SKIP_QUERIES"):
+        # scaling legs time only the flagship (the quantity the
+        # efficiency ratio uses); skipping the query suite changes no
+        # measured path, just the leg's wall time
+        ray.shutdown()
+        return {
+            "metric": "flagship_pipeline", "value": round(flagship_sec, 3),
+            "unit": "sec", "queries": timings, "sf": SF_DIR,
+            "num_cpus": NUM_CPUS, "replicate": REPLICATE, "docs": n_docs,
+            "docs_per_sec": round(n_docs / flagship_sec, 1),
+        }
     queries = build_queries()
     # best-of-2 per query: hash-shuffle aggregator cold-start and session
     # interference add 3-15s of noise unrelated to the operator's cost
@@ -175,6 +186,7 @@ def run_scaling() -> dict:
         loads[ncpu] = round(wait_quiet(), 2)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_REPLICATE=replicate, GRAFT_NUM_BLOCKS="256",
+                   GRAFT_SKIP_QUERIES="1",
                    GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "3"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
