@@ -103,7 +103,11 @@ def _truncate_paths(paths, nblocks):
                 if f.endswith(".parquet")))
         else:
             files.append(p)
-    return files[:nblocks] if files else list(paths)
+    if not files:
+        raise ValueError(
+            f"--nblocks-per-dataset: no parquet files resolved from "
+            f"{paths!r} — check the glob/directory")
+    return files[:nblocks]
 
 
 def _run_single(args) -> int:

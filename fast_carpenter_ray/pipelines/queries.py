@@ -738,45 +738,59 @@ def q_decontam_clean(sf_dir: str):
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
-def _pii_corpus(sf_dir: str):
-    """documents with deterministic planted PII (the base synthetic text
-    contains none): every 7th doc gains an email, every 11th a phone
-    number, every 13th an IPv4 — appended in that fixed order so the
-    SQL mirror concatenates identically."""
+def _plant_pii_batch(batch: pa.Table, keep_lang: bool) -> pa.Table:
+    """Deterministic planted PII (the base synthetic text contains
+    none): every 7th doc gains an email, every 11th a phone number,
+    every 13th an IPv4 — appended in that fixed order.  SINGLE SOURCE
+    for the engine side; :func:`_pii_corpus_sql` is its SQL mirror —
+    the two must stay byte-identical or every PII/curation oracle
+    breaks."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch["text"].to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        t = t or ""
+        if i % 7 == 0:
+            t += f" contact user{i}@example.com"
+        if i % 11 == 0:
+            t += f" call +1-555-{i % 10000:04d}"
+        if i % 13 == 0:
+            t += f" from 10.{i % 256}.0.1"
+        out.append(t)
+    cols = {"doc_id": batch["doc_id"],
+            "text": pa.array(out, type=pa.string())}
+    if keep_lang:
+        cols["lang"] = batch["lang"]
+    return pa.table(cols)
+
+
+def _pii_corpus(sf_dir: str, with_lang: bool = False):
+    """documents with the planted PII of :func:`_plant_pii_batch`."""
     import ray.data as rd
 
-    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-
-    def plant(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_pylist()
-        out = []
-        for i, t in zip(ids, texts):
-            t = t or ""
-            if i % 7 == 0:
-                t += f" contact user{i}@example.com"
-            if i % 11 == 0:
-                t += f" call +1-555-{i % 10000:04d}"
-            if i % 13 == 0:
-                t += f" from 10.{i % 256}.0.1"
-            out.append(t)
-        return pa.table({"doc_id": batch["doc_id"],
-                         "text": pa.array(out, type=pa.string())})
-
-    return base.map_batches(plant, batch_format="pyarrow")
+    cols = ["doc_id", "text"] + (["lang"] if with_lang else [])
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    return base.map_batches(
+        lambda b, k=with_lang: _plant_pii_batch(b, k),
+        batch_format="pyarrow")
 
 
-#: SQL mirror of ``_pii_corpus``'s planted suffixes.
-_PII_CORPUS_SQL = (
-    "SELECT doc_id, coalesce(text, '') "
-    "|| CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id "
-    "|| '@example.com' ELSE '' END "
-    "|| CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' "
-    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
-    "|| CASE WHEN doc_id % 13 = 0 THEN ' from 10.' "
-    "|| CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END AS text "
-    "FROM documents")
+def _pii_corpus_sql(with_lang: bool = False) -> str:
+    """SQL mirror of :func:`_plant_pii_batch`'s planted suffixes."""
+    lang = ", lang" if with_lang else ""
+    return (
+        "SELECT doc_id, coalesce(text, '') "
+        "|| CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id "
+        "|| '@example.com' ELSE '' END "
+        "|| CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
+        "|| CASE WHEN doc_id % 13 = 0 THEN ' from 10.' "
+        "|| CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END AS text"
+        f"{lang} FROM documents")
+
+
+#: backwards-compat alias used by the pii_stats/pii_redact oracles
+_PII_CORPUS_SQL = _pii_corpus_sql()
 
 
 def q_pii_stats(sf_dir: str):
@@ -939,27 +953,7 @@ def q_llm_curation(sf_dir: str):
     from ..stages.pii import redact
     from ..stages.sample import mixture_sample
 
-    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text", "lang"])
-
-    def plant(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_pylist()
-        out = []
-        for i, t in zip(ids, texts):
-            t = t or ""
-            if i % 7 == 0:
-                t += f" contact user{i}@example.com"
-            if i % 11 == 0:
-                t += f" call +1-555-{i % 10000:04d}"
-            if i % 13 == 0:
-                t += f" from 10.{i % 256}.0.1"
-            out.append(t)
-        return pa.table({"doc_id": batch["doc_id"],
-                         "text": pa.array(out, type=pa.string()),
-                         "lang": batch["lang"]})
-
-    ds = base.map_batches(plant, batch_format="pyarrow")
+    ds = _pii_corpus(sf_dir, with_lang=True)
     ds = LinearTextClassifier(dim=65536, seed=7).filter_positive(ds)
     ds = redact(ds)
     d = Decontaminate("curation", width=3, threshold=0.5)
@@ -2461,15 +2455,22 @@ def q_ann_ivf_pruned(sf_dir: str):
     }
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    import shutil
+
     idx = tempfile.mkdtemp(prefix="fcr_ivf_")
-    build_ivf_index(ds, idx, n_centroids=16)
-    part, pstats = ivf_search(idx, queries, k=10, nprobe=4)
-    if not pstats["files_read"] < pstats["files_total"]:
-        raise AssertionError(
-            f"IVF partial probe read {pstats['files_read']} of "
-            f"{pstats['files_total']} files - no block pruning")
-    full, _ = ivf_search(idx, queries, k=10, nprobe=16)
-    got = full.to_pandas()
+    try:
+        build_ivf_index(ds, idx, n_centroids=16)
+        part, pstats = ivf_search(idx, queries, k=10, nprobe=4)
+        if not pstats["files_read"] < pstats["files_total"]:
+            raise AssertionError(
+                f"IVF partial probe read {pstats['files_read']} of "
+                f"{pstats['files_total']} files - no block pruning")
+        full, _ = ivf_search(idx, queries, k=10, nprobe=16)
+        got = full.to_pandas()
+    finally:
+        # the index dir holds a full partitioned copy of the embeddings
+        # table — repeated oracle runs would fill /tmp without this
+        shutil.rmtree(idx, ignore_errors=True)
     got["r4"] = got["cosine"].round(4)
     got = got.sort_values(["query_id", "r4", "neighbor_id"],
                           ascending=[True, False, True])
@@ -2875,17 +2876,8 @@ def _llm_curation_sql() -> str:
     red = "text"
     for pat, repl in PII_PATTERNS.values():
         red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
-    corpus = (
-        "SELECT doc_id, coalesce(text, '') "
-        "|| CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id "
-        "|| '@example.com' ELSE '' END "
-        "|| CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' "
-        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
-        "|| CASE WHEN doc_id % 13 = 0 THEN ' from 10.' "
-        "|| CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END AS text, "
-        "lang FROM documents")
     return (
-        f"WITH corpus AS ({corpus}), "
+        f"WITH corpus AS ({_pii_corpus_sql(with_lang=True)}), "
         "ctoks AS (SELECT doc_id, list_filter(regexp_split_to_array("
         "coalesce(text, ''), '\\s+'), x -> x != '') AS toks FROM corpus), "
         "cu AS (SELECT doc_id, unnest(toks) AS w FROM ctoks), "

@@ -43,19 +43,20 @@ def _doc_stats(ds, terms: Sequence[str], id_col: str, text_col: str):
         lens = toks.str.len().fillna(0).to_numpy().astype(np.int64)
         out = {id_col: batch[id_col].to_numpy().astype(np.int64),
                "dl": lens}
-        # flatten once; per-term membership summed per doc via reduceat
+        # flatten once; per-term membership summed per doc via reduceat.
+        # Only NON-EMPTY docs get reduceat segments: their start offsets
+        # are strictly increasing and < len(flat), so each segment spans
+        # exactly that doc's tokens (an out-of-range clip here would
+        # truncate the preceding doc's segment when a batch ends with an
+        # empty doc — regression-tested).
         flat = np.array([w for ws in toks for w in ws], dtype=object)
-        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        # trailing empty docs give offset == len(flat): clip (their tf is
-        # zeroed below anyway; reduceat would raise out-of-bounds)
-        offsets = np.minimum(offsets, max(len(flat) - 1, 0))
+        nz = lens > 0
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nz]
         for j, t in enumerate(terms):
-            if len(flat):
+            tf = np.zeros(len(lens), dtype=np.int64)
+            if len(flat) and starts.size:
                 hit = (flat == t).astype(np.int64)
-                tf = np.add.reduceat(hit, offsets)
-                tf[lens == 0] = 0  # reduceat repeats on empty slices
-            else:
-                tf = np.zeros(len(lens), dtype=np.int64)
+                tf[nz] = np.add.reduceat(hit, starts)
             out[f"tf_{j}"] = tf
         return pd.DataFrame(out)
 

@@ -69,14 +69,17 @@ class LinearTextClassifier:
         lens = toks.str.len().fillna(0).to_numpy().astype(np.int64)
         flat = [w for ws in toks for w in ws]
         logit = np.zeros(len(batch), dtype=np.int64)
-        if flat:
+        # reduceat segments only for NON-EMPTY docs (start offsets
+        # strictly increasing, < len(flat)); clipping an out-of-range
+        # trailing-empty-doc offset instead would truncate the previous
+        # doc's segment and drop its last token's weight
+        nz = lens > 0
+        if flat and nz.any():
             buckets = (_stable_token_hash_np(np.array(flat, dtype=object))
                        % np.uint64(self.dim)).astype(np.int64)
             w = self.weights[buckets]
-            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            offsets = np.minimum(offsets, max(len(flat) - 1, 0))
-            logit = np.add.reduceat(w, offsets).astype(np.int64)
-            logit[lens == 0] = 0
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nz]
+            logit[nz] = np.add.reduceat(w, starts).astype(np.int64)
         return logit
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -90,10 +90,12 @@ def bucket_summary(ds, seq_len: int, n_buckets: int = 64,
     shard manifest a trainer reads to schedule epochs."""
     from ray.data.aggregate import Count, Sum
 
+    from ..agg import default_partitions
+
     lens = _length_rows(ds, seq_len, n_buckets, id_col, text_col, seed)
-    agg = lens.groupby("bucket").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_tokens", alias_name="total_tokens"))
+    agg = lens.groupby("bucket", num_partitions=default_partitions()) \
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="total_tokens"))
 
     def finish(batch: pa.Table) -> pa.Table:
         tot = batch["total_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -265,8 +265,10 @@ def mixture_sample(ds, group_col: str, cap: int, id_col: str,
     """
     from ray.data.aggregate import Count
 
-    counts = ds.groupby(group_col).aggregate(
-        Count(alias_name="n")).materialize()
+    from ..agg import default_partitions
+
+    counts = ds.groupby(group_col, num_partitions=default_partitions()) \
+        .aggregate(Count(alias_name="n")).materialize()
     n_groups = counts.count()
     if n_groups > max_groups:
         raise ValueError(

@@ -101,3 +101,22 @@ def test_classifier_filter_positive_matches_labels(ray_session):
     assert sorted(kept["doc_id"]) == want
     # schema preserved by the gate
     assert kept.columns.tolist() == ["doc_id", "text"]
+
+
+def test_trailing_empty_doc_regression(ray_session):
+    """A batch whose LAST doc is empty must not truncate the preceding
+    doc's reduceat segment (the offset-clip bug dropped its last
+    token)."""
+    rows = [(1, "x spark"), (2, "")]
+    got = bm25_topk(_ds(rows), ["spark"], k=5)
+    assert got["doc_id"].tolist() == [1]  # doc 1 HAS the term (tf=1)
+
+    clf = LinearTextClassifier(dim=64, seed=3)
+    out = clf.apply(_ds([(1, "alpha beta"), (2, "")])).to_pandas() \
+        .set_index("doc_id")
+    w = (mix_hash(np.arange(64, dtype=np.int64), 3) % 17 - 8)
+    want = sum(int(w[int.from_bytes(
+        hashlib.sha256(t.encode()).digest()[:8], "big") % 64])
+        for t in ["alpha", "beta"])
+    assert out.loc[1, "logit"] == want
+    assert out.loc[2, "logit"] == 0

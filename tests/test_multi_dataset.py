@@ -196,3 +196,12 @@ def test_cli_profile_and_nblocks(ray_session, tmp_path):
     assert cuts.iloc[0][("totals_incl", "unweighted")] == 10
     prof = (outdir / "profile.txt").read_text()
     assert "cumulative" in prof
+
+
+def test_nblocks_cap_raises_on_empty_resolution(tmp_path):
+    """--nblocks-per-dataset must fail loudly when the glob/dir resolves
+    to no parquet files instead of silently reading the full dataset."""
+    from fast_carpenter_ray.__main__ import _truncate_paths
+
+    with pytest.raises(ValueError, match="no parquet files"):
+        _truncate_paths([str(tmp_path / "nope*.parquet")], 1)
