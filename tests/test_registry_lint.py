@@ -1,0 +1,47 @@
+"""Registry lint: the queries()/oracle_sql() dict literals must not
+contain duplicate keys (Python silently keeps the last one — a
+duplicate maps a query name to the wrong callable, which surfaced once
+as an oracle mismatch), and every oracle key must have a query."""
+
+import ast
+import inspect
+
+from fast_carpenter_ray.pipelines import queries as qmod
+
+
+def _literal_keys(func) -> list:
+    tree = ast.parse(inspect.getsource(func))
+    keys = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            for k in node.keys:
+                if isinstance(k, ast.Constant) and isinstance(k.value, str):
+                    keys.append(k.value)
+    return keys
+
+
+def test_no_duplicate_query_keys():
+    keys = _literal_keys(qmod.build_queries)
+    dupes = {k for k in keys if keys.count(k) > 1}
+    assert not dupes, f"duplicate keys in build_queries: {dupes}"
+
+
+def test_no_duplicate_oracle_keys():
+    keys = _literal_keys(qmod.build_oracles)
+    dupes = {k for k in keys if keys.count(k) > 1}
+    assert not dupes, f"duplicate keys in build_oracles: {dupes}"
+
+
+def test_every_oracle_has_a_query():
+    q = set(qmod.build_queries().keys())
+    o = set(qmod.build_oracles().keys())
+    assert o <= q, f"oracles without queries: {o - q}"
+
+
+def test_function_name_matches_registry():
+    """Each registered callable's __name__ is q_<key> — a mismatch means
+    a name collision silently rebound the key to another function."""
+    for key, fn in qmod.build_queries().items():
+        assert fn.__name__ == f"q_{key}", (
+            f"queries()['{key}'] is bound to {fn.__name__} — "
+            "name collision?")
