@@ -1140,6 +1140,20 @@ def q_chunk_dup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_spans(sf_dir: str):
+    """Duplicated-span removal (stages/dedup.py remove_dup_spans) over
+    the planted-dup corpus: every full chunk of a copied original occurs
+    in >= 2 distinct docs, so those spans vanish from BOTH the original
+    and the copy while unique tail/suffix tokens survive.  Oracle: the
+    chunk_dup rolling-hash replay plus an ordered string_agg
+    reconstruction of the surviving tokens."""
+    from ..stages.dedup import remove_dup_spans
+
+    ds = _neardup_corpus(sf_dir)
+    out = remove_dup_spans(ds, chunk_tokens=8, min_count=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_minhash_pairs(sf_dir: str):
     """Full MinHash+LSH chain (signatures -> band rows -> bucket pairs ->
     signature verification) under a bit-exact SQL oracle: the oracle
@@ -3483,6 +3497,45 @@ def build_oracles() -> Dict[str, str]:
             "SELECT doc_id, n_chunks, n_dup_chunks, "
             "CAST(n_dup_chunks AS DOUBLE) / n_chunks AS dup_chunk_frac "
             "FROM d"),
+        "dedup_spans": (
+            "WITH corpus AS ("
+            "SELECT doc_id, text FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 10000000, text || ' near duplicate suffix "
+            "tokens' FROM documents WHERE doc_id % 10 = 0), "
+            "toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "lower(coalesce(text, '')), '\\s+'), t -> t != '') AS t "
+            "FROM corpus), "
+            "th AS (SELECT doc_id, list_transform(t, s -> "
+            "('0x' || substring(sha256(s), 1, 16))::UBIGINT) AS h "
+            "FROM toks), "
+            "ch AS (SELECT doc_id, i AS cid, CAST(list_reduce("
+            "list_prepend(0::UBIGINT, list_slice(h, 8*i + 1, 8*i + 8)), "
+            f"(acc, x) -> CAST((acc::HUGEINT * {_FNV_P} + x) % {_POW64} "
+            "AS UBIGINT)) AS UBIGINT) AS chunk "
+            "FROM th, unnest(range(len(h) // 8)) AS r(i)), "
+            "com AS (SELECT chunk FROM (SELECT chunk, "
+            "count(DISTINCT doc_id) AS c FROM ch GROUP BY chunk) "
+            "WHERE c >= 2), "
+            "rem AS (SELECT doc_id, cid FROM ch "
+            "WHERE chunk IN (SELECT chunk FROM com)), "
+            "tok_rows AS (SELECT doc_id, unnest(t) AS tok, "
+            "generate_subscripts(t, 1) - 1 AS pos FROM toks), "
+            "keep AS (SELECT k.doc_id, k.tok, k.pos FROM tok_rows k "
+            "LEFT JOIN rem ON rem.doc_id = k.doc_id "
+            "AND rem.cid = k.pos // 8 WHERE rem.cid IS NULL), "
+            "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) "
+            "AS clean_text FROM keep GROUP BY doc_id), "
+            "nstat AS (SELECT doc_id, CAST(len(h) // 8 AS BIGINT) "
+            "AS n_chunks FROM th), "
+            "rstat AS (SELECT doc_id, CAST(count(*) AS BIGINT) "
+            "AS n_removed FROM rem GROUP BY doc_id) "
+            "SELECT c.doc_id, coalesce(a.clean_text, '') AS clean_text, "
+            "n.n_chunks, CAST(coalesce(r.n_removed, 0) AS BIGINT) "
+            "AS n_removed "
+            "FROM corpus c JOIN nstat n USING (doc_id) "
+            "LEFT JOIN agg a USING (doc_id) "
+            "LEFT JOIN rstat r USING (doc_id)"),
         "minhash_pairs": _minhash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "near_dedup": _near_dedup_sql(),
@@ -4132,6 +4185,7 @@ def build_queries() -> Dict[str, Callable]:
         "jagged_reduce": q_jagged_reduce,
         "jagged_explode": q_jagged_explode,
         "chunk_dup": q_chunk_dup,
+        "dedup_spans": q_dedup_spans,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,

@@ -35,7 +35,7 @@ __all__ = [
     "ExactDedup", "MinHashDedup", "SimHashDedup",
     "tokenize", "shingle_hashes", "ngram_jaccard", "chunk_dup_stats",
     "dedup_pair_stream", "cluster_pairs", "distributed_components",
-    "near_dedup",
+    "near_dedup", "remove_dup_spans",
 ]
 
 logger = logging.getLogger("fast_carpenter_ray.dedup")
@@ -915,3 +915,145 @@ def chunk_dup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _doc_chunk_hashes(toks: List[str], width: int,
+                      cache: dict) -> np.ndarray:
+    """uint64 rolling hashes of the NON-OVERLAPPING ``width``-token
+    windows of ``toks`` (incomplete tail window dropped) — the exact
+    math of :func:`chunk_dup_stats` (sha256-prefix token hash + FNV
+    fold from zero), shared so removal and stats agree bit-for-bit."""
+    k = len(toks) // width
+    if k == 0:
+        return np.array([], dtype=np.uint64)
+    th = np.fromiter(
+        (cache.setdefault(x, _stable_token_hash(x))
+         for x in toks[:k * width]), dtype=np.uint64, count=k * width
+    ).reshape(k, width)
+    P = np.uint64(1099511628211)
+    h = np.zeros(k, dtype=np.uint64)
+    for j in range(width):
+        h = h * P + th[:, j]
+    return h
+
+
+def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+                     chunk_tokens: int = 8, min_count: int = 2,
+                     common_budget: int = 5_000_000,
+                     num_partitions: Optional[int] = None):
+    """Duplicated-span REMOVAL: drop every non-overlapping
+    ``chunk_tokens``-token window whose hash occurs in at least
+    ``min_count`` DISTINCT documents, and rebuild each document's text
+    from the surviving tokens (cf. the duplicated-substring removal of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, and C4's repeated-line rule — public literature; the
+    reference engine has no equivalent, this extends the dedup family
+    the way SURVEY.md §2.5 extends selection).
+
+    Semantics (SQL-replayable, shared with :func:`chunk_dup_stats`):
+    tokens are ``text.lower().split()``; chunk hashes are the
+    sha256-prefix + FNV-fold math of :func:`_doc_chunk_hashes`; the
+    incomplete tail window is never removed; a chunk repeated only
+    WITHIN one document is not "common" (within-doc repetition belongs
+    to ``text.RepetitionStats``) but once a chunk is common, every one
+    of its positions is removed from every document.  ``clean_text`` is
+    the ``" ".join`` of the surviving lowercased tokens — whitespace is
+    normalized even for untouched documents (one deterministic rule on
+    both sides of the oracle).
+
+    Shuffle inventory: ONE chunk-keyed hash combine over per-batch
+    DISTINCT (doc, chunk) pairs — small ints only, text never moves.
+    The common-chunk set (bounded by cross-document boilerplate, not by
+    corpus size) is collected on the driver under ``common_budget`` and
+    broadcast with ``ray.put``; the corpus side then streams through one
+    ``map_batches`` rebuild pass with no shuffle.  Over budget the stage
+    raises loudly (raise ``chunk_tokens``/``min_count`` or pre-split the
+    corpus) instead of silently OOMing the driver — the
+    ``Decontaminate.eval_budget`` contract.
+
+    Returns a Dataset ``(doc_id, clean_text, n_chunks, n_removed)``
+    covering EVERY input document (short docs pass through with
+    ``n_chunks=0``).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..agg import default_partitions
+
+    if num_partitions is None:
+        num_partitions = default_partitions(4)
+    w = int(chunk_tokens)
+
+    def pair_distinct(batch: pa.Table) -> pa.Table:
+        # distinct (doc, chunk) per batch -> (chunk, 1) rows; a row (doc)
+        # lives in exactly one batch and doc_ids are globally unique, so
+        # summing gives the exact distinct-document count per chunk
+        cache: dict = {}
+        parts = [np.unique(_doc_chunk_hashes(tokenize(t or ""), w, cache))
+                 for t in batch[text_col].to_pylist()]
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return pa.table({"chunk": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
+        h = np.concatenate(parts)
+        return pa.table({
+            "chunk": pa.array(h.view(np.int64), type=pa.int64()),
+            "nd": pa.array(np.ones(h.size, dtype=np.int64)),
+        })
+
+    counts = ds.map_batches(pair_distinct, batch_format="pyarrow").groupby(
+        "chunk", num_partitions=num_partitions).aggregate(
+        Sum("nd", alias_name="ndocs"))
+
+    def only_common(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.greater_equal(batch["ndocs"], min_count)
+        return batch.filter(mask).select(["chunk"])
+
+    common_ds = counts.map_batches(
+        only_common, batch_format="pyarrow").materialize()
+    n_common = common_ds.count()
+    if n_common > common_budget:
+        raise ValueError(
+            f"remove_dup_spans: {n_common} common chunks exceed the "
+            f"{common_budget} driver broadcast budget — raise chunk_tokens/"
+            "min_count or process the corpus in shards")
+    if n_common:
+        common = np.sort(
+            common_ds.to_pandas()["chunk"].to_numpy().view(np.uint64))
+    else:
+        common = np.array([], dtype=np.uint64)
+    ref = ray.put(common)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        com = ray.get(ref)  # zero-copy plasma read
+        cache: dict = {}
+        out_text, out_nc, out_nr = [], [], []
+        for t in batch[text_col].to_pylist():
+            toks = tokenize(t or "")
+            h = _doc_chunk_hashes(toks, w, cache)
+            k = h.size
+            out_nc.append(k)
+            if k == 0 or com.size == 0:
+                out_nr.append(0)
+                out_text.append(" ".join(toks))
+                continue
+            pos = np.searchsorted(com, h)
+            dup = (pos < com.size) & (
+                com[np.minimum(pos, com.size - 1)] == h)
+            nr = int(np.count_nonzero(dup))
+            out_nr.append(nr)
+            if nr == 0:
+                out_text.append(" ".join(toks))
+            else:
+                keep = np.ones(len(toks), dtype=bool)
+                keep[:k * w] = ~np.repeat(dup, w)
+                out_text.append(
+                    " ".join(x for x, m in zip(toks, keep) if m))
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "clean_text": pa.array(out_text, type=pa.string()),
+            "n_chunks": pa.array(np.asarray(out_nc, dtype=np.int64)),
+            "n_removed": pa.array(np.asarray(out_nr, dtype=np.int64)),
+        })
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")
