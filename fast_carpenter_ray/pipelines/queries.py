@@ -699,6 +699,29 @@ def q_near_dedup(sf_dir: str):
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_near_dedup_quality(sf_dir: str):
+    """near_dedup with quality-based survivor selection (score_col):
+    each cluster keeps its highest-token-count doc (ties to min id)
+    instead of the min id — the representative-selection rule of
+    production curation.  On the planted corpus the suffixed copies are
+    LONGER than their originals, so the survivors flip to the copies —
+    discriminating this path from the default.  Oracle: the recursive
+    component CTE plus a row_number() (score DESC, id) pick."""
+    from ..stages.dedup import near_dedup, tokenize
+
+    ds = _neardup_corpus(sf_dir)
+
+    def with_score(t: pa.Table) -> pa.Table:
+        n = np.asarray([len(tokenize(x or ""))
+                        for x in t["text"].to_pylist()], dtype=np.int64)
+        return t.append_column("n_tokens", pa.array(n))
+
+    ds = ds.map_batches(with_score, batch_format="pyarrow")
+    mh = MinHashDedup("near_dedup", threshold=0.5)
+    out = near_dedup(ds, mh, score_col="n_tokens").to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def _decontam_parts(sf_dir: str):
     """Corpus = all documents; eval set = every 50th document (a small
     benchmark-sized subset, verbatim rows of the corpus — the planted
@@ -2739,6 +2762,31 @@ def _near_dedup_sql() -> str:
         "(SELECT id FROM comp WHERE id != cluster)")
 
 
+def _near_dedup_quality_sql() -> str:
+    """near_dedup_quality oracle: the same recursive components as
+    ``_near_dedup_sql``, but each cluster's survivor is its
+    (token-count DESC, id ASC) winner instead of the min id."""
+    mh = MinHashDedup("near_dedup", threshold=0.5)
+    return (
+        _minhash_verified_cte(mh).replace("WITH ", "WITH RECURSIVE ", 1) + ", "
+        "sym AS (SELECT id_a AS a, id_b AS b FROM verified "
+        "UNION ALL SELECT id_b, id_a FROM verified), "
+        "reach(id, root) AS ("
+        "SELECT DISTINCT a, a FROM sym "
+        "UNION "
+        "SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id), "
+        "comp AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id), "
+        "sc AS (SELECT doc_id, len(list_filter(regexp_split_to_array("
+        "lower(coalesce(text, '')), '\\s+'), t -> t != '')) AS n_tokens "
+        "FROM corpus), "
+        "best AS (SELECT id FROM ("
+        "SELECT c.id, row_number() OVER (PARTITION BY c.cluster "
+        "ORDER BY s.n_tokens DESC, c.id) AS rn "
+        "FROM comp c JOIN sc s ON s.doc_id = c.id) WHERE rn = 1) "
+        "SELECT doc_id FROM corpus WHERE doc_id NOT IN "
+        "(SELECT id FROM comp) OR doc_id IN (SELECT id FROM best)")
+
+
 def _decontam_cte(src: str, prefix: str = "") -> str:
     """CTE chain (no leading WITH) ending in ``<prefix>stats(doc_id,
     n_sh, n_hit)`` over source relation ``src`` — the decontamination
@@ -3539,6 +3587,7 @@ def build_oracles() -> Dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "near_dedup": _near_dedup_sql(),
+        "near_dedup_quality": _near_dedup_quality_sql(),
         "decontam": (
             _decontam_stats_sql()
             + " SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles, "
@@ -4167,6 +4216,7 @@ def build_queries() -> Dict[str, Callable]:
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
         "near_dedup": q_near_dedup,
+        "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,
         "bm25": q_bm25,

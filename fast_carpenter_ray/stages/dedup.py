@@ -700,13 +700,50 @@ def distributed_components(pairs, num_partitions: Optional[int] = None,
         batch_format="pyarrow")
 
 
+def _best_score_drop(ds, clusters: pd.DataFrame, id_col: str,
+                     score_col: str) -> np.ndarray:
+    """Drop set for quality-based survivor selection (driver path):
+    fetch scores for the CLUSTERED ids only (bounded by 2x the pair
+    budget that admitted this path — one broadcast-filtered streaming
+    projection, no shuffle), then keep each cluster's (score DESC,
+    id ASC) winner."""
+    import ray
+
+    ids_ref = ray.put(np.sort(clusters["doc_id"].to_numpy()))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = np.isin(ids, ray.get(ids_ref))
+        sc = batch[score_col].to_numpy(zero_copy_only=False)[m]
+        return pa.table({"doc_id": pa.array(ids[m].astype(np.int64)),
+                         "_score": pa.array(sc)})
+
+    scores = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    merged = clusters.merge(scores, on="doc_id", how="inner")
+    merged = merged.sort_values(["cluster_id", "_score", "doc_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+    surv = merged.drop_duplicates("cluster_id")["doc_id"].to_numpy()
+    all_ids = clusters["doc_id"].to_numpy()
+    return all_ids[~np.isin(all_ids, surv)]
+
+
 def near_dedup(ds, dedup: "MinHashDedup", exact_first: bool = True,
                pair_budget: int = 2_000_000,
-               exact_broadcast_budget: int = 2_000_000):
+               exact_broadcast_budget: int = 2_000_000,
+               score_col: Optional[str] = None):
     """End-to-end near-duplicate removal: LSH candidate pairs -> verified
     pairs -> connected components -> drop every doc that is not its
-    cluster's minimum id.  Returns the SURVIVOR Dataset (same schema as
-    the input).  The LSH leg never shuffles anything row-shaped (band
+    cluster's survivor.  The survivor is the minimum id by default; with
+    ``score_col`` it is the cluster's BEST-QUALITY doc (max score, ties
+    to the smallest id) — what production curation actually keeps (the
+    longest / highest-scoring copy), cf. the representative-selection
+    step of large-scale dedup pipelines.  ``score_col`` must be
+    content-derived (identical texts must score identically) for
+    ``exact_first`` to preserve semantics: exact twins collapse to their
+    min id first, which IS their (score DESC, id ASC) winner when scores
+    are equal.  Returns the SURVIVOR Dataset (same schema as the
+    input).  The LSH leg never shuffles anything row-shaped (band
     rows are three small ints; the drop set ships as a broadcast numpy
     array); ``exact_first`` adds ONE content-hash row exchange up front
     (the standard exact-dedup shuffle — rows co-locate by content hash
@@ -762,8 +799,11 @@ def near_dedup(ds, dedup: "MinHashDedup", exact_first: bool = True,
 
     if n_pairs <= pair_budget:
         clusters = cluster_pairs(pairs_ds.to_pandas())
-        drop = clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
-                            "doc_id"].to_numpy()
+        if score_col is None:
+            drop = clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                                "doc_id"].to_numpy()
+        else:
+            drop = _best_score_drop(ds, clusters, id_col, score_col)
         drop_ref = ray.put(np.sort(drop))
 
         def keep(batch: pa.Table) -> pa.Table:
@@ -786,8 +826,32 @@ def near_dedup(ds, dedup: "MinHashDedup", exact_first: bool = True,
         return pa.table({id_col: f["doc_id"],
                          "_drop": pa.array(np.ones(len(f), dtype=np.int8))})
 
-    drop_ds = _nonempty_blocks(
-        clusters_ds.map_batches(drop_rows, batch_format="pyarrow"))
+    if score_col is not None:
+        # per-cluster best-quality survivor: join scores onto the
+        # component labels (id-keyed, small ints), then one map_groups
+        # argmax — never corpus rows, never the driver
+        def project_score(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t[id_col].cast(pa.int64()),
+                             "_score": t[score_col]})
+
+        score_ds = ds.map_batches(project_score, batch_format="pyarrow")
+        with_scores = clusters_ds.join(
+            score_ds, join_type="inner", on=("doc_id",),
+            num_partitions=num_partitions)
+
+        def nonbest(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["_score", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+            return pd.DataFrame({
+                id_col: g["doc_id"].iloc[1:].to_numpy(),
+                "_drop": np.ones(max(len(g) - 1, 0), dtype=np.int8)})
+
+        drop_src = with_scores.groupby("cluster_id").map_groups(
+            nonbest, batch_format="pandas")
+    else:
+        drop_src = clusters_ds.map_batches(drop_rows, batch_format="pyarrow")
+
+    drop_ds = _nonempty_blocks(drop_src)
     if drop_ds is None:
         return ds
     joined = ds.join(drop_ds, join_type="left_outer", on=(id_col,),

@@ -108,3 +108,61 @@ def test_chunk_hash_matches_stats_kernel():
     assert h.dtype == np.uint64 and h.size == len(toks) // 4
     # deterministic across calls / caches
     assert np.array_equal(h, _doc_chunk_hashes(toks, 4, {}))
+
+
+def _corpus_with_scores(rows):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "score": pa.array([r[2] for r in rows], type=pa.int64()),
+    }))
+
+
+BASE = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon")
+
+
+def test_near_dedup_quality_survivor(ray_session):
+    from fast_carpenter_ray.stages.dedup import MinHashDedup, near_dedup
+    rows = [
+        (1, BASE, 5),
+        (2, BASE + " extended with more tokens", 9),   # best quality
+        (3, BASE + " slightly different tail", 7),
+        (10, "a completely unrelated document about other things entirely", 1),
+    ]
+    mh = MinHashDedup("t", threshold=0.5)
+    out = near_dedup(_corpus_with_scores(rows), mh, score_col="score"
+                     ).to_pandas()
+    kept = set(out["doc_id"])
+    assert 2 in kept and 10 in kept
+    assert 1 not in kept and 3 not in kept
+    # default keeps the min id instead
+    out_min = near_dedup(_corpus_with_scores(rows), mh).to_pandas()
+    assert 1 in set(out_min["doc_id"]) and 2 not in set(out_min["doc_id"])
+
+
+def test_near_dedup_quality_tie_breaks_to_min_id(ray_session):
+    from fast_carpenter_ray.stages.dedup import MinHashDedup, near_dedup
+    rows = [(4, BASE, 7), (7, BASE + " x", 7),
+            (9, "different words everywhere nothing shared at all", 3)]
+    mh = MinHashDedup("t", threshold=0.5)
+    out = near_dedup(_corpus_with_scores(rows), mh, score_col="score"
+                     ).to_pandas()
+    kept = set(out["doc_id"])
+    assert 4 in kept and 7 not in kept and 9 in kept
+
+
+def test_near_dedup_quality_overbudget_path_matches(ray_session):
+    from fast_carpenter_ray.stages.dedup import MinHashDedup, near_dedup
+    rows = [
+        (1, BASE, 5), (2, BASE + " extended with more tokens", 9),
+        (3, BASE + " slightly different tail", 7),
+        (10, "a completely unrelated document about other things entirely", 1),
+    ]
+    mh = MinHashDedup("t", threshold=0.5)
+    a = sorted(near_dedup(_corpus_with_scores(rows), mh, score_col="score"
+                          ).to_pandas()["doc_id"])
+    b = sorted(near_dedup(_corpus_with_scores(rows), mh, score_col="score",
+                          pair_budget=0).to_pandas()["doc_id"])
+    assert a == b == [2, 10]
