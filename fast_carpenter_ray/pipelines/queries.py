@@ -2373,6 +2373,20 @@ def q_raster_zonal(sf_dir: str):
     return out[["cell", "n", "sum_value", "mean_value"]]
 
 
+def q_focal_mean(sf_dir: str):
+    """Focal (neighborhood) smoothing over the res-6 cell grid
+    (stages/raster.py focal_mean): each occupied cell's weight mean over
+    its Chebyshev-1 ring, from point data in one shuffle.  Dyadic
+    weights sum exactly in any order; the mean is one IEEE division —
+    the SQL oracle (offset cross join with lng wrap + lat drop) matches
+    bit-for-bit."""
+    from ..stages.raster import focal_mean
+
+    ds = _pages_geo(sf_dir)
+    out = focal_mean(ds, res=RES, value_col="weight", k=1).to_pandas()
+    return out.sort_values("cell").reset_index(drop=True)
+
+
 def _acctbal_bands(sf_dir: str) -> pa.Table:
     """Deterministic overlapping value bands derived from `nation` (step
     400 < width 700, so adjacent bands overlap and customers can land in
@@ -3327,6 +3341,23 @@ def build_oracles() -> Dict[str, str]:
             f"WITH base AS ({geo}), z AS (SELECT {cell} AS cell, "
             f"CAST(count(*) AS BIGINT) AS n FROM base WHERE lat IS NOT NULL "
             f"GROUP BY cell) SELECT cell, n FROM z ORDER BY n DESC, cell LIMIT 10"),
+        "focal_mean": (
+            f"WITH base AS ({geo}), "
+            f"z AS (SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS n, "
+            "sum(weight) AS s FROM base WHERE lat IS NOT NULL "
+            "GROUP BY cell), "
+            "off AS (SELECT dy, dx FROM unnest([-1, 0, 1]) AS a(dy), "
+            "unnest([-1, 0, 1]) AS b(dx)), "
+            f"exp AS (SELECT (z.cell // {_N} + dy) * {_N} + "
+            f"(((z.cell % {_N}) + dx) % {_N} + {_N}) % {_N} AS cell, "
+            "z.s, z.n, CASE WHEN dy = 0 AND dx = 0 THEN z.n ELSE 0 END "
+            "AS own_n FROM z, off "
+            f"WHERE z.cell // {_N} + dy BETWEEN 0 AND {_N - 1}), "
+            "f AS (SELECT cell, sum(s) AS focal_sum, "
+            "CAST(sum(n) AS BIGINT) AS focal_n, "
+            "CAST(sum(own_n) AS BIGINT) AS n FROM exp GROUP BY cell) "
+            "SELECT cell, n, focal_n, focal_sum, "
+            "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "cutflow": _cutflow_sql(),
         "multi_cutflow": _multi_cutflow_sql(),
         "multi_binned": (
@@ -4200,6 +4231,7 @@ def build_queries() -> Dict[str, Callable]:
         "doc_frequency": q_doc_frequency,
         "hop_window": q_hop_window,
         "raster_zonal": q_raster_zonal,
+        "focal_mean": q_focal_mean,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
         "ann_ivf": q_ann_ivf,

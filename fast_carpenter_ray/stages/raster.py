@@ -32,7 +32,8 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["WorldRaster", "raster_sample", "raster_zonal", "make_test_raster"]
+__all__ = ["WorldRaster", "raster_sample", "raster_zonal",
+           "focal_mean", "make_test_raster"]
 
 
 class WorldRaster:
@@ -137,5 +138,92 @@ def raster_zonal(ds, raster: WorldRaster, res: int,
         s = batch["sum_value"].to_numpy(zero_copy_only=False)
         n = batch["n"].to_numpy(zero_copy_only=False)
         return batch.append_column("mean_value", pa.array(s / n))
+
+    return combined.map_batches(finish, batch_format="pyarrow")
+
+
+def focal_mean(ds, res: int, value_col: str = "weight",
+               lat_col: str = "lat", lng_col: str = "lng", k: int = 1,
+               mode: str = "auto",
+               num_partitions: Optional[int] = None):
+    """Focal (neighborhood) smoothing over the hierarchical cell grid —
+    the classic raster focal-statistics op (each cell averaged with its
+    Chebyshev-``k`` ring), computed from POINT data in one shuffle.
+
+    Per batch, points shrink to ``(cell, sum, n)`` partials; each
+    partial is then EXPANDED to its ``(2k+1)^2`` neighborhood (longitude
+    wraps, latitude rows off the grid drop — exactly ``geo.cells.k_ring``
+    semantics) carrying ``own_n`` only on the center copy, and ONE
+    cell-keyed combine produces the focal sums.  Only cells with their
+    own data are emitted.  ``focal_mean = focal_sum / focal_n`` is a
+    single IEEE division of exact aggregates (dyadic weights sum exactly
+    in any order), so a SQL oracle reproduces it bit-for-bit.
+
+    Scale shape: the shuffle carries (2k+1)^2 x per-batch-cell-count
+    small rows — never points; ``mode='auto'`` combines driver-side
+    (tree) while the cell space is summary-sized (4^res <= 65536) and
+    switches to the distributed hash combine above that.
+    """
+    from ..agg import combine_partials
+    from ..geo.cells import cell_id
+
+    import pandas as pd
+
+    n_grid = 1 << res
+    if 2 * k + 1 > n_grid:
+        raise ValueError("focal_mean: neighborhood wider than the grid")
+    offsets = [(dy, dx) for dy in range(-k, k + 1) for dx in range(-k, k + 1)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lng = batch[lng_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        cell = cell_id(lat, lng, res)
+        ok = cell >= 0
+        df = pd.DataFrame({"cell": cell[ok], "s": v[ok]})
+        z = df.groupby("cell", sort=False).agg(
+            s=("s", "sum"), n=("s", "size")).reset_index()
+        cells = z["cell"].to_numpy()
+        s = z["s"].to_numpy()
+        n = z["n"].to_numpy().astype(np.int64)
+        iy, ix = cells // n_grid, cells % n_grid
+        out_c, out_s, out_n, out_own = [], [], [], []
+        for dy, dx in offsets:
+            ny = iy + dy
+            valid = (ny >= 0) & (ny < n_grid)
+            nx = (ix[valid] + dx) % n_grid
+            out_c.append(ny[valid] * n_grid + nx)
+            out_s.append(s[valid])
+            out_n.append(n[valid])
+            own = n[valid] if (dy == 0 and dx == 0) else np.zeros(
+                int(valid.sum()), dtype=np.int64)
+            out_own.append(own)
+        return pa.table({
+            "cell": pa.array(np.concatenate(out_c), type=pa.int64()),
+            "focal_sum": pa.array(np.concatenate(out_s), type=pa.float64()),
+            "focal_n": pa.array(np.concatenate(out_n), type=pa.int64()),
+            "n": pa.array(np.concatenate(out_own), type=pa.int64()),
+        })
+
+    if mode == "auto":
+        mode = "tree" if (1 << (2 * res)) <= 65536 else "hash"
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    kwargs = {} if num_partitions is None else {
+        "num_partitions": num_partitions}
+    combined = combine_partials(parts, keys=["cell"],
+                                value_cols=["focal_sum", "focal_n", "n"],
+                                mode=mode, **kwargs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pa.compute.greater(batch["n"], 0))
+        s = t["focal_sum"].to_numpy(zero_copy_only=False)
+        fn = t["focal_n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cell": t["cell"].cast(pa.int64()),
+            "n": t["n"].cast(pa.int64()),
+            "focal_n": t["focal_n"].cast(pa.int64()),
+            "focal_sum": t["focal_sum"],
+            "focal_mean": pa.array(s / fn, type=pa.float64()),
+        })
 
     return combined.map_batches(finish, batch_format="pyarrow")
