@@ -2284,6 +2284,22 @@ def q_bigrams(sf_dir: str):
     return out.sort_values("ngram").reset_index(drop=True)
 
 
+def q_familiarity(sf_dir: str):
+    """CCNet-style corpus-familiarity head/middle/tail split
+    (stages/text.py token_familiarity): per-doc mean corpus token
+    frequency bucketed around the occurrence-weighted corpus mean.
+    Exact int counts + two IEEE float ops per row keep the whole chain
+    hash-exact under the SQL replay."""
+    import ray.data as rd
+
+    from ..stages.text import token_familiarity
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = token_familiarity(ds, tail_factor=0.97).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_vocab(sf_dir: str):
     """Corpus vocabulary (stages/text.py vocab_count): token frequency
     table, n >= 10 — per-block distinct-token partials, one hash combine."""
@@ -3686,6 +3702,26 @@ def build_oracles() -> Dict[str, str]:
             "JOIN r c ON a.doc_id = c.doc_id AND c.j = a.j + 1) "
             "SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM b "
             "GROUP BY ngram HAVING count(*) >= 5"),
+        "familiarity": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(coalesce(text, ''), '\\s+'), "
+            "t -> t != '')) AS tok FROM documents), "
+            "th AS (SELECT doc_id, "
+            "('0x' || substring(sha256(tok), 1, 16))::UBIGINT AS h "
+            "FROM toks), "
+            "cnt AS (SELECT h, CAST(count(*) AS BIGINT) AS c "
+            "FROM th GROUP BY h), "
+            "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t1, "
+            "CAST(sum(c*c) AS DOUBLE) AS t2 FROM cnt), "
+            "d AS (SELECT th.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(cnt.c) AS BIGINT) AS sum_tf "
+            "FROM th JOIN cnt USING (h) GROUP BY th.doc_id) "
+            "SELECT doc_id, n_tokens, sum_tf, "
+            "CAST(sum_tf AS DOUBLE) / n_tokens AS familiarity, "
+            "CAST(CASE WHEN CAST(sum_tf AS DOUBLE) / n_tokens >= t2 / t1 "
+            "THEN 0 WHEN CAST(sum_tf AS DOUBLE) / n_tokens < "
+            "0.97 * (t2 / t1) THEN 2 ELSE 1 END AS BIGINT) AS bucket "
+            "FROM d, tot"),
         "vocab": (
             "WITH w AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) "
             "AS token FROM documents) "
@@ -4225,6 +4261,7 @@ def build_queries() -> Dict[str, Callable]:
         "stratified_sample": q_stratified_sample,
         "top_docs": q_top_docs,
         "bigrams": q_bigrams,
+        "familiarity": q_familiarity,
         "vocab": q_vocab,
         "top_terms": q_top_terms,
         "pmi": q_pmi,

@@ -18,7 +18,8 @@ import pyarrow as pa
 
 __all__ = ["TokenCount", "QualityScore", "LangId", "Fingerprint",
            "vocab_count", "doc_frequency", "ngram_count", "top_terms",
-           "pmi_bigrams", "term_trends", "RepetitionStats"]
+           "pmi_bigrams", "term_trends", "RepetitionStats",
+           "token_familiarity"]
 
 # a small multilingual stopword table for the n-gram/stopword language
 # heuristic (public common-word lists)
@@ -494,3 +495,102 @@ class RepetitionStats:
 
     def apply(self, ds):
         return ds.map_batches(self, batch_format="pandas")
+
+
+def token_familiarity(ds, text_col: str = "text", id_col: str = "doc_id",
+                      vocab_budget: int = 20_000_000,
+                      tail_factor: float = 0.9, mode: str = "hash"):
+    """CCNet-style corpus-familiarity scoring with a head/middle/tail
+    split (cf. CCNet's perplexity bucketing, Wenzek et al. 2020 — public
+    literature): each document's ``familiarity`` is the mean corpus
+    frequency of its tokens, a self-trained unigram stand-in for an LM
+    score, and documents bucket as head (0, ``familiarity >= m``),
+    middle (1) or tail (2, ``familiarity < tail_factor*m``) around the
+    corpus occurrence-weighted mean ``m = sum(c^2)/sum(c)``.
+
+    Exactness: token hashes are the sha256 prefix (SQL-replayable),
+    counts are exact ints, ``m`` is one float division of exact integer
+    sums (summed driver-side in arbitrary-precision Python ints), and
+    ``familiarity`` one IEEE division — so the whole chain sits under a
+    hash-exact DuckDB oracle.  Tokens are the RE2-compatible
+    ``[ \\t\\n\\r\\f]+`` split of :func:`vocab_count` (no lowercasing).
+
+    Scale shape: ONE token-hash-keyed combine over per-batch distinct
+    counts (ints only, text never shuffles); the vocabulary table is
+    collected under ``vocab_budget`` (loud raise above — the
+    ``Decontaminate`` contract) and broadcast once via ``ray.put``; the
+    corpus then streams through one scoring pass with no shuffle.
+    Tokens absent from the broadcast (possible only when scoring a
+    corpus different from the one counted) floor to count 1.  Documents
+    with zero tokens are omitted (mirrors the SQL group-by).
+
+    Returns ``(doc_id, n_tokens, sum_tf, familiarity, bucket)``.
+    """
+    import ray
+
+    from ..agg import combine_partials
+    from .dedup import _stable_token_hash
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        toks = s.str.split(r"[ \t\n\r\f]+", regex=True).explode()
+        toks = toks[(toks != "") & toks.notna()]
+        vc = toks.value_counts()
+        h = np.fromiter((_stable_token_hash(t) for t in vc.index),
+                        dtype=np.uint64, count=len(vc))
+        return pd.DataFrame({"h": h.view(np.int64),
+                             "c": vc.to_numpy().astype(np.int64)})
+
+    counts_ds = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["h"], value_cols=["c"], mode=mode).materialize()
+    n_vocab = counts_ds.count()
+    if n_vocab > vocab_budget:
+        raise ValueError(
+            f"token_familiarity: {n_vocab} distinct tokens exceed the "
+            f"{vocab_budget} driver broadcast budget")
+    counts = counts_ds.to_pandas()
+    hs = counts["h"].to_numpy().view(np.uint64)
+    cs = counts["c"].to_numpy().astype(np.int64)
+    order = np.argsort(hs)
+    hs, cs = hs[order], cs[order]
+    # exact integer sums (arbitrary precision; vocab-bounded loop)
+    t1 = int(np.sum(cs, dtype=np.int64))
+    t2 = sum(int(x) * int(x) for x in cs)
+    m = float(t2) / float(t1) if t1 else 0.0
+    tail_t = tail_factor * m
+    ref = ray.put((hs, cs))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        vh, vc = ray.get(ref)
+        s = batch[text_col].fillna("")
+        toks = s.str.split(r"[ \t\n\r\f]+", regex=True)
+        df = pd.DataFrame({id_col: batch[id_col], "tok": toks}).explode("tok")
+        df = df[(df["tok"] != "") & df["tok"].notna()]
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "n_tokens": pd.Series([], dtype=np.int64),
+                                 "sum_tf": pd.Series([], dtype=np.int64),
+                                 "familiarity": pd.Series([], dtype=np.float64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        uniq, inv = np.unique(df["tok"].to_numpy(), return_inverse=True)
+        uh = np.fromiter((_stable_token_hash(t) for t in uniq),
+                         dtype=np.uint64, count=len(uniq))
+        pos = np.searchsorted(vh, uh)
+        inb = pos < vh.size
+        found = inb & (vh[np.minimum(pos, vh.size - 1)] == uh)
+        ucnt = np.where(found, vc[np.minimum(pos, vh.size - 1)], 1)
+        df["tf"] = ucnt[inv]
+        g = df.groupby(id_col, sort=False).agg(
+            n_tokens=("tf", "size"), sum_tf=("tf", "sum")).reset_index()
+        n = g["n_tokens"].to_numpy().astype(np.int64)
+        st = g["sum_tf"].to_numpy().astype(np.int64)
+        fam = st / n
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "n_tokens": n, "sum_tf": st, "familiarity": fam,
+            "bucket": np.where(fam >= m, 0,
+                               np.where(fam < tail_t, 2, 1)).astype(np.int64),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
