@@ -1385,6 +1385,20 @@ def q_asof_join_bucketed(sf_dir: str):
         right_cols=["event_id", "value"], how="inner"))
 
 
+def q_transitions(sf_dir: str):
+    """Clickstream Markov transition matrix (stages/windows.py
+    transitions): per-user (ts, event_id)-ordered adjacent event-type
+    pairs counted corpus-wide.  All-int counts over a |types|^2 domain
+    - hash-exact under the lag-window SQL replay."""
+    import ray.data as rd
+
+    from ..stages.windows import transitions
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    return transitions(ds)
+
+
 def q_funnel(sf_dir: str):
     """Ordered view->click->purchase funnel (stages/windows.py funnel):
     one hash shuffle of slimmed (key, step, t) rows, per-key sequential
@@ -3801,6 +3815,13 @@ def build_oracles() -> Dict[str, str]:
             "SELECT p.user_id, p.event_id, p.value, "
             "v.event_id AS view_event_id, v.value AS view_value "
             "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
+        "transitions": (
+            "WITH l AS (SELECT event_type AS next_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev_type FROM events) "
+            "SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM l WHERE prev_type IS NOT NULL "
+            "GROUP BY prev_type, next_type"),
         "funnel": (
             "WITH u0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events "
             "WHERE event_type = 'view' GROUP BY user_id), "
@@ -4205,6 +4226,7 @@ def build_queries() -> Dict[str, Callable]:
         "asof_join": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
         "funnel": q_funnel,
+        "transitions": q_transitions,
         "session_windows": q_session_windows,
         "session_windows_bucketed": q_session_windows_bucketed,
         "window_funcs": q_window_funcs,

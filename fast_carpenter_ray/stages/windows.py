@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["session_windows", "session_windows_bucketed", "hop_windows", "ewma",
-           "funnel", "window_funcs", "window_funcs_bucketed"]
+           "funnel", "window_funcs", "window_funcs_bucketed", "transitions"]
 
 
 def hop_windows(ds, ts: str = "ts", width_us: int = 3_600_000_000,
@@ -514,3 +514,49 @@ def ewma(ds, key: str = "user_id", ts: str = "ts", id_col: str = "event_id",
     return (ds.map_batches(slim, batch_format="pyarrow")
             .groupby(key, num_partitions=default_partitions())
             .map_groups(fold, batch_format="pandas"))
+
+
+def transitions(ds, key: str = "user_id", ts: str = "ts",
+                type_col: str = "event_type", order_col: str = "event_id",
+                mode: str = "tree"):
+    """Per-key event-sequence transition counts — the clickstream Markov
+    matrix: order each key's events by ``(ts, order_col)`` (the explicit
+    tie-break keeps tied timestamps deterministic) and count adjacent
+    ``prev_type -> next_type`` pairs corpus-wide.
+
+    One key-hash shuffle of slimmed ``(key, t, order, type)`` rows, a
+    vectorized per-key shift, then a summary-sized combine — the
+    transition domain is ``|types|^2``, so partials tree-merge and
+    nothing data-scaled ever reaches the driver.  Returns a pandas
+    DataFrame ``(prev_type, next_type, n)``.
+    """
+    from ..agg import combine_partials, default_partitions
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch[ts]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        return pa.table({key: batch[key], "_t": t,
+                         "_o": batch[order_col], type_col: batch[type_col]})
+
+    slimmed = ds.map_batches(slim, batch_format="pyarrow")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_t", "_o"], kind="mergesort")
+        s = g[type_col].to_numpy()
+        if len(s) < 2:
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                                 "next_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        out = (pd.DataFrame({"prev_type": s[:-1], "next_type": s[1:]})
+               .groupby(["prev_type", "next_type"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = slimmed.groupby(key, num_partitions=default_partitions()
+                            ).map_groups(pairs, batch_format="pandas")
+    out = combine_partials(parts, keys=["prev_type", "next_type"],
+                           value_cols=["n"], mode=mode).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)

@@ -502,3 +502,44 @@ def test_ivf_index_prunes_blocks_and_full_probe_exact(ray_session, sf_dir, tmp_p
     pd.testing.assert_frame_equal(
         fu[["query_id", "neighbor_id", "rank"]],
         bf[["query_id", "neighbor_id", "rank"]])
+
+
+def _events_tbl(rows):
+    import pyarrow as pa
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_id": pa.array(list(range(len(rows))), type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+    }))
+
+
+def test_transitions_counts(ray_session):
+    from fast_carpenter_ray.stages.windows import transitions
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        (2, 10, "view"), (2, 20, "click"),
+        (3, 5, "view"),            # single event: no transition
+    ]
+    out = transitions(_events_tbl(rows)).set_index(["prev_type", "next_type"])
+    assert out.loc[("view", "click"), "n"] == 2
+    assert out.loc[("click", "purchase"), "n"] == 1
+    assert len(out) == 2
+
+
+def test_transitions_tie_breaks_by_order_col(ray_session):
+    from fast_carpenter_ray.stages.windows import transitions
+    # two events at the SAME timestamp: event_id orders them
+    rows = [(1, 10, "a"), (1, 10, "b"), (1, 20, "c")]
+    out = transitions(_events_tbl(rows)).set_index(["prev_type", "next_type"])
+    assert out.loc[("a", "b"), "n"] == 1
+    assert out.loc[("b", "c"), "n"] == 1
+
+
+def test_transitions_users_do_not_bridge(ray_session):
+    from fast_carpenter_ray.stages.windows import transitions
+    rows = [(1, 10, "a"), (2, 20, "b"), (1, 30, "c"), (2, 40, "d")]
+    out = transitions(_events_tbl(rows))
+    got = set(zip(out["prev_type"], out["next_type"]))
+    assert got == {("a", "c"), ("b", "d")}
