@@ -699,6 +699,50 @@ def q_near_dedup(sf_dir: str):
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_url_dedup(sf_dir: str):
+    """Syntactic URL canonicalization + canonical-key dedup
+    (stages/redirects.py normalize_urls + stages/dedup.py ExactDedup):
+    a deterministically perturbed corpus (fragment / utm param / http+WWW
+    host case / trailing slash variants of every page url) collapses back
+    to one row per page, keeping the min doc_id.  The regexp_replace
+    chain is RE2/Python-re bit-exact (the PII contract)."""
+    import ray.data as rd
+
+    from ..stages.dedup import ExactDedup
+    from ..stages.redirects import normalize_urls
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+
+    def make(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = batch["lang"].to_pylist()
+        base = [f"https://site{i % 20}.example/{lg}/p{i}"
+                for i, lg in zip(d.tolist(), lang)]
+        var = []
+        for i, lg, b in zip(d.tolist(), lang, base):
+            m = i % 4
+            if m == 0:
+                var.append("http://www." + f"site{i % 20}.example".upper()
+                           + f"/{lg}/p{i}")
+            elif m == 1:
+                var.append(b + "?utm_source=feed")
+            elif m == 2:
+                var.append(b + "#section-2")
+            else:
+                var.append(b + "/")
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([d, d + 10_000_000]),
+                               type=pa.int64()),
+            "url": pa.array(base + var, type=pa.string()),
+        })
+
+    ds = normalize_urls(docs.map_batches(make, batch_format="pyarrow"))
+    out = ExactDedup("url_dedup", key="canon_url").apply(ds).to_pandas()
+    return (out[["doc_id", "canon_url"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_near_dedup_quality(sf_dir: str):
     """near_dedup with quality-based survivor selection (score_col):
     each cluster keeps its highest-token-count doc (ties to min id)
@@ -3647,6 +3691,31 @@ def build_oracles() -> Dict[str, str]:
             "LEFT JOIN rstat r USING (doc_id)"),
         "minhash_pairs": _minhash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
+        "url_dedup": (
+            "WITH base AS (SELECT doc_id, 'https://site' || (doc_id % 20) "
+            "|| '.example/' || lang || '/p' || doc_id AS url, lang "
+            "FROM documents), "
+            "var AS (SELECT b.doc_id + 10000000 AS doc_id, "
+            "CASE b.doc_id % 4 "
+            "WHEN 0 THEN 'http://www.' || upper('site' || (b.doc_id % 20) "
+            "|| '.example') || '/' || b.lang || '/p' || b.doc_id "
+            "WHEN 1 THEN b.url || '?utm_source=feed' "
+            "WHEN 2 THEN b.url || '#section-2' "
+            "ELSE b.url || '/' END AS url FROM base b), "
+            "corpus AS (SELECT doc_id, url FROM base "
+            "UNION ALL SELECT doc_id, url FROM var), "
+            "c1 AS (SELECT doc_id, regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(url, '#.*$', '', 'g'), "
+            "'[?&]utm_[^&#]*', '', 'g'), '^http://', 'https://'), "
+            "'^https://www\\.', 'https://') AS u FROM corpus), "
+            "c2 AS (SELECT doc_id, CASE WHEN regexp_matches(u, "
+            "'^https://') THEN 'https://' || lower(regexp_extract(u, "
+            "'^https://([^/]*)(.*)$', 1)) || regexp_extract(u, "
+            "'^https://([^/]*)(.*)$', 2) ELSE u END AS u FROM c1), "
+            "canon AS (SELECT doc_id, regexp_replace(u, '/$', '') "
+            "AS canon_url FROM c2) "
+            "SELECT min(doc_id) AS doc_id, canon_url FROM canon "
+            "GROUP BY canon_url"),
         "near_dedup": _near_dedup_sql(),
         "near_dedup_quality": _near_dedup_quality_sql(),
         "decontam": (
@@ -4307,6 +4376,7 @@ def build_queries() -> Dict[str, Callable]:
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
         "near_dedup": q_near_dedup,
+        "url_dedup": q_url_dedup,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

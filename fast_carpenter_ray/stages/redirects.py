@@ -26,7 +26,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["resolve_map", "resolve_stream", "resolve_redirects"]
+__all__ = ["resolve_map", "resolve_stream", "resolve_redirects",
+           "normalize_urls"]
 
 
 def resolve_map(redirects, src: str = "src", dst: str = "dst",
@@ -101,3 +102,42 @@ def resolve_redirects(ds, redirects, key: str, src: str = "src",
     mapping = resolve_map(redirects, src=src, dst=dst,
                           max_rounds=max_rounds)
     return resolve_stream(ds, mapping, key=key, src=src, out=out)
+
+
+def normalize_urls(ds, url_col: str = "url", out: str = "canon_url"):
+    """Syntactic URL canonicalization — the crawl-curation companion to
+    the redirect-chain resolution above: collapse trivially-distinct
+    spellings of the same resource BEFORE exact dedup (fragments,
+    tracking params, scheme/www/host-case noise, trailing slashes).
+
+    Rules, applied IN ORDER (each a vectorized pandas str kernel; every
+    pattern is an alternation-free RE2-compatible regex, so Python
+    ``re`` and DuckDB ``regexp_replace`` replay the chain bit-exactly —
+    the PII-pattern contract):
+
+    1. strip the ``#fragment``;
+    2. strip ``utm_*`` tracking params (globally);
+    3. ``http://`` -> ``https://``;
+    4. strip one leading ``www.``;
+    5. lowercase the HOST only (path case is significant);
+    6. strip one trailing slash.
+
+    Appends ``out`` and streams — no shuffle.
+    """
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[url_col].fillna("")
+        s = s.str.replace(r"#.*$", "", regex=True)
+        s = s.str.replace(r"[?&]utm_[^&#]*", "", regex=True)
+        s = s.str.replace(r"^http://", "https://", regex=True)
+        s = s.str.replace(r"^https://www\.", "https://", regex=True)
+        ext = s.str.extract(r"^https://([^/]*)(.*)$", expand=True)
+        ok = ext[0].notna()
+        rebuilt = "https://" + ext[0].str.lower().fillna("") + ext[1].fillna("")
+        s = pd.Series(np.where(ok, rebuilt, s), index=s.index)
+        s = s.str.replace(r"/$", "", regex=True)
+        batch = batch.copy()
+        batch[out] = s
+        return batch
+
+    return ds.map_batches(canon, batch_format="pandas")
