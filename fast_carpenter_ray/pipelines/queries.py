@@ -2635,6 +2635,18 @@ def q_image_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_spatial_autocorr(sf_dir: str):
+    """Global Moran's I of per-cell page counts at res 6 with queen
+    adjacency (stages/autocorr.py): six exact int64 sufficient
+    statistics + one final float division, so the HUGEINT SQL oracle
+    matches bit-for-bit.  One cell-keyed combine; points never
+    shuffle."""
+    from ..stages.autocorr import spatial_autocorr
+
+    ds = _pages_geo(sf_dir)
+    return spatial_autocorr(ds, res=RES)
+
+
 # ----------------------------------------------------------------------
 # oracle SQL
 
@@ -3432,6 +3444,33 @@ def build_oracles() -> Dict[str, str]:
             "CAST(sum(own_n) AS BIGINT) AS n FROM exp GROUP BY cell) "
             "SELECT cell, n, focal_n, focal_sum, "
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
+        "spatial_autocorr": (
+            f"WITH base AS ({geo}), "
+            f"z AS (SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS n "
+            "FROM base WHERE lat IS NOT NULL GROUP BY cell), "
+            "off AS (SELECT dy, dx FROM unnest([-1, 0, 1]) AS a(dy), "
+            "unnest([-1, 0, 1]) AS b(dx) WHERE NOT (dy = 0 AND dx = 0)), "
+            f"exp AS (SELECT (z.cell // {_N} + dy) * {_N} + "
+            f"(((z.cell % {_N}) + dx) % {_N} + {_N}) % {_N} AS cell, "
+            f"z.n AS nsrc FROM z, off "
+            f"WHERE z.cell // {_N} + dy BETWEEN 0 AND {_N - 1}), "
+            "nb AS (SELECT cell, CAST(sum(nsrc) AS BIGINT) AS nbr_sum, "
+            "CAST(count(*) AS BIGINT) AS nbr_deg FROM exp GROUP BY cell), "
+            "s AS (SELECT "
+            "(SELECT CAST(count(*) AS BIGINT) FROM z) AS n_cells, "
+            "(SELECT CAST(sum(n) AS BIGINT) FROM z) AS sum_x, "
+            "(SELECT CAST(sum(n*n) AS BIGINT) FROM z) AS sum_x2, "
+            "CAST(coalesce(sum(nbr_deg), 0) AS BIGINT) AS w_edges, "
+            "CAST(coalesce(sum(z.n * nbr_sum), 0) AS BIGINT) AS cross_sum, "
+            "CAST(coalesce(sum(z.n * nbr_deg), 0) AS BIGINT) AS edge_sum "
+            "FROM z JOIN nb ON z.cell = nb.cell) "
+            "SELECT n_cells, sum_x, sum_x2, w_edges, cross_sum, edge_sum, "
+            "CAST(CAST(n_cells AS HUGEINT) * n_cells * cross_sum "
+            "- 2 * CAST(n_cells AS HUGEINT) * sum_x * edge_sum "
+            "+ CAST(sum_x AS HUGEINT) * sum_x * w_edges AS DOUBLE) "
+            "/ CAST(CAST(w_edges AS HUGEINT) * "
+            "(CAST(n_cells AS HUGEINT) * sum_x2 - CAST(sum_x AS HUGEINT) * sum_x) "
+            "AS DOUBLE) AS morans_i FROM s"),
         "cutflow": _cutflow_sql(),
         "multi_cutflow": _multi_cutflow_sql(),
         "multi_binned": (
@@ -4360,6 +4399,7 @@ def build_queries() -> Dict[str, Callable]:
         "hop_window": q_hop_window,
         "raster_zonal": q_raster_zonal,
         "focal_mean": q_focal_mean,
+        "spatial_autocorr": q_spatial_autocorr,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
         "ann_ivf": q_ann_ivf,

@@ -1,0 +1,207 @@
+"""Global spatial autocorrelation (Moran's I) over the cell grid.
+
+The classic lattice statistic (Moran 1950, public literature): with
+``x_i`` the event count of occupied cell ``i``, queen (Chebyshev-1)
+adjacency weights ``w_ij = 1`` between occupied neighbours (longitude
+wraps, latitude rows off the grid drop — exactly ``geo.cells.k_ring``
+semantics), and ``x̄ = sum_x / N``:
+
+    I = (N / W) * Σ_ij w_ij (x_i - x̄)(x_j - x̄) / Σ_i (x_i - x̄)²
+
+Everything is derived from SIX integer sufficient statistics, each an
+exact int64 sum:
+
+* ``n_cells``   — N, occupied-cell count
+* ``sum_x``     — Σ x_i
+* ``sum_x2``    — Σ x_i²
+* ``w_edges``   — W = Σ_ij w_ij (ordered adjacent occupied pairs)
+* ``cross_sum`` — Σ_ij w_ij x_i x_j
+* ``edge_sum``  — Σ_ij w_ij x_i  (= Σ_i x_i · deg_i)
+
+Clearing denominators gives the exact integer form
+
+    I = (N²·cross − 2·N·sum_x·edge + sum_x²·W) / (W·(N·sum_x2 − sum_x²))
+
+evaluated with arbitrary-precision Python ints on the driver (the six
+scalars are one row) and rounded ONCE by the final float division — a
+SQL oracle computing the same numerator/denominator in HUGEINT and
+casting to DOUBLE reproduces ``morans_i`` bit-for-bit.
+
+Scale shape: points shrink to ``(cell, n)`` partials per batch; ONE
+cell-keyed combine produces the per-cell totals (bounded by the cell
+space, 4^res).  The adjacency terms need FINAL counts (degree and
+cross-products are not linear in partials), so they are computed from
+the combined totals: on the summary-sized tree path entirely in NumPy
+on the driver; on the hash path via an 8-way ring expansion of the
+totals + one more cell-keyed combine + one cell-keyed join — all three
+shuffles carry per-cell summary rows, never points.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["spatial_autocorr"]
+
+#: queen-adjacency offsets (center excluded — w_ii = 0 by definition)
+_OFFS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+         if not (dy == 0 and dx == 0)]
+
+
+def _finish_row(n_cells: int, sum_x: int, sum_x2: int, w_edges: int,
+                cross_sum: int, edge_sum: int) -> pd.DataFrame:
+    """One-row result from the six exact integer sufficient statistics.
+    num/den are evaluated with Python big ints so no intermediate
+    overflows; the ONLY rounding is the final float division (and the
+    two int->double conversions, which round-to-nearest exactly like
+    the SQL oracle's HUGEINT -> DOUBLE casts)."""
+    num = (n_cells * n_cells * cross_sum
+           - 2 * n_cells * sum_x * edge_sum
+           + sum_x * sum_x * w_edges)
+    den = w_edges * (n_cells * sum_x2 - sum_x * sum_x)
+    morans = float(num) / float(den) if den != 0 else np.nan
+    return pd.DataFrame({
+        "n_cells": pd.Series([n_cells], dtype="int64"),
+        "sum_x": pd.Series([sum_x], dtype="int64"),
+        "sum_x2": pd.Series([sum_x2], dtype="int64"),
+        "w_edges": pd.Series([w_edges], dtype="int64"),
+        "cross_sum": pd.Series([cross_sum], dtype="int64"),
+        "edge_sum": pd.Series([edge_sum], dtype="int64"),
+        "morans_i": pd.Series([morans], dtype="float64"),
+    })
+
+
+def spatial_autocorr(ds, res: int, lat_col: str = "lat",
+                     lng_col: str = "lng", mode: str = "auto",
+                     num_partitions: Optional[int] = None) -> pd.DataFrame:
+    """Moran's I of per-cell event counts at resolution ``res``.
+
+    Returns a ONE-ROW pandas DataFrame (the six integer sufficient
+    statistics + ``morans_i``) — a global statistic, so a driver-sized
+    result by construction.  ``mode='auto'`` computes the adjacency
+    terms driver-side while the cell space is summary-sized
+    (4^res <= 65536) and switches to the distributed
+    expand/combine/join path above that.
+    """
+    from ..agg import combine_partials
+    from ..geo.cells import cell_id
+
+    n_grid = 1 << res
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lng = batch[lng_col].to_numpy(zero_copy_only=False)
+        cell = cell_id(lat, lng, res)
+        cell = cell[cell >= 0]
+        cells, counts = np.unique(cell, return_counts=True)
+        return pa.table({
+            "cell": pa.array(cells, type=pa.int64()),
+            "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+        })
+
+    if mode == "auto":
+        mode = "tree" if (1 << (2 * res)) <= 65536 else "hash"
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    if mode == "tree":
+        totals = combine_partials(
+            parts, keys=["cell"], value_cols=["n"], mode="tree").to_pandas()
+        cells = totals["cell"].to_numpy()
+        n = totals["n"].to_numpy()
+        n_cells = int(len(cells))
+        sum_x = int(n.sum())
+        sum_x2 = int((n.astype(object) * n.astype(object)).sum())
+        # dense count grid (bounded by the 4^res guard above): the ring
+        # gather is 8 vectorized shifted adds, no Python cell loop
+        grid = np.zeros((n_grid, n_grid), dtype=np.int64)
+        iy, ix = cells // n_grid, cells % n_grid
+        grid[iy, ix] = n
+        occ = (grid > 0).astype(np.int64)
+        nbr_sum = np.zeros_like(grid)
+        nbr_deg = np.zeros_like(grid)
+        for dy, dx in _OFFS:
+            shifted = np.roll(grid, dx, axis=1)  # lng wraps
+            occ_sh = np.roll(occ, dx, axis=1)
+            if dy > 0:      # lat rows off the grid drop
+                nbr_sum[dy:, :] += shifted[:-dy, :]
+                nbr_deg[dy:, :] += occ_sh[:-dy, :]
+            elif dy < 0:
+                nbr_sum[:dy, :] += shifted[-dy:, :]
+                nbr_deg[:dy, :] += occ_sh[-dy:, :]
+            else:
+                nbr_sum += shifted
+                nbr_deg += occ_sh
+        ns = nbr_sum[iy, ix]
+        nd = nbr_deg[iy, ix]
+        w_edges = int(nd.sum())
+        cross_sum = int((n.astype(object) * ns.astype(object)).sum())
+        edge_sum = int((n.astype(object) * nd.astype(object)).sum())
+        return _finish_row(n_cells, sum_x, sum_x2, w_edges, cross_sum,
+                           edge_sum)
+
+    # ---- distributed path: data-scaled cell spaces ----
+    if num_partitions is None:
+        from ..agg import default_partitions
+
+        num_partitions = default_partitions(4)
+
+    totals = combine_partials(
+        parts, keys=["cell"], value_cols=["n"], mode="hash",
+        num_partitions=num_partitions).materialize()
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        iy, ix = cells // n_grid, cells % n_grid
+        out_c, out_s = [], []
+        for dy, dx in _OFFS:
+            ny = iy + dy
+            valid = (ny >= 0) & (ny < n_grid)
+            nx = (ix[valid] + dx) % n_grid
+            out_c.append(ny[valid] * n_grid + nx)
+            out_s.append(n[valid])
+        cat = np.concatenate
+        return pa.table({
+            "cell": pa.array(cat(out_c), type=pa.int64()),
+            "nbr_sum": pa.array(cat(out_s), type=pa.int64()),
+            "nbr_deg": pa.array(
+                np.ones(sum(len(c) for c in out_c), dtype=np.int64)),
+        })
+
+    nbr = combine_partials(
+        totals.map_batches(expand, batch_format="pyarrow"),
+        keys=["cell"], value_cols=["nbr_sum", "nbr_deg"], mode="hash",
+        num_partitions=num_partitions)
+    joined = totals.join(nbr, join_type="inner", on=("cell",),
+                         num_partitions=num_partitions)
+
+    def scalar_partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        ns = batch["nbr_sum"].to_numpy(zero_copy_only=False)
+        nd = batch["nbr_deg"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "w_edges": pa.array([int(nd.sum())], type=pa.int64()),
+            "cross_sum": pa.array([int((n * ns).sum())], type=pa.int64()),
+            "edge_sum": pa.array([int((n * nd).sum())], type=pa.int64()),
+        })
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_cells": pa.array([len(n)], type=pa.int64()),
+            "sum_x": pa.array([int(n.sum())], type=pa.int64()),
+            "sum_x2": pa.array([int((n * n).sum())], type=pa.int64()),
+        })
+
+    # one partial row per block on each side — driver pulls are tiny
+    adj = joined.map_batches(scalar_partial, batch_format="pyarrow").to_pandas()
+    tot = totals.map_batches(total_partial, batch_format="pyarrow").to_pandas()
+    return _finish_row(
+        int(tot["n_cells"].sum()), int(tot["sum_x"].sum()),
+        int(tot["sum_x2"].sum()), int(adj["w_edges"].sum()),
+        int(adj["cross_sum"].sum()), int(adj["edge_sum"].sum()))

@@ -1,0 +1,100 @@
+"""Moran's I spatial autocorrelation (stages/autocorr.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fast_carpenter_ray.geo.cells import cell_id, k_ring
+from fast_carpenter_ray.stages.autocorr import spatial_autocorr
+
+
+def _points(rows):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "lat": pa.array([r[0] for r in rows], type=pa.float64()),
+        "lng": pa.array([r[1] for r in rows], type=pa.float64()),
+    }))
+
+
+def _brute(rows, res):
+    """Reference: per-cell counts, queen-ring gather, textbook Moran's I."""
+    counts = {}
+    for lat, lng in rows:
+        c = int(cell_id(np.array([lat]), np.array([lng]), res)[0])
+        if c >= 0:
+            counts[c] = counts.get(c, 0) + 1
+    cells = sorted(counts)
+    n_cells = len(cells)
+    sum_x = sum(counts.values())
+    sum_x2 = sum(v * v for v in counts.values())
+    w_edges = cross_sum = edge_sum = 0
+    for c in cells:
+        ring = [r for r in k_ring(c, res, 1) if r != c and r in counts]
+        w_edges += len(ring)
+        edge_sum += counts[c] * len(ring)
+        cross_sum += counts[c] * sum(counts[r] for r in ring)
+    num = (n_cells * n_cells * cross_sum - 2 * n_cells * sum_x * edge_sum
+           + sum_x * sum_x * w_edges)
+    den = w_edges * (n_cells * sum_x2 - sum_x * sum_x)
+    morans = float(num) / float(den) if den else np.nan
+    # sanity: the integer form equals the textbook mean-centered form
+    if den:
+        xbar = sum_x / n_cells
+        sw = sum((counts[c] - xbar) * (counts[r] - xbar)
+                 for c in cells
+                 for r in k_ring(c, res, 1) if r != c and r in counts)
+        sv = sum((v - xbar) ** 2 for v in counts.values())
+        assert morans == pytest.approx((n_cells / w_edges) * sw / sv, rel=1e-9)
+    return dict(n_cells=n_cells, sum_x=sum_x, sum_x2=sum_x2,
+                w_edges=w_edges, cross_sum=cross_sum, edge_sum=edge_sum,
+                morans_i=morans)
+
+
+def _rand_rows(n, seed):
+    rng = np.random.RandomState(seed)
+    return [(float(lat), float(lng))
+            for lat, lng in zip(rng.uniform(-89, 89, n),
+                                rng.uniform(-180, 180, n))]
+
+
+@pytest.mark.parametrize("res,n,seed", [(3, 400, 1), (4, 1000, 2)])
+def test_matches_bruteforce(ray_session, res, n, seed):
+    rows = _rand_rows(n, seed)
+    got = spatial_autocorr(_points(rows), res=res).iloc[0]
+    want = _brute(rows, res)
+    for k, v in want.items():
+        if k == "morans_i":
+            assert got[k] == pytest.approx(v, rel=1e-12)
+        else:
+            assert int(got[k]) == v, k
+
+
+def test_tree_equals_hash(ray_session):
+    rows = _rand_rows(600, 3)
+    ds = _points(rows)
+    tree = spatial_autocorr(ds, res=3, mode="tree").iloc[0]
+    hsh = spatial_autocorr(_points(rows), res=3, mode="hash",
+                           num_partitions=2).iloc[0]
+    for k in ("n_cells", "sum_x", "sum_x2", "w_edges", "cross_sum",
+              "edge_sum"):
+        assert int(tree[k]) == int(hsh[k]), k
+    assert tree["morans_i"] == hsh["morans_i"]
+
+
+def test_clustered_positive_dispersed_negative(ray_session):
+    # points piled into one tight hotspot plus a dispersed background:
+    # the statistic must be finite and the count conservation exact
+    rows = [(10.0, 20.0)] * 50 + [(10.0, 20.01)] * 45 + \
+        [(float(lat), float(lng)) for lat, lng in
+         zip(np.linspace(-80, 80, 30), np.linspace(-170, 170, 30))]
+    got = spatial_autocorr(_points(rows), res=4).iloc[0]
+    assert np.isfinite(got["morans_i"])
+    assert int(got["sum_x"]) == len(rows)
+
+
+def test_degenerate_no_edges(ray_session):
+    # two occupied cells far apart: W = 0 -> NaN statistic, stats intact
+    rows = [(0.5, 0.5), (60.0, 120.0)]
+    got = spatial_autocorr(_points(rows), res=4).iloc[0]
+    assert int(got["w_edges"]) == 0
+    assert np.isnan(got["morans_i"])
