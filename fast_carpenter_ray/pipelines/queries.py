@@ -2635,6 +2635,34 @@ def q_image_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_geofence(sf_dir: str):
+    """Geofence entry/exit events (stages/geofence.py): broadcast
+    fence-cell membership evaluated before the one key-keyed shuffle;
+    the lag-window SQL oracle evaluates the same box by integer
+    inequality — two independent membership paths, hash-exact."""
+    from ..stages.geofence import box_fence, geofence_events
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid * 2654435761) % 1024
+        y = (eid * 40503 + 12345) % 1024
+        return batch.append_column("cell", pa.array((x // 128) * 8 + y // 128))
+
+    fence = box_fence(2, 5, 3, 6, n_grid=8)
+    out = geofence_events(
+        ds.map_batches(cellify, batch_format="pyarrow"), fence).to_pandas()
+    if out.empty:   # schema is lost at to_pandas on an all-quiet stream
+        return pd.DataFrame(columns=["user_id", "event_id", "ts_us",
+                                     "transition"])
+    out["transition"] = out["transition"].astype(str)
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def q_spatial_autocorr(sf_dir: str):
     """Global Moran's I of per-cell page counts at res 6 with queen
     adjacency (stages/autocorr.py): six exact int64 sufficient
@@ -3444,6 +3472,21 @@ def build_oracles() -> Dict[str, str]:
             "CAST(sum(own_n) AS BIGINT) AS n FROM exp GROUP BY cell) "
             "SELECT cell, n, focal_n, focal_sum, "
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
+        "geofence": (
+            "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+            "(event_id * 2654435761) % 1024 AS x, "
+            "(event_id * 40503 + 12345) % 1024 AS y FROM events), "
+            "c AS (SELECT user_id, event_id, t, "
+            "CASE WHEN (x // 128) BETWEEN 2 AND 4 "
+            "AND (y // 128) BETWEEN 3 AND 5 THEN 1 ELSE 0 END AS inside "
+            "FROM p), "
+            "l AS (SELECT user_id, event_id, t, inside, "
+            "lag(inside) OVER (PARTITION BY user_id ORDER BY t, event_id) "
+            "AS prev FROM c) "
+            "SELECT user_id, CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(t AS BIGINT) AS ts_us, "
+            "CASE WHEN inside = 1 THEN 'enter' ELSE 'exit' END AS transition "
+            "FROM l WHERE prev IS NOT NULL AND inside <> prev"),
         "spatial_autocorr": (
             f"WITH base AS ({geo}), "
             f"z AS (SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS n "
@@ -4400,6 +4443,7 @@ def build_queries() -> Dict[str, Callable]:
         "raster_zonal": q_raster_zonal,
         "focal_mean": q_focal_mean,
         "spatial_autocorr": q_spatial_autocorr,
+        "geofence": q_geofence,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
         "ann_ivf": q_ann_ivf,

@@ -1,0 +1,99 @@
+"""Geofence entry/exit detection against a broadcast cell set.
+
+The H3-style geofencing pattern (cells, not polygons, are the runtime
+representation): a fence is a SET of grid-cell ids (the cell cover of
+an arbitrary polygon — see ``stages/pip_join.py`` / ``polygon_cover``
+for producing one).  Membership is a vectorized ``np.isin`` against
+the sorted fence array, broadcast ONCE via ``ray.put`` and read
+zero-copy by every task — never re-shipped per batch.
+
+``geofence_events`` then emits one row per entry/exit transition: per
+entity, events are ordered by ``(ts, id)`` (a total order, so tied
+timestamps are deterministic) and an event whose membership differs
+from its predecessor's yields ``'enter'`` or ``'exit'``.
+
+Scale shape: the corpus shrinks per batch to ``(key, t, id, inside)``
+int rows — membership is evaluated BEFORE the shuffle, so the only
+all-to-all carries four ints per event; output is bounded by the
+transition count.  Hot keys: per-entity ordering groups on the entity
+key like ``window_funcs``; for adversarial single-entity streams the
+same time-bucket + boundary-carry refactor documented in
+``stages/windows.py window_funcs_bucketed`` applies.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["geofence_events", "box_fence"]
+
+
+def box_fence(x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+              n_grid: int = 8) -> np.ndarray:
+    """Cell ids (``xc * n_grid + yc``) of an axis-aligned box on an
+    ``n_grid`` x ``n_grid`` grid — a deterministic test fence; real
+    fences come from a polygon cell cover."""
+    xs, ys = np.meshgrid(np.arange(x_lo, x_hi, dtype=np.int64),
+                         np.arange(y_lo, y_hi, dtype=np.int64),
+                         indexing="ij")
+    return np.sort((xs * n_grid + ys).ravel())
+
+
+def geofence_events(ds, fence_cells: np.ndarray, key: str = "user_id",
+                    ts: str = "ts", id_col: str = "event_id",
+                    cell: str = "cell",
+                    num_partitions: Optional[int] = None):
+    """Dataset of ``(key, id, ts_us, transition)`` rows — one per
+    fence boundary crossing, ``transition`` in {'enter', 'exit'}.
+
+    The first event of an entity never emits (no predecessor); an
+    entity wholly inside or wholly outside emits nothing.
+    """
+    import ray
+
+    if num_partitions is None:
+        from ..agg import default_partitions
+
+        num_partitions = default_partitions(4)
+
+    fence = np.sort(np.asarray(fence_cells, dtype=np.int64))
+    fence_ref = ray.put(fence)
+    key_c, ts_c, id_c = key, ts, id_col
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch[ts_c].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cells = batch[cell].to_numpy(zero_copy_only=False).astype(np.int64)
+        inside = np.isin(cells, ray.get(fence_ref)).astype(np.int8)
+        return pa.table({
+            key_c: batch[key_c],
+            id_c: batch[id_c].cast(pa.int64()),
+            "t": pa.array(t, type=pa.int64()),
+            "inside": pa.array(inside, type=pa.int8()),
+        })
+
+    def crossings(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", id_c], kind="stable")
+        inside = g["inside"].to_numpy()
+        prev = np.empty_like(inside)
+        prev[0] = inside[0]          # first event: no transition
+        prev[1:] = inside[:-1]
+        hit = inside != prev
+        sub = g.loc[hit]
+        # explicit dtypes so an all-quiet group emits a typed empty frame
+        # (Arrow must not infer a null column type on empties)
+        return pd.DataFrame({
+            key_c: sub[key_c].reset_index(drop=True),
+            id_c: pd.Series(sub[id_c].to_numpy(), dtype="int64"),
+            "ts_us": pd.Series(sub["t"].to_numpy(), dtype="int64"),
+            "transition": pd.Series(
+                np.where(sub["inside"].to_numpy() == 1, "enter", "exit"),
+                dtype="string"),
+        })
+
+    rows = ds.map_batches(slim, batch_format="pyarrow")
+    return rows.groupby(key_c, num_partitions=num_partitions).map_groups(
+        crossings, batch_format="pandas")
