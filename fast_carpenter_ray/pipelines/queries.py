@@ -2635,6 +2635,22 @@ def q_image_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_hll_users(sf_dir: str):
+    """HyperLogLog register table over event user ids (stages/sketch.py
+    hll_registers): registers are exact integer functions of the input
+    set, so the sketch itself is hash-checked against a SQL replay of
+    the splitmix64 hash + exact bin()-based leading-zero count; only
+    hll_estimate (pytest-pinned error bound) is approximate."""
+    from ..stages.sketch import hll_registers
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = hll_registers(ds, "user_id", p=10).to_pandas()
+    out = out.astype({"bucket": np.int64, "max_rho": np.int64})
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def q_geofence(sf_dir: str):
     """Geofence entry/exit events (stages/geofence.py): broadcast
     fence-cell membership evaluated before the one key-keyed shuffle;
@@ -2677,6 +2693,26 @@ def q_spatial_autocorr(sf_dir: str):
 
 # ----------------------------------------------------------------------
 # oracle SQL
+
+
+def _hll_sql(p: int = 10, seed: int = 0) -> str:
+    """Bit-exact SQL replay of hll_registers: the splitmix64 mix64 hash
+    in HUGEINT mod-2^64 arithmetic, bucket/remainder by shift/mask, and
+    the leading-zero count via length(bin(rem)) — DuckDB's bin() is an
+    exact integer-to-binary string, so no float log2 is involved."""
+    from ..stages.sample import mix64_sql
+
+    w = 64 - p
+    mask = (1 << w) - 1
+    z = mix64_sql("user_id", seed)
+    return (
+        f"WITH h AS (SELECT {z} AS z FROM events), "
+        f"r AS (SELECT CAST(z >> {w} AS BIGINT) AS bucket, "
+        f"CAST(z & CAST({mask} AS UBIGINT) AS BIGINT) AS rem FROM h) "
+        f"SELECT bucket, CAST(max(CASE WHEN rem = 0 THEN {w + 1} "
+        f"ELSE {w + 1} - length(bin(rem)) END) AS BIGINT) AS max_rho "
+        f"FROM r GROUP BY bucket"
+    )
 
 
 def _cutflow_sql() -> str:
@@ -3472,6 +3508,7 @@ def build_oracles() -> Dict[str, str]:
             "CAST(sum(own_n) AS BIGINT) AS n FROM exp GROUP BY cell) "
             "SELECT cell, n, focal_n, focal_sum, "
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
+        "hll_users": _hll_sql(),
         "geofence": (
             "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
             "(event_id * 2654435761) % 1024 AS x, "
@@ -4444,6 +4481,7 @@ def build_queries() -> Dict[str, Callable]:
         "focal_mean": q_focal_mean,
         "spatial_autocorr": q_spatial_autocorr,
         "geofence": q_geofence,
+        "hll_users": q_hll_users,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
         "ann_ivf": q_ann_ivf,

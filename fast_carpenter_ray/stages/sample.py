@@ -34,7 +34,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["hash_sample", "stratified_sample", "group_topk", "count_distinct",
-           "weighted_sample", "train_order", "mixture_sample"]
+           "weighted_sample", "train_order", "mixture_sample",
+           "mix64", "mix64_sql", "mix_hash", "mix_hash_sql"]
 
 _M = 1_000_000
 _M64 = 1 << 64
@@ -46,11 +47,11 @@ _C2 = 0x14057B7EF7            # 37-bit odd multiplier (PCG LCG 40-bit slice)
 # (splitmix64's native 63-bit constants would overflow HUGEINT)
 
 
-def mix_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
-    """Vectorized splitmix64-style avalanche hash of int64 ids into
-    [0, 1e6), bit-identical to :func:`mix_hash_sql`'s DuckDB expression
-    (cross-checked in tests).  ``seed`` selects the sequence position —
-    samples at different seeds are independent, not shifted copies."""
+def mix64(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Full-width splitmix64-style avalanche hash of int64 ids (uint64
+    out), bit-identical to :func:`mix64_sql`'s DuckDB expression.
+    ``seed`` selects the sequence position — different seeds give
+    independent streams, not shifted copies."""
     s = np.uint64(((seed + 1) * _GAMMA) % _M64)
     z = ids.astype(np.int64).view(np.uint64) + s
     z ^= z >> np.uint64(30)
@@ -58,11 +59,11 @@ def mix_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
     z ^= z >> np.uint64(27)
     z *= np.uint64(_C2)
     z ^= z >> np.uint64(31)
-    return (z % np.uint64(_M)).astype(np.int64)
+    return z
 
 
-def mix_hash_sql(id_col: str, seed: int = 0) -> str:
-    """DuckDB expression reproducing :func:`mix_hash` bit-for-bit:
+def mix64_sql(id_col: str, seed: int = 0) -> str:
+    """DuckDB UBIGINT expression reproducing :func:`mix64` bit-for-bit:
     UBIGINT xor/shift + HUGEINT mod-2^64 multiplies."""
     s = ((seed + 1) * _GAMMA) % _M64
     z0 = (f"CAST((CAST({id_col} AS HUGEINT) + {s}) % {_M64} AS UBIGINT)")
@@ -70,8 +71,18 @@ def mix_hash_sql(id_col: str, seed: int = 0) -> str:
     z2 = f"CAST((CAST({z1} AS HUGEINT) * {_C1}) % {_M64} AS UBIGINT)"
     z3 = f"xor({z2}, {z2} >> 27)"
     z4 = f"CAST((CAST({z3} AS HUGEINT) * {_C2}) % {_M64} AS UBIGINT)"
-    z5 = f"xor({z4}, {z4} >> 31)"
-    return f"CAST({z5} % {_M} AS BIGINT)"
+    return f"xor({z4}, {z4} >> 31)"
+
+
+def mix_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """:func:`mix64` reduced into [0, 1e6) — the sampling decision hash,
+    bit-identical to :func:`mix_hash_sql` (cross-checked in tests)."""
+    return (mix64(ids, seed) % np.uint64(_M)).astype(np.int64)
+
+
+def mix_hash_sql(id_col: str, seed: int = 0) -> str:
+    """DuckDB expression reproducing :func:`mix_hash` bit-for-bit."""
+    return f"CAST({mix64_sql(id_col, seed)} % {_M} AS BIGINT)"
 
 
 def hash_sample(ds, id_col: str, fraction: float, seed: int = 0):

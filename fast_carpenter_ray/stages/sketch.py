@@ -30,7 +30,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["mg_compress", "mg_merge", "heavy_hitters"]
+__all__ = ["mg_compress", "mg_merge", "heavy_hitters",
+           "hll_registers", "hll_estimate"]
 
 #: reserved item key carrying the per-batch row count through the same
 #: partial pass (never a valid item: engine item ids are >= -1)
@@ -121,3 +122,79 @@ def heavy_hitters(ds, col: str, min_frac: float, k: Optional[int] = None,
     ex = ex.groupby("item", sort=True)["n"].sum().reset_index()
     out = ex[ex["n"] >= thresh].sort_values("item").reset_index(drop=True)
     return out.astype({"item": np.int64, "n": np.int64})
+
+
+# ----------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (0 -> 0): six
+    masked shift passes — no float log2, so values above 2^53 can never
+    round across a power of two."""
+    x = x.copy()
+    bl = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        x[big] >>= np.uint64(s)
+    bl += (x > 0).astype(np.int64)
+    return bl
+
+
+def hll_registers(ds, id_col: str, p: int = 12, seed: int = 0,
+                  mode: str = "tree"):
+    """HyperLogLog register table for distinct ``id_col`` values
+    (Flajolet et al. 2007, public literature): one row per NON-EMPTY
+    bucket, ``(bucket, max_rho)``.
+
+    ``bucket`` is the top ``p`` bits of the splitmix64-style
+    :func:`~.sample.mix64` hash; ``rho`` is the leading-zero count of
+    the remaining ``64-p`` bits plus one.  Registers are exact integer
+    functions of the input SET (duplicates cannot change a max), so a
+    SQL oracle replays them bit-for-bit — the approximation lives
+    ONLY in :func:`hll_estimate`, which is a deterministic driver-side
+    formula over the register table.
+
+    Scale shape: per-batch (bucket, rho) max partials — at most 2^p
+    rows per block regardless of block size — merged by one ``max``
+    combine.  Registers merge associatively (elementwise max), which is
+    what makes the sketch usable as a per-partition lineage metric too.
+    """
+    from ..agg import combine_partials
+    from .sample import mix64
+
+    if not (4 <= p <= 18):
+        raise ValueError("hll_registers: p must be in [4, 18]")
+    w = 64 - p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = mix64(ids, seed)
+        bucket = (z >> np.uint64(w)).astype(np.int64)
+        rem = z & np.uint64((1 << w) - 1)
+        rho = (w + 1) - _bit_length_u64(rem)
+        df = pd.DataFrame({"bucket": bucket, "max_rho": rho})
+        out = df.groupby("bucket", sort=False)["max_rho"].max().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return combine_partials(parts, keys=["bucket"], value_cols=["max_rho"],
+                            mode=mode, agg="max")
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = 12) -> float:
+    """Deterministic HLL cardinality estimate from a register table
+    (missing buckets count as zero registers).  Standard bias-corrected
+    formula with the small-range linear-counting correction; relative
+    error ~1.04/sqrt(2^p)."""
+    m = 1 << p
+    rho = np.zeros(m, dtype=np.int64)
+    b = registers["bucket"].to_numpy().astype(np.int64)
+    rho[b] = registers["max_rho"].to_numpy().astype(np.int64)
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.power(2.0, -rho.astype(np.float64)))
+    zeros = int((rho == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        return float(m * np.log(m / zeros))
+    return float(est)
