@@ -2635,6 +2635,29 @@ def q_image_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_zscore_outliers(sf_dir: str):
+    """Per-language document-length anomalies (stages/stats.py
+    zscore_outliers): integer moment partials -> broadcast (mu, k^2*var)
+    scalars -> one vectorized filter pass.  Both sides evaluate the same
+    IEEE op chain, so the row set and zscore column hash-match."""
+    from ..stages.stats import zscore_outliers
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+
+    def with_len(batch: pa.Table) -> pa.Table:
+        ln = pa.compute.utf8_length(batch["text"]).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "lang": batch["lang"],
+                         "len": ln})
+
+    out = zscore_outliers(
+        ds.map_batches(with_len, batch_format="pyarrow"),
+        group="lang", value="len", k=1.5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_hll_users(sf_dir: str):
     """HyperLogLog register table over event user ids (stages/sketch.py
     hll_registers): registers are exact integer functions of the input
@@ -3509,6 +3532,19 @@ def build_oracles() -> Dict[str, str]:
             "SELECT cell, n, focal_n, focal_sum, "
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "hll_users": _hll_sql(),
+        "zscore_outliers": (
+            "WITH d AS (SELECT doc_id, lang, "
+            "CAST(length(text) AS BIGINT) AS len FROM documents), "
+            "g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(len) AS BIGINT) AS s, "
+            "CAST(sum(len * len) AS BIGINT) AS q FROM d GROUP BY lang), "
+            "m AS (SELECT lang, CAST(s AS DOUBLE) / n AS mu, "
+            "CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) "
+            "* (CAST(s AS DOUBLE) / n) AS var FROM g) "
+            "SELECT d.doc_id, d.lang, d.len, "
+            "(d.len - mu) / sqrt(var) AS zscore "
+            "FROM d JOIN m ON d.lang = m.lang "
+            "WHERE (d.len - mu) * (d.len - mu) > 2.25 * var"),
         "geofence": (
             "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
             "(event_id * 2654435761) % 1024 AS x, "
@@ -4482,6 +4518,7 @@ def build_queries() -> Dict[str, Callable]:
         "spatial_autocorr": q_spatial_autocorr,
         "geofence": q_geofence,
         "hll_users": q_hll_users,
+        "zscore_outliers": q_zscore_outliers,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
         "ann_ivf": q_ann_ivf,

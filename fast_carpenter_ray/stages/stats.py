@@ -24,7 +24,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["grouped_corr", "grouped_entropy", "grouped_mode",
-           "zipf_slope", "grouped_collect_set", "pivot_counts", "grouped_ols"]
+           "zipf_slope", "grouped_collect_set", "pivot_counts", "grouped_ols",
+           "zscore_outliers"]
 
 
 def grouped_corr(ds, group: str, x: str, y: str, mode: str = "tree"):
@@ -372,3 +373,67 @@ def grouped_ols(ds, group: str, x: str, y: str, mode: str = "tree"):
     out = pd.DataFrame({group: sums[group][ok], "n": n[ok],
                         "slope": slope, "intercept": intercept})
     return out.sort_values(group).reset_index(drop=True)
+
+
+def zscore_outliers(ds, group: str, value: str, k: float = 2.0,
+                    mode: str = "tree"):
+    """Per-group z-score anomaly filter: rows whose integer ``value``
+    deviates more than ``k`` population standard deviations from their
+    group's mean.
+
+    Two streaming passes, zero row shuffles: (1) per-batch integer
+    moment partials ``(group, n, s, q)`` + summary-sized combine;
+    (2) the per-group ``(mu, k^2 * var)`` scalars broadcast via
+    ``ray.put`` and a vectorized per-batch filter
+    ``(x - mu)^2 > k^2 * var``.  All float ops ((s/n), (q/n - mu*mu),
+    the squared difference, one compare) are evaluated in the SAME IEEE
+    order as the SQL oracle, so the row set matches bit-for-bit; the
+    emitted ``zscore`` is likewise a fixed op chain
+    ``(x - mu) / sqrt(var)``.  Groups with zero variance can never emit
+    (all values equal their mean).
+    """
+    import ray
+
+    from ..agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": batch[group].to_pandas(),
+            "x": batch[value].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        df["q"] = df["x"] * df["x"]
+        out = df.groupby("g", sort=False).agg(
+            n=("x", "size"), s=("x", "sum"), q=("q", "sum")).reset_index()
+        out = out.rename(columns={"g": group})
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    stats = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[group], value_cols=["n", "s", "q"], mode=mode).to_pandas()
+    n = stats["n"].to_numpy().astype(np.float64)
+    s = stats["s"].to_numpy().astype(np.float64)
+    q = stats["q"].to_numpy().astype(np.float64)
+    mu = s / n
+    var = q / n - mu * mu
+    table = {g: (float(m), float(v))
+             for g, m, v in zip(stats[group], mu, var)}
+    ref = ray.put(table)
+    kk = float(k) * float(k)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        gs = batch[group].to_numpy(zero_copy_only=False)
+        x = batch[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        # dict lookups only on the UNIQUE groups in the batch (the group
+        # space is summary-sized); rows gather by inverse index
+        uniq, inv = np.unique(gs, return_inverse=True)
+        mus = np.array([t[g][0] for g in uniq], dtype=np.float64)[inv]
+        vs = np.array([t[g][1] for g in uniq], dtype=np.float64)[inv]
+        d = x - mus
+        keep = d * d > kk * vs
+        sub = batch.filter(pa.array(keep))
+        z = (x[keep] - mus[keep]) / np.sqrt(vs[keep])
+        return sub.append_column("zscore", pa.array(z, type=pa.float64()))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

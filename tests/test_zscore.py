@@ -1,0 +1,67 @@
+"""Per-group z-score anomaly filter (stages/stats.py zscore_outliers)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fast_carpenter_ray.stages.stats import zscore_outliers
+
+
+def _ds(groups, values, ids=None):
+    import ray.data as rd
+    ids = list(range(len(values))) if ids is None else ids
+    return rd.from_arrow(pa.table({
+        "id": pa.array(ids, type=pa.int64()),
+        "g": pa.array(groups, type=pa.string()),
+        "x": pa.array(values, type=pa.int64()),
+    }))
+
+
+def _run(groups, values, k):
+    out = zscore_outliers(_ds(groups, values), "g", "x", k=k).to_pandas()
+    if out.empty:   # schema is lost at to_pandas on an empty result
+        return pd.DataFrame(columns=["id", "g", "x", "zscore"])
+    return out.sort_values("id").reset_index(drop=True)
+
+
+def test_matches_numpy_reference(ray_session):
+    rng = np.random.RandomState(3)
+    groups = rng.choice(["a", "b", "c"], 3000).tolist()
+    values = rng.randint(0, 5000, 3000).tolist()
+    k = 1.5
+    got = _run(groups, values, k)
+
+    df = pd.DataFrame({"id": range(3000), "g": groups, "x": values})
+    stats = df.groupby("g")["x"].agg(["mean", "var", "count"])
+    # population variance, float op order matching the operator
+    mu = df.groupby("g")["x"].transform(
+        lambda s: s.sum() / len(s))
+    var = df.groupby("g")["x"].transform(
+        lambda s: (s * s).sum() / len(s)) - mu * mu
+    d = df["x"].astype(float) - mu
+    want = df[(d * d) > (k * k) * var]
+    assert list(got["id"]) == list(want["id"])
+    z = (want["x"].astype(float) - mu[want.index]) / np.sqrt(var[want.index])
+    np.testing.assert_allclose(got["zscore"].to_numpy(), z.to_numpy(),
+                               rtol=1e-12)
+
+
+def test_zero_variance_group_never_emits(ray_session):
+    groups = ["a"] * 10 + ["b"] * 4
+    values = [7] * 10 + [1, 1, 1, 100]
+    out = _run(groups, values, 1.0)
+    assert all(out["g"] == "b")
+    assert 100 in set(out["x"])
+
+
+def test_obvious_outlier_flagged(ray_session):
+    values = [10] * 50 + [11] * 50 + [10_000]
+    out = _run(["g"] * 101, values, 3.0)
+    assert list(out["x"]) == [10_000]
+    assert out["zscore"].iloc[0] > 3.0
+
+
+def test_k_large_emits_nothing(ray_session):
+    out = _run(["g"] * 20, list(range(20)), 100.0)
+    assert len(out) == 0
