@@ -2635,6 +2635,37 @@ def q_image_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_interval_join(sf_dir: str):
+    """Interval-overlap join (stages/interval_join.py): deterministic
+    event intervals (dur from the event-id hash), even ids vs odd ids.
+    One bucket-keyed shuffle; canonical-bucket attribution means no
+    pair-dedupe shuffle exists.  Oracle: the plain non-equi cross
+    join."""
+    from ..stages.interval_join import interval_join
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+
+    def to_iv(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur = ((eid * 2654435761) % 1024 + 1) * 1_000_000
+        return pa.table({
+            "id": pa.array(eid, type=pa.int64()),
+            "s": pa.array(s, type=pa.int64()),
+            "e": pa.array(s + dur, type=pa.int64()),
+            "side": pa.array((eid % 2).astype(np.int8)),
+        })
+
+    out = interval_join(ds.map_batches(to_iv, batch_format="pyarrow"),
+                        side_col="side",
+                        bucket_width=1024 * 1_000_000).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_zscore_outliers(sf_dir: str):
     """Per-language document-length anomalies (stages/stats.py
     zscore_outliers): integer moment partials -> broadcast (mu, k^2*var)
@@ -3532,6 +3563,16 @@ def build_oracles() -> Dict[str, str]:
             "SELECT cell, n, focal_n, focal_sum, "
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "hll_users": _hll_sql(),
+        "interval_join": (
+            "WITH iv AS (SELECT event_id AS id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + ((event_id * 2654435761) % 1024 + 1) * 1000000 "
+            "AS e FROM events), "
+            "l AS (SELECT * FROM iv WHERE id % 2 = 0), "
+            "r AS (SELECT * FROM iv WHERE id % 2 = 1) "
+            "SELECT l.id AS id_a, r.id AS id_b, "
+            "CAST(least(l.e, r.e) - greatest(l.s, r.s) AS BIGINT) "
+            "AS overlap_us "
+            "FROM l, r WHERE l.s <= r.e AND r.s <= l.e"),
         "zscore_outliers": (
             "WITH d AS (SELECT doc_id, lang, "
             "CAST(length(text) AS BIGINT) AS len FROM documents), "
@@ -4519,6 +4560,7 @@ def build_queries() -> Dict[str, Callable]:
         "geofence": q_geofence,
         "hll_users": q_hll_users,
         "zscore_outliers": q_zscore_outliers,
+        "interval_join": q_interval_join,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
         "ann_ivf": q_ann_ivf,
