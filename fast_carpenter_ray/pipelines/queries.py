@@ -2635,6 +2635,30 @@ def q_image_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_colocation(sf_dir: str):
+    """Spatial co-location lift per event-type pair on the synthetic
+    8x8 event grid (stages/colocation.py): distinct (cell,label) shrink
+    -> ONE cell shuffle -> label/pair marker combine; lift is one IEEE
+    division of exact ints, hash-exact vs the self-join SQL."""
+    from ..stages.colocation import colocation
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid * 2654435761) % 1024
+        y = (eid * 40503 + 12345) % 1024
+        return pa.table({
+            "cell": pa.array((x // 128) * 8 + y // 128, type=pa.int64()),
+            "label": batch["event_type"],
+        })
+
+    return colocation(ds.map_batches(cellify, batch_format="pyarrow"))
+
+
 def q_interval_join(sf_dir: str):
     """Interval-overlap join (stages/interval_join.py): deterministic
     event intervals (dur from the event-id hash), even ids vs odd ids.
@@ -3563,6 +3587,23 @@ def build_oracles() -> Dict[str, str]:
             "SELECT cell, n, focal_n, focal_sum, "
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "hll_users": _hll_sql(),
+        "colocation": (
+            "WITH p AS (SELECT DISTINCT "
+            "(((event_id * 2654435761) % 1024) // 128) * 8 "
+            "+ ((event_id * 40503 + 12345) % 1024) // 128 AS cell, "
+            "event_type AS label FROM events), "
+            "nc AS (SELECT CAST(count(DISTINCT cell) AS BIGINT) AS n_cells "
+            "FROM p), "
+            "la AS (SELECT label, CAST(count(*) AS BIGINT) AS n "
+            "FROM p GROUP BY label), "
+            "pp AS (SELECT a.label AS label_a, b.label AS label_b, "
+            "CAST(count(*) AS BIGINT) AS n_ab FROM p a "
+            "JOIN p b ON a.cell = b.cell AND a.label < b.label "
+            "GROUP BY 1, 2) "
+            "SELECT label_a, label_b, la1.n AS n_a, la2.n AS n_b, n_ab, "
+            "CAST(n_cells * n_ab AS DOUBLE) / (la1.n * la2.n) AS lift "
+            "FROM pp JOIN la la1 ON la1.label = pp.label_a "
+            "JOIN la la2 ON la2.label = pp.label_b, nc"),
         "interval_join": (
             "WITH iv AS (SELECT event_id AS id, epoch_us(ts) AS s, "
             "epoch_us(ts) + ((event_id * 2654435761) % 1024 + 1) * 1000000 "
@@ -4561,6 +4602,7 @@ def build_queries() -> Dict[str, Callable]:
         "hll_users": q_hll_users,
         "zscore_outliers": q_zscore_outliers,
         "interval_join": q_interval_join,
+        "colocation": q_colocation,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
         "ann_ivf": q_ann_ivf,
