@@ -2635,6 +2635,52 @@ def q_image_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def _xy_events(sf_dir: str):
+    """Events with the synthetic deterministic 1024-grid positions
+    (same multiply/mod as _trajectory_events)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def posify(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": pa.array(eid, type=pa.int64()),
+            "x": pa.array((eid * 2654435761) % 1024, type=pa.int64()),
+            "y": pa.array((eid * 40503 + 12345) % 1024, type=pa.int64()),
+        })
+
+    return ds.map_batches(posify, batch_format="pyarrow")
+
+
+def q_rdp_simplify(sf_dir: str):
+    """Per-user RDP polyline simplification (stages/simplify.py) at
+    eps=256 on the synthetic 1024-grid paths.  Recursive argmax
+    splitting is not SQL-expressible — rows-only driver check; pytest
+    pins the kernel against an independent recursive reference."""
+    from ..stages.simplify import rdp_simplify
+
+    out = rdp_simplify(_xy_events(sf_dir), eps=256).to_pandas()
+    return out.sort_values(["user_id", "t", "event_id"]).reset_index(
+        drop=True)
+
+
+def q_convex_hulls(sf_dir: str):
+    """Per-user convex hull vertex SET (stages/simplify.py): monotone
+    chain per entity after one key shuffle of slim int rows.  The SQL
+    oracle uses the exact corner characterization (exists a companion
+    point with every other point strictly left or collinear-ahead) —
+    hash-exact on the vertex set."""
+    from ..stages.simplify import convex_hulls
+
+    out = convex_hulls(_xy_events(sf_dir)).to_pandas()
+    out = out[["user_id", "x", "y"]].drop_duplicates()
+    return out.sort_values(["user_id", "x", "y"]).reset_index(drop=True)
+
+
 def q_colocation(sf_dir: str):
     """Spatial co-location lift per event-type pair on the synthetic
     8x8 event grid (stages/colocation.py): distinct (cell,label) shrink
@@ -3587,6 +3633,26 @@ def build_oracles() -> Dict[str, str]:
             "SELECT cell, n, focal_n, focal_sum, "
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "hll_users": _hll_sql(),
+        "convex_hulls": (
+            "WITH pts AS (SELECT DISTINCT user_id, "
+            "(event_id * 2654435761) % 1024 AS x, "
+            "(event_id * 40503 + 12345) % 1024 AS y FROM events), "
+            "cnt AS (SELECT user_id, count(*) AS n FROM pts GROUP BY 1) "
+            "SELECT p.user_id, CAST(p.x AS BIGINT) AS x, "
+            "CAST(p.y AS BIGINT) AS y "
+            "FROM pts p JOIN cnt ON cnt.user_id = p.user_id "
+            "WHERE cnt.n = 1 OR EXISTS (SELECT 1 FROM pts q "
+            "WHERE q.user_id = p.user_id "
+            "AND NOT (q.x = p.x AND q.y = p.y) "
+            "AND NOT EXISTS (SELECT 1 FROM pts r "
+            "WHERE r.user_id = p.user_id "
+            "AND NOT (r.x = p.x AND r.y = p.y) "
+            "AND NOT (r.x = q.x AND r.y = q.y) "
+            "AND NOT ("
+            "(q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) > 0 "
+            "OR ((q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) = 0 "
+            "AND (q.x - p.x) * (r.x - p.x) "
+            "+ (q.y - p.y) * (r.y - p.y) > 0))))"),
         "colocation": (
             "WITH p AS (SELECT DISTINCT "
             "(((event_id * 2654435761) % 1024) // 128) * 8 "
@@ -4603,6 +4669,8 @@ def build_queries() -> Dict[str, Callable]:
         "zscore_outliers": q_zscore_outliers,
         "interval_join": q_interval_join,
         "colocation": q_colocation,
+        "rdp_simplify": q_rdp_simplify,
+        "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
         "ann_ivf": q_ann_ivf,
