@@ -2656,6 +2656,16 @@ def _xy_events(sf_dir: str):
     return ds.map_batches(posify, batch_format="pyarrow")
 
 
+def q_zorder(sf_dir: str):
+    """Morton locality keys over the synthetic 1024-grid positions
+    (stages/zorder.py): pure per-batch bit interleave, replayed by a
+    generated power-of-two SQL expansion — hash-exact."""
+    from ..stages.zorder import zorder_key
+
+    ds = zorder_key(_xy_events(sf_dir), bits=10)
+    return ds.select_columns(["event_id", "x", "y", "zkey"])
+
+
 def q_rdp_simplify(sf_dir: str):
     """Per-user RDP polyline simplification (stages/simplify.py) at
     eps=256 on the synthetic 1024-grid paths.  Recursive argmax
@@ -2759,6 +2769,33 @@ def q_zscore_outliers(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_geofence_dwell(sf_dir: str):
+    """Per-visit dwell intervals inside the box fence (stages/geofence.py
+    geofence_dwell): enter/exit pairing happens inside the same per-key
+    group pass as transition detection — no second shuffle.  Oracle:
+    lag+lead window SQL over the same transitions."""
+    from ..stages.geofence import box_fence, geofence_dwell
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid * 2654435761) % 1024
+        y = (eid * 40503 + 12345) % 1024
+        return batch.append_column("cell", pa.array((x // 128) * 8 + y // 128))
+
+    fence = box_fence(2, 5, 3, 6, n_grid=8)
+    out = geofence_dwell(
+        ds.map_batches(cellify, batch_format="pyarrow"), fence).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["user_id", "enter_id", "exit_id",
+                                     "enter_us", "exit_us", "dwell_us"])
+    return out.sort_values(["user_id", "enter_id"]).reset_index(drop=True)
+
+
 def q_hll_users(sf_dir: str):
     """HyperLogLog register table over event user ids (stages/sketch.py
     hll_registers): registers are exact integer functions of the input
@@ -2817,6 +2854,17 @@ def q_spatial_autocorr(sf_dir: str):
 
 # ----------------------------------------------------------------------
 # oracle SQL
+
+
+def _zorder_sql() -> str:
+    from ..stages.zorder import zorder_sql
+
+    return (
+        "WITH p AS (SELECT event_id, "
+        "(event_id * 2654435761) % 1024 AS x, "
+        "(event_id * 40503 + 12345) % 1024 AS y FROM events) "
+        f"SELECT event_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, "
+        f"{zorder_sql('x', 'y', 10)} AS zkey FROM p")
 
 
 def _hll_sql(p: int = 10, seed: int = 0) -> str:
@@ -3633,6 +3681,7 @@ def build_oracles() -> Dict[str, str]:
             "SELECT cell, n, focal_n, focal_sum, "
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "hll_users": _hll_sql(),
+        "zorder": _zorder_sql(),
         "convex_hulls": (
             "WITH pts AS (SELECT DISTINCT user_id, "
             "(event_id * 2654435761) % 1024 AS x, "
@@ -3708,6 +3757,33 @@ def build_oracles() -> Dict[str, str]:
             "CAST(t AS BIGINT) AS ts_us, "
             "CASE WHEN inside = 1 THEN 'enter' ELSE 'exit' END AS transition "
             "FROM l WHERE prev IS NOT NULL AND inside <> prev"),
+        "geofence_dwell": (
+            "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+            "(event_id * 2654435761) % 1024 AS x, "
+            "(event_id * 40503 + 12345) % 1024 AS y FROM events), "
+            "c AS (SELECT user_id, event_id, t, "
+            "CASE WHEN (x // 128) BETWEEN 2 AND 4 "
+            "AND (y // 128) BETWEEN 3 AND 5 THEN 1 ELSE 0 END AS inside "
+            "FROM p), "
+            "l AS (SELECT user_id, event_id, t, inside, "
+            "lag(inside) OVER (PARTITION BY user_id ORDER BY t, event_id) "
+            "AS prev FROM c), "
+            "tr AS (SELECT user_id, event_id, t, inside FROM l "
+            "WHERE prev IS NOT NULL AND inside <> prev), "
+            "w AS (SELECT user_id, event_id AS enter_id, t AS enter_us, "
+            "inside, "
+            "lead(event_id) OVER (PARTITION BY user_id ORDER BY t, event_id) "
+            "AS exit_id, "
+            "lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) "
+            "AS exit_us, "
+            "lead(inside) OVER (PARTITION BY user_id ORDER BY t, event_id) "
+            "AS nxt FROM tr) "
+            "SELECT user_id, CAST(enter_id AS BIGINT) AS enter_id, "
+            "CAST(exit_id AS BIGINT) AS exit_id, "
+            "CAST(enter_us AS BIGINT) AS enter_us, "
+            "CAST(exit_us AS BIGINT) AS exit_us, "
+            "CAST(exit_us - enter_us AS BIGINT) AS dwell_us "
+            "FROM w WHERE inside = 1 AND nxt = 0"),
         "spatial_autocorr": (
             f"WITH base AS ({geo}), "
             f"z AS (SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS n "
@@ -4666,10 +4742,12 @@ def build_queries() -> Dict[str, Callable]:
         "spatial_autocorr": q_spatial_autocorr,
         "geofence": q_geofence,
         "hll_users": q_hll_users,
+        "geofence_dwell": q_geofence_dwell,
         "zscore_outliers": q_zscore_outliers,
         "interval_join": q_interval_join,
         "colocation": q_colocation,
         "rdp_simplify": q_rdp_simplify,
+        "zorder": q_zorder,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,

@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["geofence_events", "box_fence"]
+__all__ = ["geofence_events", "geofence_dwell", "box_fence"]
 
 
 def box_fence(x_lo: int, x_hi: int, y_lo: int, y_hi: int,
@@ -97,3 +97,70 @@ def geofence_events(ds, fence_cells: np.ndarray, key: str = "user_id",
     rows = ds.map_batches(slim, batch_format="pyarrow")
     return rows.groupby(key_c, num_partitions=num_partitions).map_groups(
         crossings, batch_format="pandas")
+
+
+def geofence_dwell(ds, fence_cells: np.ndarray, key: str = "user_id",
+                   ts: str = "ts", id_col: str = "event_id",
+                   cell: str = "cell",
+                   num_partitions: Optional[int] = None):
+    """Per-visit dwell intervals: each ``enter`` transition paired with
+    the next ``exit`` of the same entity — ``(key, enter_id, exit_id,
+    enter_us, exit_us, dwell_us)``.
+
+    An entity still inside at stream end yields no row (open visit);
+    the first event landing inside (no prior outside event) opens a
+    visit only when a real ``enter`` transition exists, matching
+    :func:`geofence_events` semantics.  Same scale shape as
+    ``geofence_events`` — the pairing happens inside the SAME per-key
+    group pass, so no second shuffle.
+    """
+    import ray
+
+    if num_partitions is None:
+        from ..agg import default_partitions
+
+        num_partitions = default_partitions(4)
+
+    fence = np.sort(np.asarray(fence_cells, dtype=np.int64))
+    fence_ref = ray.put(fence)
+    key_c, ts_c, id_c = key, ts, id_col
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch[ts_c].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cells = batch[cell].to_numpy(zero_copy_only=False).astype(np.int64)
+        inside = np.isin(cells, ray.get(fence_ref)).astype(np.int8)
+        return pa.table({
+            key_c: batch[key_c],
+            id_c: batch[id_c].cast(pa.int64()),
+            "t": pa.array(t, type=pa.int64()),
+            "inside": pa.array(inside, type=pa.int8()),
+        })
+
+    def visits(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", id_c], kind="stable")
+        inside = g["inside"].to_numpy()
+        prev = np.empty_like(inside)
+        prev[0] = inside[0]
+        prev[1:] = inside[:-1]
+        hit = inside != prev
+        ids = g[id_c].to_numpy()[hit]
+        t = g["t"].to_numpy()[hit]
+        kinds = inside[hit]            # 1 = enter, 0 = exit
+        # transitions strictly alternate within an entity, so pairing is
+        # positional: an enter at position i pairs with the exit at i+1
+        ent = kinds == 1
+        pair = ent[:-1] & (kinds[1:] == 0) if len(kinds) > 1 else \
+            np.array([], dtype=bool)
+        i = np.nonzero(pair)[0]
+        return pd.DataFrame({
+            key_c: pd.Series(np.repeat(g[key_c].iloc[0], len(i))),
+            "enter_id": pd.Series(ids[i], dtype="int64"),
+            "exit_id": pd.Series(ids[i + 1], dtype="int64"),
+            "enter_us": pd.Series(t[i], dtype="int64"),
+            "exit_us": pd.Series(t[i + 1], dtype="int64"),
+            "dwell_us": pd.Series(t[i + 1] - t[i], dtype="int64"),
+        })
+
+    rows = ds.map_batches(slim, batch_format="pyarrow")
+    return rows.groupby(key_c, num_partitions=num_partitions).map_groups(
+        visits, batch_format="pandas")

@@ -91,3 +91,49 @@ def test_matches_pandas_reference(ray_session):
     assert list(got["event_id"]) == list(want["event_id"])
     assert list(got["transition"]) == [
         "enter" if i else "exit" for i in want["inside"]]
+
+
+def test_dwell_pairs_enter_with_next_exit(ray_session):
+    from fast_carpenter_ray.stages.geofence import geofence_dwell
+    fence = np.array([3], dtype=np.int64)
+    rows = [
+        (1, 100, 1, 5),   # out
+        (1, 200, 2, 3),   # enter
+        (1, 300, 3, 3),   # in
+        (1, 400, 4, 5),   # exit -> dwell 200
+        (1, 500, 5, 3),   # enter (open visit, never exits)
+        (2, 100, 6, 3),   # starts inside: no enter transition
+        (2, 200, 7, 5),   # exit transition with no prior enter: no pair
+    ]
+    out = geofence_dwell(_events(rows), fence).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["user_id"], r["enter_id"], r["exit_id"], r["dwell_us"]) == \
+        (1, 2, 4, 200)
+
+
+def test_dwell_matches_transitions_replay(ray_session):
+    from fast_carpenter_ray.stages.geofence import geofence_dwell
+    rng = np.random.RandomState(12)
+    n = 1500
+    rows = list(zip(rng.randint(0, 30, n).tolist(),
+                    rng.randint(0, 10**6, n).tolist(),
+                    range(1, n + 1),
+                    rng.randint(0, 64, n).tolist()))
+    fence = box_fence(2, 5, 3, 6, n_grid=8)
+    dw = geofence_dwell(_events(rows), fence).to_pandas() \
+        .sort_values(["user_id", "enter_id"]).reset_index(drop=True)
+    tr = _run(rows, fence)
+    want = []
+    for uid, g in tr.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        ks = list(g["transition"])
+        for i in range(len(ks) - 1):
+            if ks[i] == "enter" and ks[i + 1] == "exit":
+                want.append((uid, int(g["event_id"].iloc[i]),
+                             int(g["event_id"].iloc[i + 1]),
+                             int(g["ts_us"].iloc[i + 1])
+                             - int(g["ts_us"].iloc[i])))
+    got = [(int(r.user_id), int(r.enter_id), int(r.exit_id),
+            int(r.dwell_us)) for r in dw.itertuples()]
+    assert got == sorted(want)
