@@ -2656,6 +2656,20 @@ def _xy_events(sf_dir: str):
     return ds.map_batches(posify, batch_format="pyarrow")
 
 
+def q_local_autocorr(sf_dir: str):
+    """Local Moran's I (LISA) per occupied res-6 cell
+    (stages/autocorr.py local_autocorr): exact scaled-integer
+    numerators, one float chain for the statistic — hash-exact vs the
+    HUGEINT SQL replay."""
+    from ..stages.autocorr import local_autocorr
+
+    ds = _pages_geo(sf_dir)
+    out = local_autocorr(ds, res=RES)
+    if hasattr(out, "to_pandas"):   # hash path returns a Dataset
+        out = out.to_pandas()
+    return out.sort_values("cell").reset_index(drop=True)
+
+
 def q_zorder(sf_dir: str):
     """Morton locality keys over the synthetic 1024-grid positions
     (stages/zorder.py): pure per-batch bit interleave, replayed by a
@@ -3682,6 +3696,31 @@ def build_oracles() -> Dict[str, str]:
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "hll_users": _hll_sql(),
         "zorder": _zorder_sql(),
+        "local_autocorr": (
+            f"WITH base AS ({geo}), "
+            f"z AS (SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS n "
+            "FROM base WHERE lat IS NOT NULL GROUP BY cell), "
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS nc, "
+            "CAST(sum(n) AS BIGINT) AS sx, "
+            "CAST(sum(n*n) AS BIGINT) AS q FROM z), "
+            "off AS (SELECT dy, dx FROM unnest([-1, 0, 1]) AS a(dy), "
+            "unnest([-1, 0, 1]) AS b(dx) WHERE NOT (dy = 0 AND dx = 0)), "
+            f"exp AS (SELECT (z.cell // {_N} + dy) * {_N} + "
+            f"(((z.cell % {_N}) + dx) % {_N} + {_N}) % {_N} AS cell, "
+            f"z.n AS nsrc FROM z, off "
+            f"WHERE z.cell // {_N} + dy BETWEEN 0 AND {_N - 1}), "
+            "nb AS (SELECT cell, CAST(sum(nsrc) AS BIGINT) AS nbr_sum, "
+            "CAST(count(*) AS BIGINT) AS nbr_deg FROM exp GROUP BY cell) "
+            "SELECT z.cell, z.n, "
+            "CAST(s.nc * z.n - s.sx AS BIGINT) AS u, "
+            "CAST(s.nc * coalesce(nb.nbr_sum, 0) "
+            "- s.sx * coalesce(nb.nbr_deg, 0) AS BIGINT) AS nbr_u, "
+            "(CAST(s.nc * z.n - s.sx AS DOUBLE) "
+            "* CAST(s.nc * coalesce(nb.nbr_sum, 0) "
+            "- s.sx * coalesce(nb.nbr_deg, 0) AS DOUBLE)) "
+            "/ CAST(CAST(s.nc AS HUGEINT) * s.q "
+            "- CAST(s.sx AS HUGEINT) * s.sx AS DOUBLE) AS lisa "
+            "FROM z LEFT JOIN nb ON z.cell = nb.cell, s"),
         "convex_hulls": (
             "WITH pts AS (SELECT DISTINCT user_id, "
             "(event_id * 2654435761) % 1024 AS x, "
@@ -4748,6 +4787,7 @@ def build_queries() -> Dict[str, Callable]:
         "colocation": q_colocation,
         "rdp_simplify": q_rdp_simplify,
         "zorder": q_zorder,
+        "local_autocorr": q_local_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,

@@ -45,7 +45,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["spatial_autocorr"]
+__all__ = ["spatial_autocorr", "local_autocorr"]
 
 #: queen-adjacency offsets (center excluded — w_ii = 0 by definition)
 _OFFS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
@@ -205,3 +205,166 @@ def spatial_autocorr(ds, res: int, lat_col: str = "lat",
         int(tot["n_cells"].sum()), int(tot["sum_x"].sum()),
         int(tot["sum_x2"].sum()), int(adj["w_edges"].sum()),
         int(adj["cross_sum"].sum()), int(adj["edge_sum"].sum()))
+
+
+def local_autocorr(ds, res: int, lat_col: str = "lat",
+                   lng_col: str = "lng", mode: str = "auto",
+                   num_partitions: Optional[int] = None):
+    """Local Moran's I (Anselin 1995 LISA, public literature) per
+    occupied cell: with ``u_i = N*x_i - S`` (the mean-centered count
+    scaled by N, an exact int) and ``nbr_u_i = N*nbr_sum_i - S*deg_i``
+    (same scaling over the queen ring, occupied neighbours only),
+
+        I_i = u_i * nbr_u_i / (N*Q - S^2)
+
+    where ``S = Σx``, ``Q = Σx²``, ``N`` = occupied cells — algebraic
+    identity of the textbook ``(x_i-x̄)/m2 * Σ_j w_ij (x_j-x̄)``.  The
+    numerator/denominator inputs are exact int64 and the final value is
+    ``(double(u) * double(nbr_u)) / double(N*Q - S²)`` — a fixed float
+    op chain a SQL oracle replays bit-for-bit.  Positive I_i = the cell
+    sits in a cluster of like values (hot/cold spot); negative = a
+    spatial outlier.
+
+    Scale shape: identical to :func:`spatial_autocorr` — ``mode='auto'``
+    gathers the ring in NumPy on the driver while the cell space is
+    summary-sized (4^res <= 65536, one combine, pandas result) and
+    above that runs the distributed path (per-batch count partials,
+    one cell combine, an 8-way ring expansion of per-cell totals, one
+    more combine, one cell left join; Dataset result); points never
+    shuffle in either mode.  Cells with no occupied neighbour are
+    emitted with ``nbr_u = 0`` and ``lisa = 0``.
+
+    Envelope: ``N * max(x)`` must stay well under 2^31 so the int64
+    products are exact (any realistic cell grid: N <= 4^res, counts
+    bounded by skew splitting upstream).
+    """
+    from ..agg import combine_partials
+    from ..geo.cells import cell_id
+
+    n_grid = 1 << res
+    if num_partitions is None:
+        from ..agg import default_partitions
+
+        num_partitions = default_partitions(4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lng = batch[lng_col].to_numpy(zero_copy_only=False)
+        cell = cell_id(lat, lng, res)
+        cell = cell[cell >= 0]
+        cells, counts = np.unique(cell, return_counts=True)
+        return pa.table({
+            "cell": pa.array(cells, type=pa.int64()),
+            "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    if mode == "auto":
+        mode = "tree" if (1 << (2 * res)) <= 65536 else "hash"
+
+    if mode == "tree":
+        # summary-sized cell space: ONE combine, ring gather in NumPy
+        t = combine_partials(parts, keys=["cell"], value_cols=["n"],
+                             mode="tree").to_pandas()
+        cells = t["cell"].to_numpy()
+        n = t["n"].to_numpy()
+        n_cells = int(len(cells))
+        sum_x = int(n.sum())
+        sum_x2 = int((n.astype(object) * n.astype(object)).sum())
+        denom = n_cells * sum_x2 - sum_x * sum_x
+        grid = np.zeros((n_grid, n_grid), dtype=np.int64)
+        iy, ix = cells // n_grid, cells % n_grid
+        grid[iy, ix] = n
+        occ = (grid > 0).astype(np.int64)
+        nbr_sum = np.zeros_like(grid)
+        nbr_deg = np.zeros_like(grid)
+        for dy, dx in _OFFS:
+            shifted = np.roll(grid, dx, axis=1)
+            occ_sh = np.roll(occ, dx, axis=1)
+            if dy > 0:
+                nbr_sum[dy:, :] += shifted[:-dy, :]
+                nbr_deg[dy:, :] += occ_sh[:-dy, :]
+            elif dy < 0:
+                nbr_sum[:dy, :] += shifted[-dy:, :]
+                nbr_deg[:dy, :] += occ_sh[-dy:, :]
+            else:
+                nbr_sum += shifted
+                nbr_deg += occ_sh
+        u = n_cells * n - sum_x
+        nbr_u = n_cells * nbr_sum[iy, ix] - sum_x * nbr_deg[iy, ix]
+        lisa = (u.astype(np.float64) * nbr_u.astype(np.float64)) \
+            / float(denom) if denom != 0 else np.full(len(u), np.nan)
+        return pd.DataFrame({
+            "cell": pd.Series(cells, dtype="int64"),
+            "n": pd.Series(n, dtype="int64"),
+            "u": pd.Series(u, dtype="int64"),
+            "nbr_u": pd.Series(nbr_u, dtype="int64"),
+            "lisa": pd.Series(lisa, dtype="float64"),
+        })
+
+    totals = combine_partials(parts, keys=["cell"], value_cols=["n"],
+                              mode="hash",
+                              num_partitions=num_partitions).materialize()
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_cells": pa.array([len(n)], type=pa.int64()),
+            "sum_x": pa.array([int(n.sum())], type=pa.int64()),
+            "sum_x2": pa.array([int((n * n).sum())], type=pa.int64()),
+        })
+
+    tot = totals.map_batches(total_partial, batch_format="pyarrow").to_pandas()
+    n_cells = int(tot["n_cells"].sum())
+    sum_x = int(tot["sum_x"].sum())
+    sum_x2 = int(tot["sum_x2"].sum())
+    denom = n_cells * sum_x2 - sum_x * sum_x     # Python int: no overflow
+    denom_f = float(denom)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        iy, ix = cells // n_grid, cells % n_grid
+        out_c, out_s = [], []
+        for dy, dx in _OFFS:
+            ny = iy + dy
+            valid = (ny >= 0) & (ny < n_grid)
+            nx = (ix[valid] + dx) % n_grid
+            out_c.append(ny[valid] * n_grid + nx)
+            out_s.append(n[valid])
+        cat = np.concatenate
+        return pa.table({
+            "cell": pa.array(cat(out_c), type=pa.int64()),
+            "nbr_sum": pa.array(cat(out_s), type=pa.int64()),
+            "nbr_deg": pa.array(
+                np.ones(sum(len(c) for c in out_c), dtype=np.int64)),
+        })
+
+    nbr = combine_partials(
+        totals.map_batches(expand, batch_format="pyarrow"),
+        keys=["cell"], value_cols=["nbr_sum", "nbr_deg"], mode="hash",
+        num_partitions=num_partitions)
+    joined = totals.join(nbr, join_type="left_outer", on=("cell",),
+                         num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        ns = np.nan_to_num(batch["nbr_sum"].to_numpy(
+            zero_copy_only=False).astype(np.float64)).astype(np.int64)
+        nd = np.nan_to_num(batch["nbr_deg"].to_numpy(
+            zero_copy_only=False).astype(np.float64)).astype(np.int64)
+        u = n_cells * n - sum_x
+        nbr_u = n_cells * ns - sum_x * nd
+        lisa = (u.astype(np.float64) * nbr_u.astype(np.float64)) / denom_f \
+            if denom != 0 else np.full(len(u), np.nan)
+        return pa.table({
+            "cell": pa.array(cells, type=pa.int64()),
+            "n": pa.array(n, type=pa.int64()),
+            "u": pa.array(u, type=pa.int64()),
+            "nbr_u": pa.array(nbr_u, type=pa.int64()),
+            "lisa": pa.array(lisa, type=pa.float64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

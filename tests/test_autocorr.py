@@ -98,3 +98,63 @@ def test_degenerate_no_edges(ray_session):
     got = spatial_autocorr(_points(rows), res=4).iloc[0]
     assert int(got["w_edges"]) == 0
     assert np.isnan(got["morans_i"])
+
+
+def _lisa_brute(rows, res):
+    """Reference LISA from the brute sufficient stats."""
+    from fast_carpenter_ray.geo.cells import k_ring
+    counts = {}
+    for lat, lng in rows:
+        c = int(cell_id(np.array([lat]), np.array([lng]), res)[0])
+        if c >= 0:
+            counts[c] = counts.get(c, 0) + 1
+    n_cells = len(counts)
+    sx = sum(counts.values())
+    q = sum(v * v for v in counts.values())
+    denom = n_cells * q - sx * sx
+    out = {}
+    for c, n in counts.items():
+        ring = [r for r in k_ring(c, res, 1) if r != c and r in counts]
+        u = n_cells * n - sx
+        nbr_u = n_cells * sum(counts[r] for r in ring) - sx * len(ring)
+        out[c] = (n, u, nbr_u, float(u) * float(nbr_u) / float(denom))
+    return out
+
+
+def test_local_autocorr_matches_bruteforce(ray_session):
+    from fast_carpenter_ray.stages.autocorr import local_autocorr
+    rows = _rand_rows(800, 21)
+    got = local_autocorr(_points(rows), res=3)
+    want = _lisa_brute(rows, 3)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, u, nbr_u, lisa = want[int(r.cell)]
+        assert (int(r.n), int(r.u), int(r.nbr_u)) == (n, u, nbr_u)
+        assert r.lisa == lisa
+
+
+def test_local_autocorr_tree_equals_hash(ray_session):
+    from fast_carpenter_ray.stages.autocorr import local_autocorr
+    rows = _rand_rows(500, 22)
+    tree = local_autocorr(_points(rows), res=3, mode="tree") \
+        .sort_values("cell").reset_index(drop=True)
+    hsh = local_autocorr(_points(rows), res=3, mode="hash",
+                         num_partitions=2).to_pandas() \
+        .sort_values("cell").reset_index(drop=True)
+    for c in ("cell", "n", "u", "nbr_u"):
+        assert tree[c].astype("int64").tolist() == \
+            hsh[c].astype("int64").tolist(), c
+    assert tree["lisa"].tolist() == hsh["lisa"].tolist()
+
+
+def test_local_autocorr_hotspot_positive(ray_session):
+    from fast_carpenter_ray.stages.autocorr import local_autocorr
+    # dense 2x2 block of heavy cells + sparse singles far away: the
+    # heavy cells' LISA must be positive (like-with-like cluster)
+    rows = ([(10.0, 10.0)] * 30 + [(10.0, 60.0)] * 30
+            + [(35.0, 10.0)] * 30 + [(35.0, 60.0)] * 30
+            + [(-60.0, -120.0), (-60.0, -90.0), (60.0, 120.0)])
+    out = local_autocorr(_points(rows), res=3)
+    heavy = out[out["n"] == 30]
+    assert len(heavy) >= 1
+    assert (heavy["lisa"] > 0).all()
