@@ -2656,6 +2656,27 @@ def _xy_events(sf_dir: str):
     return ds.map_batches(posify, batch_format="pyarrow")
 
 
+def q_attribution(sf_dir: str):
+    """Last-touch attribution of purchases to clicks within a 3-day
+    lookback (stages/attribution.py): vectorized running-max scan per
+    user after one key shuffle — the SQL oracle's conversions x sources
+    join is exactly what the operator avoids at scale."""
+    from ..stages.attribution import last_touch_attribution
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    out = last_touch_attribution(
+        ds, source_types=["click"], conversion_types=["purchase"],
+        lookback_us=3 * 86_400_000_000).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["user_id", "conv_id", "conv_us",
+                                     "src_id", "src_us", "gap_us"])
+    return out.sort_values(["user_id", "conv_id"]).reset_index(drop=True)
+
+
 def q_local_autocorr(sf_dir: str):
     """Local Moran's I (LISA) per occupied res-6 cell
     (stages/autocorr.py local_autocorr): exact scaled-integer
@@ -3696,6 +3717,21 @@ def build_oracles() -> Dict[str, str]:
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "hll_users": _hll_sql(),
         "zorder": _zorder_sql(),
+        "attribution": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+            "event_type FROM events), "
+            "c AS (SELECT * FROM e WHERE event_type = 'purchase'), "
+            "s AS (SELECT * FROM e WHERE event_type = 'click') "
+            "SELECT c.user_id, CAST(c.event_id AS BIGINT) AS conv_id, "
+            "CAST(c.t AS BIGINT) AS conv_us, "
+            "CAST(s.event_id AS BIGINT) AS src_id, "
+            "CAST(s.t AS BIGINT) AS src_us, "
+            "CAST(c.t - s.t AS BIGINT) AS gap_us "
+            "FROM c JOIN s ON s.user_id = c.user_id "
+            "AND (s.t < c.t OR (s.t = c.t AND s.event_id < c.event_id)) "
+            "AND c.t - s.t <= 259200000000 "
+            "QUALIFY row_number() OVER (PARTITION BY c.user_id, c.event_id "
+            "ORDER BY s.t DESC, s.event_id DESC) = 1"),
         "local_autocorr": (
             f"WITH base AS ({geo}), "
             f"z AS (SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS n "
@@ -4788,6 +4824,7 @@ def build_queries() -> Dict[str, Callable]:
         "rdp_simplify": q_rdp_simplify,
         "zorder": q_zorder,
         "local_autocorr": q_local_autocorr,
+        "attribution": q_attribution,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
