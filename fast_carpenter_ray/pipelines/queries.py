@@ -2656,6 +2656,54 @@ def _xy_events(sf_dir: str):
     return ds.map_batches(posify, batch_format="pyarrow")
 
 
+def q_od_gravity(sf_dir: str):
+    """Gravity-model deviation over the OD matrix (stages/retention.py
+    od_gravity): ratio of observed corridor flow to the independence
+    expectation from the matrix's own margins — one IEEE division of
+    exact int counts; margins finish on the summary-sized matrix."""
+    from ..stages.retention import od_gravity
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid * 2654435761) % 1024
+        y = (eid * 40503 + 12345) % 1024
+        return batch.append_column("cell", pa.array((x // 128) * 8 + y // 128))
+
+    return od_gravity(ds.map_batches(cellify, batch_format="pyarrow"))
+
+
+def q_stay_points(sf_dir: str):
+    """Maximal same-cell runs per user on the synthetic 8x8 event grid
+    (stages/staypoints.py): vectorized gaps-and-islands after one key
+    shuffle; oracle = the same islands construction in window SQL."""
+    from ..stages.staypoints import stay_points
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid * 2654435761) % 1024
+        y = (eid * 40503 + 12345) % 1024
+        return batch.append_column("cell", pa.array((x // 256) * 4 + y // 256))
+
+    out = stay_points(
+        ds.map_batches(cellify, batch_format="pyarrow"),
+        min_events=2).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["user_id", "cell", "start_id",
+                                     "end_id", "start_us", "end_us",
+                                     "n_events", "span_us"])
+    return out.sort_values(["user_id", "start_id"]).reset_index(drop=True)
+
+
 def q_attribution(sf_dir: str):
     """Last-touch attribution of purchases to clicks within a 3-day
     lookback (stages/attribution.py): vectorized running-max scan per
@@ -3717,6 +3765,55 @@ def build_oracles() -> Dict[str, str]:
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "hll_users": _hll_sql(),
         "zorder": _zorder_sql(),
+        "od_gravity": (
+            "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+            "(event_id * 2654435761) % 1024 AS x, "
+            "(event_id * 40503 + 12345) % 1024 AS y FROM events), "
+            "c AS (SELECT user_id, t, event_id, "
+            "(x // 128) * 8 + (y // 128) AS cell FROM p), "
+            "l AS (SELECT cell, lag(cell) OVER (PARTITION BY user_id "
+            "ORDER BY t, event_id) AS prev FROM c), "
+            "od AS (SELECT CAST(prev AS BIGINT) AS cell_from, "
+            "CAST(cell AS BIGINT) AS cell_to, CAST(count(*) AS BIGINT) AS n "
+            "FROM l WHERE prev IS NOT NULL AND prev <> cell GROUP BY 1, 2), "
+            "tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM od), "
+            "r AS (SELECT cell_from, CAST(sum(n) AS BIGINT) AS row_n "
+            "FROM od GROUP BY 1), "
+            "cc AS (SELECT cell_to, CAST(sum(n) AS BIGINT) AS col_n "
+            "FROM od GROUP BY 1) "
+            "SELECT od.cell_from, od.cell_to, od.n, r.row_n, cc.col_n, "
+            "CAST(od.n * total AS DOUBLE) / (r.row_n * cc.col_n) AS ratio "
+            "FROM od JOIN r ON r.cell_from = od.cell_from "
+            "JOIN cc ON cc.cell_to = od.cell_to, tt"),
+        "stay_points": (
+            "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+            "(((event_id * 2654435761) % 1024) // 256) * 4 "
+            "+ ((event_id * 40503 + 12345) % 1024) // 256 AS cell "
+            "FROM events), "
+            "o AS (SELECT *, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) "
+            "AS rn, "
+            "row_number() OVER (PARTITION BY user_id, cell "
+            "ORDER BY t, event_id) AS rnc FROM p), "
+            "sel AS (SELECT user_id, cell, rn - rnc AS grp, event_id, t, "
+            "row_number() OVER w AS rr, "
+            "count(*) OVER (PARTITION BY user_id, cell, rn - rnc) AS n, "
+            "first_value(event_id) OVER w AS start_id, "
+            "first_value(t) OVER w AS start_us, "
+            "last_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING) AS end_id, "
+            "last_value(t) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING) AS end_us "
+            "FROM o WINDOW w AS (PARTITION BY user_id, cell, rn - rnc "
+            "ORDER BY t, event_id)) "
+            "SELECT user_id, CAST(cell AS BIGINT) AS cell, "
+            "CAST(start_id AS BIGINT) AS start_id, "
+            "CAST(end_id AS BIGINT) AS end_id, "
+            "CAST(start_us AS BIGINT) AS start_us, "
+            "CAST(end_us AS BIGINT) AS end_us, "
+            "CAST(n AS BIGINT) AS n_events, "
+            "CAST(end_us - start_us AS BIGINT) AS span_us "
+            "FROM sel WHERE rr = 1 AND n >= 2"),
         "attribution": (
             "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
             "event_type FROM events), "
@@ -4825,6 +4922,8 @@ def build_queries() -> Dict[str, Callable]:
         "zorder": q_zorder,
         "local_autocorr": q_local_autocorr,
         "attribution": q_attribution,
+        "stay_points": q_stay_points,
+        "od_gravity": q_od_gravity,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,

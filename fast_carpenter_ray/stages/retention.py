@@ -40,7 +40,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["retention", "cohort_retention", "od_matrix",
+__all__ = ["retention", "cohort_retention", "od_matrix", "od_gravity",
            "od_matrix_bucketed", "audience_overlap"]
 
 DAY_US = 86_400_000_000
@@ -270,3 +270,41 @@ def audience_overlap(ds, key: str = "user_id", label: str = "event_type",
              .map_groups(pairs, batch_format="pandas"))
     return combine_partials(parts, keys=["a", "b"], value_cols=["n_users"],
                             mode=mode)
+
+
+def od_gravity(ds, key: str = "user_id", ts: str = "ts",
+               id_col: str = "event_id", cell: str = "cell",
+               mode: str = "hash"):
+    """Gravity-model deviation of the OD flow matrix: per (from, to)
+    pair, ``ratio = n_ij * T / (row_i * col_j)`` — observed over the
+    independence expectation built from the matrix's own margins
+    (T = total transitions, row_i = outflow of i, col_j = inflow of j).
+    ratio > 1 flags corridors with MORE flow than the margins predict.
+
+    All inputs are exact int64 counts (the od_matrix combine) and the
+    ratio is one IEEE division, so a SQL oracle matches bit-for-bit.
+    The margin/ratio step runs on the OD matrix itself — summary-sized
+    (occupied cell pairs), so a driver pandas finish, exactly like the
+    other summary-result composites.
+    """
+    od = od_matrix(ds, key=key, ts=ts, id_col=id_col, cell=cell,
+                   mode=mode)
+    df = od.to_pandas() if hasattr(od, "to_pandas") else od
+    df = df.astype({"cell_from": np.int64, "cell_to": np.int64,
+                    "n": np.int64})
+    total = int(df["n"].sum())
+    row = df.groupby("cell_from")["n"].sum()
+    col = df.groupby("cell_to")["n"].sum()
+    row_n = row.loc[df["cell_from"]].to_numpy().astype(np.int64)
+    col_n = col.loc[df["cell_to"]].to_numpy().astype(np.int64)
+    n = df["n"].to_numpy()
+    ratio = (n * total).astype(np.float64) / (row_n * col_n).astype(
+        np.float64)
+    return pd.DataFrame({
+        "cell_from": df["cell_from"].to_numpy(),
+        "cell_to": df["cell_to"].to_numpy(),
+        "n": n,
+        "row_n": row_n,
+        "col_n": col_n,
+        "ratio": ratio,
+    }).sort_values(["cell_from", "cell_to"]).reset_index(drop=True)

@@ -151,3 +151,44 @@ def test_audience_overlap_matches_brute(ray_session):
     assert got["b"].tolist() == exp["event_type_y"].tolist()
     np.testing.assert_array_equal(got["n_users"].to_numpy().astype(np.int64),
                                   exp["n_users"].to_numpy())
+
+
+def test_od_gravity_matches_brute(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.retention import od_gravity
+
+    rng = np.random.RandomState(19)
+    n = 2000
+    t = pa.table({
+        "user_id": pa.array(rng.randint(0, 15, n), type=pa.int64()),
+        "ts": pa.array(rng.randint(0, 10**6, n), type=pa.int64()),
+        "event_id": pa.array(np.arange(1, n + 1), type=pa.int64()),
+        "cell": pa.array(rng.randint(0, 10, n), type=pa.int64()),
+    })
+    got = od_gravity(rd.from_arrow(t))
+
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    trans = {}
+    for _, g in df.groupby("user_id"):
+        cells = g["cell"].tolist()
+        for a, b in zip(cells, cells[1:]):
+            if a != b:
+                trans[(a, b)] = trans.get((a, b), 0) + 1
+    total = sum(trans.values())
+    row = {}
+    col = {}
+    for (a, b), v in trans.items():
+        row[a] = row.get(a, 0) + v
+        col[b] = col.get(b, 0) + v
+    assert len(got) == len(trans)
+    for r in got.itertuples():
+        k = (int(r.cell_from), int(r.cell_to))
+        assert int(r.n) == trans[k]
+        assert int(r.row_n) == row[k[0]]
+        assert int(r.col_n) == col[k[1]]
+        assert r.ratio == float(trans[k] * total) / float(
+            row[k[0]] * col[k[1]])
+    # margins are conserved: sum over ratios weighted by expectation == total
+    assert int(got["n"].sum()) == total
