@@ -2656,6 +2656,28 @@ def _xy_events(sf_dir: str):
     return ds.map_batches(posify, batch_format="pyarrow")
 
 
+def q_knox(sf_dir: str):
+    """Knox space-time interaction count (stages/knox.py): pairs
+    adjacent on the 8x8 event grid within a 1-hour gap, counted with
+    home/probe bucket expansion and canonical attribution — no pair
+    shuffle, no all-pairs scan.  Oracle: brute range self-join."""
+    from ..stages.knox import knox_pairs
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_id"])
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid * 2654435761) % 1024
+        y = (eid * 40503 + 12345) % 1024
+        return batch.append_column("cell", pa.array((x // 128) * 8 + y // 128))
+
+    return knox_pairs(ds.map_batches(cellify, batch_format="pyarrow"),
+                      tau_us=3_600_000_000, n_grid=8)
+
+
 def q_od_gravity(sf_dir: str):
     """Gravity-model deviation over the OD matrix (stages/retention.py
     od_gravity): ratio of observed corridor flow to the independence
@@ -3765,6 +3787,16 @@ def build_oracles() -> Dict[str, str]:
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "hll_users": _hll_sql(),
         "zorder": _zorder_sql(),
+        "knox": (
+            "WITH e AS (SELECT event_id AS id, epoch_us(ts) AS t, "
+            "((event_id * 2654435761) % 1024) // 128 AS xc, "
+            "((event_id * 40503 + 12345) % 1024) // 128 AS yc FROM events) "
+            "SELECT CAST(count(*) AS BIGINT) AS st_pairs, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_events "
+            "FROM e a JOIN e b ON a.t - b.t BETWEEN 0 AND 3600000000 "
+            "AND (a.t > b.t OR (a.t = b.t AND a.id > b.id)) "
+            "AND abs(a.xc - b.xc) <= 1 "
+            "AND least((a.yc - b.yc + 8) % 8, (b.yc - a.yc + 8) % 8) <= 1"),
         "od_gravity": (
             "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
             "(event_id * 2654435761) % 1024 AS x, "
@@ -4924,6 +4956,7 @@ def build_queries() -> Dict[str, Callable]:
         "attribution": q_attribution,
         "stay_points": q_stay_points,
         "od_gravity": q_od_gravity,
+        "knox": q_knox,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
