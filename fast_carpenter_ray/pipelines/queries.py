@@ -362,6 +362,31 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_radius_anti(sf_dir: str):
+    """Coverage gaps (stages/radius_join.py radius_anti): pages with NO
+    site within 15 degrees — broadcast sites, per-batch vectorized
+    min-distance filter, zero shuffles.  Oracle: NOT EXISTS SQL."""
+    from ..fixtures import sites_table
+    from ..stages.radius_join import radius_anti
+
+    ds = _pages_geo(sf_dir)
+    out = radius_anti(ds, sites_table(), radius=15.0, metric="euclid")
+    return out.select_columns(["doc_id", "lat", "lng"])
+
+
+def q_time_autocorr(sf_dir: str):
+    """Lag-1 day-over-day autocorrelation of the event-count series
+    (stages/spacetime.py time_autocorr): six exact int64 moments over
+    the ZERO-densified daily series + the grouped_corr float closed
+    form — hash-exact vs a generate_series + lag window SQL."""
+    from ..stages.spacetime import time_autocorr
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return time_autocorr(ds, bucket_us=86_400_000_000, lag=1)
+
+
 def q_zonal(sf_dir: str):
     from ..stages import ZonalAggregate
 
@@ -3787,6 +3812,34 @@ def build_oracles() -> Dict[str, str]:
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "hll_users": _hll_sql(),
         "zorder": _zorder_sql(),
+        "radius_anti": (
+            f"WITH base AS ({geo}) "
+            f"SELECT doc_id, lat, lng FROM base WHERE lat IS NOT NULL "
+            f"AND NOT EXISTS (SELECT 1 FROM {sites} WHERE "
+            f"(lat - site_lat)*(lat - site_lat) "
+            f"+ (lng - site_lng)*(lng - site_lng) <= 225.0)"),
+        "time_autocorr": (
+            "WITH b AS (SELECT epoch_us(ts) // 86400000000 AS tb, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+            "rng AS (SELECT unnest(generate_series("
+            "(SELECT min(tb) FROM b), (SELECT max(tb) FROM b))) AS tb), "
+            "c AS (SELECT rng.tb, coalesce(b.n, 0) AS n "
+            "FROM rng LEFT JOIN b ON b.tb = rng.tb), "
+            "l AS (SELECT n AS y, lag(n) OVER (ORDER BY tb) AS x FROM c), "
+            "p AS (SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y "
+            "FROM l WHERE x IS NOT NULL), "
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+            "CAST(sum(x*x) AS BIGINT) AS sxx, "
+            "CAST(sum(y*y) AS BIGINT) AS syy, "
+            "CAST(sum(x*y) AS BIGINT) AS sxy FROM p) "
+            "SELECT n_pairs, sx, sy, sxx, syy, sxy, "
+            "CAST(CAST(n_pairs AS HUGEINT) * sxy "
+            "- CAST(sx AS HUGEINT) * sy AS DOUBLE) "
+            "/ (sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx "
+            "- CAST(sx AS HUGEINT) * sx AS DOUBLE)) "
+            "* sqrt(CAST(CAST(n_pairs AS HUGEINT) * syy "
+            "- CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS corr FROM s"),
         "knox": (
             "WITH e AS (SELECT event_id AS id, epoch_us(ts) AS t, "
             "((event_id * 2654435761) % 1024) // 128 AS xc, "
@@ -4957,6 +5010,8 @@ def build_queries() -> Dict[str, Callable]:
         "stay_points": q_stay_points,
         "od_gravity": q_od_gravity,
         "knox": q_knox,
+        "radius_anti": q_radius_anti,
+        "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,

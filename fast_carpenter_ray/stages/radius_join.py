@@ -35,7 +35,7 @@ import pyarrow as pa
 from ..geo.cells import cell_id, k_ring
 from ..geo.distance import EARTH_RADIUS_M, haversine_m
 
-__all__ = ["radius_join"]
+__all__ = ["radius_join", "radius_anti"]
 
 
 def radius_join(ds, sites, radius: float, res: int = 6,
@@ -155,3 +155,53 @@ def radius_join(ds, sites, radius: float, res: int = 6,
         return pa.table(out)
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def radius_anti(ds, sites, radius: float, metric: str = "euclid",
+                lat: str = "lat", lng: str = "lng"):
+    """Anti form of :func:`radius_join`: rows with NO site within
+    ``radius`` (coverage gaps).  Points with null coordinates are
+    dropped (they match no site but are not meaningful gaps).
+
+    Scale shape: the site table is the broadcast side by definition —
+    one ``ray.put``, a per-batch vectorized min-distance test, ZERO
+    shuffles; the stream is filtered in place.  The site axis is
+    chunked so the distance scratch stays bounded for large site
+    tables.
+    """
+    import ray
+
+    if metric not in ("euclid", "haversine"):
+        raise ValueError(f"radius_anti: unknown metric {metric!r}")
+    if radius <= 0:
+        raise ValueError("radius_anti: radius must be > 0")
+    if isinstance(sites, pa.Table):
+        sites = {c: sites[c].to_numpy(zero_copy_only=False)
+                 for c in sites.column_names}
+    s_lat = np.asarray(sites["lat"], dtype=np.float64)
+    s_lng = np.asarray(sites["lng"], dtype=np.float64)
+    ref = ray.put((s_lat, s_lng))
+    r2 = float(radius) * float(radius)
+    rad_m = float(radius)
+    CH = 256   # site-axis chunk: batch x 256 doubles scratch
+
+    def keep_far(batch: pa.Table) -> pa.Table:
+        sl, sg = ray.get(ref)
+        plat = batch[lat].to_numpy(zero_copy_only=False)
+        plng = batch[lng].to_numpy(zero_copy_only=False)
+        ok = np.isfinite(plat) & np.isfinite(plng)
+        near = np.zeros(len(plat), dtype=bool)
+        for s0 in range(0, len(sl), CH):
+            a_lat = sl[s0:s0 + CH]
+            a_lng = sg[s0:s0 + CH]
+            if metric == "euclid":
+                dx = plat[:, None] - a_lat[None, :]
+                dy = plng[:, None] - a_lng[None, :]
+                near |= ((dx * dx + dy * dy) <= r2).any(axis=1)
+            else:
+                d = haversine_m(plat[:, None], plng[:, None],
+                                a_lat[None, :], a_lng[None, :])
+                near |= (d <= rad_m).any(axis=1)
+        return batch.filter(pa.array(ok & ~near))
+
+    return ds.map_batches(keep_far, batch_format="pyarrow")

@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["spacetime_cube", "outlier_cells"]
+__all__ = ["spacetime_cube", "outlier_cells", "time_autocorr"]
 
 DAY_US = 86_400_000_000
 
@@ -92,3 +92,68 @@ def outlier_cells(ds, cell: str = "cell", factor: int = 3,
     out = counts[counts["n"] >= factor * med].copy()
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(cell).reset_index(drop=True)
+
+
+def time_autocorr(ds, ts: str = "ts", bucket_us: int = 86_400_000_000,
+                  lag: int = 1, mode: str = "tree") -> "pd.DataFrame":
+    """Lag-``lag`` temporal autocorrelation of the event-count series.
+
+    The stream shrinks per batch to ``(tb, n)`` partials
+    (``tb = t // bucket_us``); one summary-sized combine; the driver
+    densifies the bucket range [min_tb, max_tb] WITH ZEROS (an empty
+    bucket is a real observation of the series) and computes the
+    Pearson correlation between ``c[:-lag]`` and ``c[lag:]`` from six
+    exact int64 moments in the grouped_corr closed form — so a SQL
+    oracle (generate_series + lag window + identical float expression)
+    matches bit-for-bit.  Returns ONE row
+    ``(n_pairs, sx, sy, sxx, syy, sxy, corr)``; corr is NaN when either
+    side has zero variance or there are no pairs.
+    """
+    import pandas as pd
+
+    from ..agg import combine_partials
+
+    if lag < 1:
+        raise ValueError("time_autocorr: lag must be >= 1")
+    w = int(bucket_us)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb, counts = np.unique(t // w, return_counts=True)
+        return pa.table({
+            "tb": pa.array(tb, type=pa.int64()),
+            "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+        })
+
+    got = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["tb"], value_cols=["n"], mode=mode).to_pandas()
+
+    def row(n_pairs, sx, sy, sxx, syy, sxy):
+        num = n_pairs * sxy - sx * sy
+        dx = n_pairs * sxx - sx * sx
+        dy = n_pairs * syy - sy * sy
+        corr = (float(num) / (np.sqrt(float(dx)) * np.sqrt(float(dy)))
+                if n_pairs > 0 and dx > 0 and dy > 0 else np.nan)
+        return pd.DataFrame({
+            "n_pairs": pd.Series([n_pairs], dtype="int64"),
+            "sx": pd.Series([sx], dtype="int64"),
+            "sy": pd.Series([sy], dtype="int64"),
+            "sxx": pd.Series([sxx], dtype="int64"),
+            "syy": pd.Series([syy], dtype="int64"),
+            "sxy": pd.Series([sxy], dtype="int64"),
+            "corr": pd.Series([corr], dtype="float64"),
+        })
+
+    if len(got) == 0:
+        return row(0, 0, 0, 0, 0, 0)
+    tb = got["tb"].to_numpy()
+    lo, hi = int(tb.min()), int(tb.max())
+    c = np.zeros(hi - lo + 1, dtype=np.int64)
+    c[tb - lo] = got["n"].to_numpy()
+    if len(c) <= lag:
+        return row(0, 0, 0, 0, 0, 0)
+    x, y = c[:-lag], c[lag:]
+    return row(len(x), int(x.sum()), int(y.sum()),
+               int((x * x).sum()), int((y * y).sum()),
+               int((x * y).sum()))

@@ -144,3 +144,46 @@ def test_radius_join_tiny_radius_at_extreme_pole(ray_session):
     got = radius_join(rd.from_arrow(pts), sites, 200.0, res=6,
                       metric="haversine").to_pandas()
     assert got["site_id"].tolist() == [0]
+
+
+def test_radius_anti_complements_join(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.fixtures import sites_table
+    from fast_carpenter_ray.stages.radius_join import radius_anti, radius_join
+
+    rng = np.random.RandomState(23)
+    n = 1500
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "lat": pa.array(rng.uniform(-85, 85, n)),
+        "lng": pa.array(rng.uniform(-179, 179, n)),
+    })
+    ds = rd.from_arrow(t)
+    r = 12.0
+    joined = radius_join(ds, sites_table(), radius=r, res=6,
+                         metric="euclid").to_pandas()
+    anti = radius_anti(rd.from_arrow(t), sites_table(), radius=r,
+                       metric="euclid").to_pandas()
+    matched = set(joined["doc_id"].astype(int))
+    gaps = set(anti["doc_id"].astype(int))
+    assert matched.isdisjoint(gaps)
+    assert matched | gaps == set(range(n))
+
+
+def test_radius_anti_null_coords_dropped(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.fixtures import sites_table
+    from fast_carpenter_ray.stages.radius_join import radius_anti
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "lat": pa.array([None, 89.0], type=pa.float64()),
+        "lng": pa.array([None, 179.0], type=pa.float64()),
+    })
+    out = radius_anti(rd.from_arrow(t), sites_table(), radius=0.001,
+                      metric="euclid").to_pandas()
+    assert list(out["doc_id"]) == [2]

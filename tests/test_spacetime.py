@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import pandas as pd
 
 from fast_carpenter_ray.stages.spacetime import (
@@ -51,3 +52,55 @@ def test_outlier_cells_exact_median(ray_session):
         "cell": np.array([0, 1, 1], dtype=np.int64)}))
     out2 = outlier_cells(ds2, factor=2)
     assert out2["cell"].tolist() == [1]
+
+
+def test_time_autocorr_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.spacetime import time_autocorr
+
+    rng = np.random.RandomState(29)
+    ts = rng.randint(0, 40 * 1000, 5000).astype(np.int64)
+    got = time_autocorr(
+        rd.from_arrow(pa.table({"ts": pa.array(ts, type=pa.int64())})),
+        bucket_us=1000, lag=1).iloc[0]
+    tb = ts // 1000
+    lo, hi = tb.min(), tb.max()
+    c = np.zeros(hi - lo + 1, dtype=np.int64)
+    for v in tb:
+        c[v - lo] += 1
+    x, y = c[:-1], c[1:]
+    assert int(got["n_pairs"]) == len(x)
+    assert int(got["sxy"]) == int((x * y).sum())
+    want = np.corrcoef(x, y)[0, 1]
+    assert got["corr"] == pytest.approx(want, rel=1e-12)
+
+
+def test_time_autocorr_counts_empty_buckets_as_zero(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.spacetime import time_autocorr
+
+    # events in buckets 0 and 5 only: the densified series has zeros
+    ts = np.array([10, 20, 5_500], dtype=np.int64)
+    got = time_autocorr(
+        rd.from_arrow(pa.table({"ts": pa.array(ts)})),
+        bucket_us=1000, lag=1).iloc[0]
+    assert int(got["n_pairs"]) == 5          # buckets 0..5 -> 5 lag pairs
+    assert int(got["sx"]) == 2 + 0 + 0 + 0 + 0
+    assert int(got["sy"]) == 0 + 0 + 0 + 0 + 1
+
+
+def test_time_autocorr_degenerate(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.spacetime import time_autocorr
+
+    one = rd.from_arrow(pa.table({"ts": pa.array([5], type=pa.int64())}))
+    got = time_autocorr(one, bucket_us=1000, lag=1).iloc[0]
+    assert int(got["n_pairs"]) == 0 and np.isnan(got["corr"])
+    with pytest.raises(ValueError):
+        time_autocorr(one, lag=0)
