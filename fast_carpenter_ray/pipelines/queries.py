@@ -362,6 +362,21 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_knn_graph(sf_dir: str):
+    """Radius-capped kNN self-graph over pages (stages/knn_graph.py):
+    home/probe cell co-location (the corpus is never broadcast), one
+    cell shuffle, exact within the 10-degree cap.  Oracle: self-join +
+    row_number SQL."""
+    from ..stages.knn_graph import knn_graph
+
+    ds = _pages_geo(sf_dir)
+    out = knn_graph(ds, k=3, radius=10.0, res=RES).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["id", "nbr_id", "dist", "rank"])
+    out["dist"] = out["dist"].round(6)
+    return out.sort_values(["id", "rank"]).reset_index(drop=True)
+
+
 def q_radius_anti(sf_dir: str):
     """Coverage gaps (stages/radius_join.py radius_anti): pages with NO
     site within 15 degrees — broadcast sites, per-batch vectorized
@@ -3812,6 +3827,18 @@ def build_oracles() -> Dict[str, str]:
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "hll_users": _hll_sql(),
         "zorder": _zorder_sql(),
+        "knn_graph": (
+            f"WITH base AS ({geo}), "
+            f"p AS (SELECT doc_id, lat, lng FROM base "
+            f"WHERE lat IS NOT NULL), "
+            "d AS (SELECT a.doc_id AS id, b.doc_id AS nbr_id, "
+            "(a.lat - b.lat)*(a.lat - b.lat) "
+            "+ (a.lng - b.lng)*(a.lng - b.lng) AS dist "
+            "FROM p a JOIN p b ON a.doc_id <> b.doc_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY id "
+            "ORDER BY dist, nbr_id) AS rank FROM d WHERE dist <= 100.0) "
+            "SELECT id, nbr_id, round(dist, 6) AS dist, "
+            "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3"),
         "radius_anti": (
             f"WITH base AS ({geo}) "
             f"SELECT doc_id, lat, lng FROM base WHERE lat IS NOT NULL "
@@ -5011,6 +5038,7 @@ def build_queries() -> Dict[str, Callable]:
         "od_gravity": q_od_gravity,
         "knox": q_knox,
         "radius_anti": q_radius_anti,
+        "knn_graph": q_knn_graph,
         "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
