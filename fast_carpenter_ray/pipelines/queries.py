@@ -362,6 +362,16 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_link_components(sf_dir: str):
+    """Connected components of the domain link graph
+    (stages/linkgraph.py link_components): min-label propagation over
+    domain-hash ids (node-keyed joins, never the pair), canonical
+    min-domain labels.  Oracle: recursive min-reachability CTE."""
+    from ..stages.linkgraph import link_components
+
+    return link_components(pages_dataset(sf_dir))
+
+
 def q_knn_graph(sf_dir: str):
     """Radius-capped kNN self-graph over pages (stages/knn_graph.py):
     home/probe cell co-location (the corpus is never broadcast), one
@@ -4777,6 +4787,16 @@ def build_oracles() -> Dict[str, str]:
             "FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id "
             "WHERE o.doc_id IS NULL OR nw.doc_id IS NULL "
             "OR o.n_chars != nw.n_chars ORDER BY doc_id"),
+        "link_components": (
+            f"WITH RECURSIVE l AS ({_LINK_EDGES_SQL}), "
+            "ed AS (SELECT DISTINCT src_domain AS a, dst_domain AS b "
+            "FROM l), "
+            "sym AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed), "
+            "reach(id, root) AS (SELECT DISTINCT a, a FROM sym "
+            "UNION SELECT s.b, r.root FROM reach r JOIN sym s "
+            "ON s.a = r.id) "
+            "SELECT id AS domain, min(root) AS component "
+            "FROM reach GROUP BY id"),
         "link_graph": (
             f"WITH l AS ({_LINK_EDGES_SQL}) "
             "SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n "
@@ -5039,6 +5059,7 @@ def build_queries() -> Dict[str, Callable]:
         "knox": q_knox,
         "radius_anti": q_radius_anti,
         "knn_graph": q_knn_graph,
+        "link_components": q_link_components,
         "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,

@@ -37,7 +37,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["extract_links", "domain_degrees", "pagerank", "count_triangles"]
+__all__ = ["extract_links", "domain_degrees", "pagerank", "count_triangles", "link_components"]
 
 #: absolute http(s) links only; captures the host. Relative links (nav
 #: chrome) are deliberately out of scope for the domain graph.
@@ -408,3 +408,62 @@ def count_triangles(ds=None, html: str = "html", url: str = "url",
                              "n_tri": pd.Series([], dtype=np.int64)})
     out["n_tri"] = out["n_tri"].astype(np.int64)
     return out.sort_values("domain").reset_index(drop=True)
+
+
+def link_components(ds, html: str = "html", url: str = "url",
+                    max_domains: int = 50_000_000):
+    """Connected components of the (undirected) domain link graph:
+    pandas frame ``(domain, component)`` with ``component`` = the
+    lexicographically smallest domain in the component — isolated
+    domains (no edges) never appear in the edge table and are absent,
+    matching the SQL closure.
+
+    Shape: one edge extraction (html never shuffles), then
+    ``stages.dedup.distributed_components``'s min-label propagation
+    over int64 domain-hash ids (node-keyed joins only, never the
+    pair), then a driver relabel of the summary-sized (domain, label)
+    table to the min-domain canonical name — guarded by
+    ``max_domains`` exactly like :func:`pagerank`'s broadcast.
+    """
+    from .dedup import (_stable_token_hash, cluster_pairs,
+                        distributed_components)
+
+    edges = extract_links(ds, html=html, url=url, mode="hash")
+    edf = edges.to_pandas()
+    if len(edf) == 0:
+        return pd.DataFrame({"domain": pd.Series([], dtype="object"),
+                             "component": pd.Series([], dtype="object")})
+    doms = pd.unique(pd.concat([edf["src_domain"], edf["dst_domain"]]))
+    if len(doms) > max_domains:
+        raise ValueError(
+            f"link_components: {len(doms)} domains exceed the "
+            f"{max_domains} relabel budget — raise max_domains (the "
+            "label table is ~50 B/domain)")
+    # signed-int64 view of the uint64 hash so the ids survive the
+    # Arrow int64 round trip and the reverse map stays total
+    def _sid(d: str) -> int:
+        h = _stable_token_hash(d)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    nid = {d: _sid(d) for d in doms}
+    pair_df = pd.DataFrame({
+        "id_a": edf["src_domain"].map(nid).astype(np.int64),
+        "id_b": edf["dst_domain"].map(nid).astype(np.int64),
+    }).drop_duplicates()
+    if len(pair_df) <= 500_000:
+        # the edge table already sits on the driver (it had to, for the
+        # relabel map) — a union-find here beats rounds of label joins
+        comp = cluster_pairs(pair_df)
+    else:
+        import ray.data as rd
+
+        comp = distributed_components(rd.from_pandas(pair_df)).to_pandas()
+    back = {v: k for k, v in nid.items()}
+    out = pd.DataFrame({
+        "domain": comp["doc_id"].map(back),
+        "cluster": comp["cluster_id"],
+    })
+    canon = out.groupby("cluster")["domain"].min()
+    out["component"] = out["cluster"].map(canon)
+    return (out[["domain", "component"]]
+            .sort_values("domain").reset_index(drop=True))

@@ -143,3 +143,68 @@ def test_count_triangles_triangle_free(ray_session):
     got = count_triangles(edges=_edge_ds([("a", "b"), ("b", "c"),
                                           ("c", "d"), ("d", "a")]))
     assert got.empty
+
+
+def _brute_components(edges_df):
+    """Union-find over string domains, labels = min domain per comp."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges_df["src_domain"], edges_df["dst_domain"]):
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    out = {}
+    for members in comp.values():
+        lbl = min(members)
+        for m in members:
+            out[m] = lbl
+    return out
+
+
+def test_link_components_matches_union_find(ray_session, sf_dir):
+    from fast_carpenter_ray.stages.linkgraph import link_components
+
+    got = link_components(_pages_ds(sf_dir))
+    want = _brute_components(_expected_edges(sf_dir))
+    assert dict(zip(got["domain"], got["component"])) == want
+
+
+def test_link_components_distributed_equals_driver(ray_session, sf_dir):
+    """The distributed label-propagation path must produce the same
+    (domain, component) map as link_components' driver union-find."""
+    import fast_carpenter_ray.stages.linkgraph as lg
+
+    driver = lg.link_components(_pages_ds(sf_dir))
+    edges = lg.extract_links(_pages_ds(sf_dir)).to_pandas()
+    from fast_carpenter_ray.stages.dedup import (_stable_token_hash,
+                                                 distributed_components)
+    import ray.data as rd
+
+    def sid(d):
+        h = _stable_token_hash(d)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    nid = {d: sid(d) for d in
+           pd.unique(pd.concat([edges["src_domain"],
+                                edges["dst_domain"]]))}
+    pairs = pd.DataFrame({
+        "id_a": edges["src_domain"].map(nid).astype(np.int64),
+        "id_b": edges["dst_domain"].map(nid).astype(np.int64),
+    }).drop_duplicates()
+    comp = distributed_components(rd.from_pandas(pairs)).to_pandas()
+    back = {v: k for k, v in nid.items()}
+    lbl = comp.assign(domain=comp["doc_id"].map(back))
+    canon = lbl.groupby("cluster_id")["domain"].min()
+    dist_map = dict(zip(lbl["domain"], lbl["cluster_id"].map(canon)))
+    assert dist_map == dict(zip(driver["domain"], driver["component"]))
