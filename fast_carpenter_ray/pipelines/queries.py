@@ -362,6 +362,21 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Deterministic mergeable-summary quantiles of the CONTINUOUS
+    event value column (stages/quantile.py approx_quantiles): k
+    weighted order statistics per block, driver read-off, rank error
+    <= n/k.  Approximate by design -> rows-only driver check; the
+    error bound is pytest-pinned against exact quantiles."""
+    from ..stages.quantile import approx_quantiles
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return approx_quantiles(ds, "value", qs=[0.1, 0.25, 0.5, 0.75, 0.9],
+                            k_per_block=1024)
+
+
 def q_link_components(sf_dir: str):
     """Connected components of the domain link graph
     (stages/linkgraph.py link_components): min-label propagation over
@@ -5060,6 +5075,7 @@ def build_queries() -> Dict[str, Callable]:
         "radius_anti": q_radius_anti,
         "knn_graph": q_knn_graph,
         "link_components": q_link_components,
+        "approx_quantiles": q_approx_quantiles,
         "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
