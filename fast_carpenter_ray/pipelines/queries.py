@@ -362,6 +362,44 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_fuzzy_join(sf_dir: str):
+    """Typo-tolerant fuzzy value join (stages/fuzzy.py fuzzy_pairs_d1):
+    part names vs deterministically perturbed part names (delete /
+    substitute-one-char by partkey arithmetic, replayed verbatim in
+    SQL).  Deletion-neighborhood blocking + exact <=1 verify; oracle =
+    the brute levenshtein cross join."""
+    from ..stages.fuzzy import fuzzy_pairs_d1
+
+    import ray.data as rd
+
+    left = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"]) \
+        .map_batches(lambda t: t.rename_columns(["name"]),
+                     batch_format="pyarrow")
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        ks = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        names = batch["p_name"].to_pylist()
+        out = []
+        for k, nm in zip(ks.tolist(), names):
+            pos = k % len(nm)          # 0-based here; SQL uses pos+1
+            if k % 3 == 0:
+                out.append(nm[:pos] + nm[pos + 1:])
+            elif k % 3 == 1:
+                out.append(nm[:pos] + "q" + nm[pos + 1:])
+            else:
+                out.append(nm)
+        return pa.table({"name": pa.array(out, type=pa.string())})
+
+    right = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_name"]) \
+        .map_batches(perturb, batch_format="pyarrow")
+    out = fuzzy_pairs_d1(left, right, col="name").to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["name_a", "name_b", "dist"])
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
 def q_approx_quantiles(sf_dir: str):
     """Deterministic mergeable-summary quantiles of the CONTINUOUS
     event value column (stages/quantile.py approx_quantiles): k
@@ -4802,6 +4840,19 @@ def build_oracles() -> Dict[str, str]:
             "FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id "
             "WHERE o.doc_id IS NULL OR nw.doc_id IS NULL "
             "OR o.n_chars != nw.n_chars ORDER BY doc_id"),
+        "fuzzy_join": (
+            "WITH ln AS (SELECT DISTINCT p_name AS name FROM part), "
+            "rn0 AS (SELECT p_partkey AS k, p_name AS name, "
+            "(p_partkey % length(p_name)) + 1 AS pos FROM part), "
+            "rn1 AS (SELECT DISTINCT CASE "
+            "WHEN k % 3 = 0 THEN substr(name, 1, pos - 1) "
+            "|| substr(name, pos + 1) "
+            "WHEN k % 3 = 1 THEN substr(name, 1, pos - 1) || 'q' "
+            "|| substr(name, pos + 1) "
+            "ELSE name END AS name FROM rn0) "
+            "SELECT a.name AS name_a, b.name AS name_b, "
+            "CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist "
+            "FROM ln a, rn1 b WHERE levenshtein(a.name, b.name) <= 1"),
         "link_components": (
             f"WITH RECURSIVE l AS ({_LINK_EDGES_SQL}), "
             "ed AS (SELECT DISTINCT src_domain AS a, dst_domain AS b "
@@ -5076,6 +5127,7 @@ def build_queries() -> Dict[str, Callable]:
         "knn_graph": q_knn_graph,
         "link_components": q_link_components,
         "approx_quantiles": q_approx_quantiles,
+        "fuzzy_join": q_fuzzy_join,
         "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
