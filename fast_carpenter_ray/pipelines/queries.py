@@ -362,6 +362,17 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_gi_star(sf_dir: str):
+    """Getis-Ord Gi* hotspot z-scores per occupied res-6 cell
+    (stages/hotspot.py gi_star): exact int numerators + one fixed float
+    chain, hash-exact vs the offsets-join SQL."""
+    from ..stages.hotspot import gi_star
+
+    ds = _pages_geo(sf_dir)
+    out = gi_star(ds, res=RES, ring=1).to_pandas()
+    return out.sort_values("cell").reset_index(drop=True)
+
+
 def q_fuzzy_join(sf_dir: str):
     """Typo-tolerant fuzzy value join (stages/fuzzy.py fuzzy_pairs_d1):
     part names vs deterministically perturbed part names (delete /
@@ -3843,6 +3854,34 @@ def build_oracles() -> Dict[str, str]:
             f"ON s.iy = t.iy + o.dy "
             f"AND s.ix = ((t.ix + o.dx) % 64 + 64) % 64 "
             f"GROUP BY t.iy, t.ix, t.n"),
+        "gi_star": (
+            f"WITH base AS ({geo}), "
+            f"pts AS (SELECT CAST(least(greatest(floor((lat + 90.0) / 180.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS iy, "
+            f"CAST(least(greatest(floor((lng + 180.0) / 360.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS ix "
+            f"FROM base WHERE lat IS NOT NULL), "
+            "c AS (SELECT iy, ix, CAST(count(*) AS BIGINT) AS n "
+            "FROM pts GROUP BY iy, ix), "
+            "gl AS (SELECT CAST(count(*) AS BIGINT) AS nc, "
+            "CAST(sum(n) AS BIGINT) AS sx, "
+            "CAST(sum(n*n) AS BIGINT) AS q FROM c), "
+            "offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),"
+            "(0,1),(1,-1),(1,0),(1,1)), "
+            f"agg AS (SELECT t.iy * {_N} + t.ix AS cell, t.n, "
+            "CAST(sum(s.n) AS BIGINT) AS nbhd_n, "
+            "CAST(count(*) AS BIGINT) AS w_i "
+            "FROM c t CROSS JOIN offs o JOIN c s "
+            "ON s.iy = t.iy + o.dy "
+            f"AND s.ix = ((t.ix + o.dx) % {_N} + {_N}) % {_N} "
+            "GROUP BY t.iy, t.ix, t.n) "
+            "SELECT cell, n, nbhd_n, w_i, "
+            "CAST(CAST(nc AS HUGEINT) * nbhd_n "
+            "- CAST(sx AS HUGEINT) * w_i AS DOUBLE) "
+            "/ (sqrt(CAST(CAST(nc AS HUGEINT) * q "
+            "- CAST(sx AS HUGEINT) * sx AS DOUBLE)) "
+            "* sqrt(CAST(CAST(nc AS HUGEINT) * w_i - "
+            "CAST(w_i AS HUGEINT) * w_i AS DOUBLE) "
+            "/ CAST(nc - 1 AS DOUBLE))) AS gi_star "
+            "FROM agg, gl"),
         "radius_join": (
             f"WITH base AS ({geo}), "
             f"d AS (SELECT doc_id, site_id, "
@@ -5128,6 +5167,7 @@ def build_queries() -> Dict[str, Callable]:
         "link_components": q_link_components,
         "approx_quantiles": q_approx_quantiles,
         "fuzzy_join": q_fuzzy_join,
+        "gi_star": q_gi_star,
         "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,

@@ -158,3 +158,53 @@ def test_local_autocorr_hotspot_positive(ray_session):
     heavy = out[out["n"] == 30]
     assert len(heavy) >= 1
     assert (heavy["lisa"] > 0).all()
+
+
+def _gi_brute(rows, res):
+    from fast_carpenter_ray.geo.cells import k_ring
+    counts = {}
+    for lat, lng in rows:
+        c = int(cell_id(np.array([lat]), np.array([lng]), res)[0])
+        if c >= 0:
+            counts[c] = counts.get(c, 0) + 1
+    n_cells = len(counts)
+    sx = sum(counts.values())
+    q = sum(v * v for v in counts.values())
+    a = n_cells * q - sx * sx
+    out = {}
+    for c, n in counts.items():
+        ring = [r for r in k_ring(c, res, 1) if r in counts]  # incl self
+        nb = sum(counts[r] for r in ring)
+        w = len(ring)
+        num = n_cells * nb - sx * w
+        b = n_cells * w - w * w
+        gi = float(num) / (np.sqrt(float(a))
+                           * np.sqrt(float(b) / float(n_cells - 1)))
+        out[c] = (n, nb, w, gi)
+    return out
+
+
+def test_gi_star_matches_bruteforce(ray_session):
+    from fast_carpenter_ray.stages.hotspot import gi_star
+
+    rows = _rand_rows(700, 33)
+    got = gi_star(_points(rows), res=3).to_pandas()
+    want = _gi_brute(rows, 3)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, nb, w, gi = want[int(r.cell)]
+        assert (int(r.n), int(r.nbhd_n), int(r.w_i)) == (n, nb, w)
+        assert r.gi_star == gi
+
+
+def test_gi_star_hot_cell_positive(ray_session):
+    from fast_carpenter_ray.stages.hotspot import gi_star
+
+    rows = [(10.0, 10.0)] * 80 + [(10.0, 60.0)] * 70 + \
+        [(float(lat), float(lng)) for lat, lng in
+         zip(np.linspace(-80, 80, 25), np.linspace(-170, 170, 25))]
+    out = gi_star(_points(rows), res=3).to_pandas()
+    hot = out[out["n"] >= 70]
+    assert (hot["gi_star"] > 0).all()
+    cold = out[out["n"] == 1]
+    assert (cold["gi_star"] < 0.5).all()
