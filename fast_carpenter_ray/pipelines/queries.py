@@ -362,6 +362,22 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal over extracted page text
+    (stages/text.py compression_ratio): pure per-batch map, zero
+    shuffles.  DEFLATE is not SQL-expressible -> rows-only driver
+    check; pytest pins a direct recompute."""
+    from ..stages.text import compression_ratio
+
+    ds = pages_dataset(sf_dir)
+    from ..stages import ExtractText
+
+    ds = ExtractText.apply(ds)
+    out = compression_ratio(ds).to_pandas()
+    return (out[["doc_id", "raw_len", "comp_len", "ratio"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_gi_star(sf_dir: str):
     """Getis-Ord Gi* hotspot z-scores per occupied res-6 cell
     (stages/hotspot.py gi_star): exact int numerators + one fixed float
@@ -5168,6 +5184,7 @@ def build_queries() -> Dict[str, Callable]:
         "approx_quantiles": q_approx_quantiles,
         "fuzzy_join": q_fuzzy_join,
         "gi_star": q_gi_star,
+        "compression_ratio": q_compression_ratio,
         "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,

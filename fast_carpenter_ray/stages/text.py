@@ -19,7 +19,8 @@ import pyarrow as pa
 __all__ = ["TokenCount", "QualityScore", "LangId", "Fingerprint",
            "vocab_count", "doc_frequency", "ngram_count", "top_terms",
            "pmi_bigrams", "term_trends", "RepetitionStats",
-           "token_familiarity"]
+           "token_familiarity",
+           "compression_ratio"]
 
 # a small multilingual stopword table for the n-gram/stopword language
 # heuristic (public common-word lists)
@@ -594,3 +595,42 @@ def token_familiarity(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def compression_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
+                      level: int = 6):
+    """Per-document zlib compression ratio — the classic repetitiveness
+    / quality signal (low ratio = highly templated or repeated content;
+    ratios near 1 = high-entropy text), used by Gopher-style quality
+    pipelines (public literature).
+
+    Pure per-batch map, zero shuffles; the compressor is stdlib zlib
+    (DEFLATE — deterministic for a fixed level and library, so reruns
+    reproduce bit-identical output, but no SQL engine exposes it: the
+    driver oracle is rows-only and pytest pins a direct recompute).
+    Returns ``(id, raw_len, comp_len, ratio)`` with ``raw_len`` the
+    UTF-8 byte length and ``ratio`` one IEEE division; empty docs emit
+    ratio NaN.
+    """
+    import zlib
+
+    lvl = int(level)
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        raw = np.empty(len(texts), dtype=np.int64)
+        comp = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            b = (t or "").encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, lvl))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = np.where(raw > 0, comp / raw, np.nan)
+        return pa.table({
+            id_col: batch[id_col],
+            "raw_len": pa.array(raw, type=pa.int64()),
+            "comp_len": pa.array(comp, type=pa.int64()),
+            "ratio": pa.array(ratio, type=pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -67,3 +67,31 @@ def test_bucket_thresholds(ray_session):
     assert out.loc[1, "familiarity"] == 8.0 and out.loc[1, "bucket"] == 0
     fam3 = out.loc[3, "familiarity"]
     assert fam3 == 1.0 and fam3 < 0.5 * m and out.loc[3, "bucket"] == 2
+
+
+def test_compression_ratio_matches_recompute(ray_session):
+    import zlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.text import compression_ratio
+
+    texts = ["spam " * 200, "The quick brown fox jumps over the lazy dog.",
+             "", "aaaaAAAAaaaa", "unicode: 地理空間データ 🌍" * 3]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    out = compression_ratio(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, txt in enumerate(texts):
+        b = txt.encode("utf-8")
+        assert int(out["raw_len"][i]) == len(b)
+        assert int(out["comp_len"][i]) == len(zlib.compress(b, 6))
+        if b:
+            assert out["ratio"][i] == len(zlib.compress(b, 6)) / len(b)
+        else:
+            assert np.isnan(out["ratio"][i])
+    # repetitive text compresses far better than natural text
+    assert out["ratio"][0] < 0.1 < out["ratio"][1]
