@@ -118,7 +118,10 @@ def run_bench() -> dict:
                  "link_graph", "retention", "idw",
                  # round-3 curation/retrieval operators
                  "decontam", "bm25", "classifier", "pack_sequences",
-                 "mixture_sample", "train_order", "pii_stats"):
+                 "mixture_sample", "train_order", "pii_stats",
+                 # round-3 late geospatial statistics/joins
+                 "spatial_autocorr", "gi_star", "knn_graph", "geofence",
+                 "knox", "stay_points", "fuzzy_join"):
         best = float("inf")
         for _ in range(2):
             import gc
