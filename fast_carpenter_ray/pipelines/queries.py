@@ -362,6 +362,59 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_geo_composite(sf_dir: str):
+    """End-to-end geospatial insight pipeline under ONE SQL oracle:
+    cell encode -> Gi* hotspot z-scores -> top-3 hottest cells
+    (gi_star DESC, cell — float ranking is safe because both sides
+    compute bit-identical gi values) -> each expanded to its queen
+    ring (the fence cover) -> per-fence-cell page count and site
+    count.  Composes gi_star + ring cover + broadcast site lookup."""
+    from ..fixtures import sites_table
+    from ..geo.cells import cell_id, k_ring
+    from ..stages.hotspot import gi_star
+
+    ds = _pages_geo(sf_dir)
+    gi = gi_star(ds, res=RES, ring=1).to_pandas()
+    top = gi.sort_values(["gi_star", "cell"],
+                         ascending=[False, True]).head(3)
+    fence = np.unique(np.concatenate(
+        [k_ring(int(c), RES, 1) for c in top["cell"]]))
+
+    # per-fence-cell page counts: one streaming filtered partial pass
+    import ray
+
+    fence_ref = ray.put(fence)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        cells = cell_id(lat, lng, RES)
+        cells = cells[np.isin(cells, ray.get(fence_ref))]
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(u, type=pa.int64()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    from ..agg import combine_partials
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["cell"], value_cols=["n"], mode="tree").to_pandas()
+
+    sites = sites_table()
+    scell = cell_id(sites["lat"].to_numpy(), sites["lng"].to_numpy(), RES)
+    svals, scnt = np.unique(scell[np.isin(scell, fence)],
+                            return_counts=True)
+    smap = dict(zip(svals.tolist(), scnt.tolist()))
+    nmap = dict(zip(counts["cell"].astype(int), counts["n"].astype(int)))
+    return pd.DataFrame({
+        "cell": pd.Series(fence, dtype="int64"),
+        "n_pages": pd.Series([nmap.get(int(c), 0) for c in fence],
+                             dtype="int64"),
+        "n_sites": pd.Series([smap.get(int(c), 0) for c in fence],
+                             dtype="int64"),
+    })
+
+
 def q_compression_ratio(sf_dir: str):
     """zlib compression-ratio quality signal over extracted page text
     (stages/text.py compression_ratio): pure per-batch map, zero
@@ -3870,6 +3923,49 @@ def build_oracles() -> Dict[str, str]:
             f"ON s.iy = t.iy + o.dy "
             f"AND s.ix = ((t.ix + o.dx) % 64 + 64) % 64 "
             f"GROUP BY t.iy, t.ix, t.n"),
+        "geo_composite": (
+            f"WITH base AS ({geo}), "
+            f"pts AS (SELECT CAST(least(greatest(floor((lat + 90.0) / 180.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS iy, "
+            f"CAST(least(greatest(floor((lng + 180.0) / 360.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS ix "
+            f"FROM base WHERE lat IS NOT NULL), "
+            "c AS (SELECT iy, ix, CAST(count(*) AS BIGINT) AS n "
+            "FROM pts GROUP BY iy, ix), "
+            "gl AS (SELECT CAST(count(*) AS BIGINT) AS nc, "
+            "CAST(sum(n) AS BIGINT) AS sx, "
+            "CAST(sum(n*n) AS BIGINT) AS q FROM c), "
+            "offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),"
+            "(0,1),(1,-1),(1,0),(1,1)), "
+            f"agg AS (SELECT t.iy * {_N} + t.ix AS cell, "
+            "CAST(sum(s.n) AS BIGINT) AS nbhd_n, "
+            "CAST(count(*) AS BIGINT) AS w_i "
+            "FROM c t CROSS JOIN offs o JOIN c s "
+            "ON s.iy = t.iy + o.dy "
+            f"AND s.ix = ((t.ix + o.dx) % {_N} + {_N}) % {_N} "
+            "GROUP BY t.iy, t.ix), "
+            "gi AS (SELECT cell, "
+            "CAST(CAST(nc AS HUGEINT) * nbhd_n "
+            "- CAST(sx AS HUGEINT) * w_i AS DOUBLE) "
+            "/ (sqrt(CAST(CAST(nc AS HUGEINT) * q "
+            "- CAST(sx AS HUGEINT) * sx AS DOUBLE)) "
+            "* sqrt(CAST(CAST(nc AS HUGEINT) * w_i - "
+            "CAST(w_i AS HUGEINT) * w_i AS DOUBLE) "
+            "/ CAST(nc - 1 AS DOUBLE))) AS g FROM agg, gl), "
+            "top3 AS (SELECT cell FROM gi ORDER BY g DESC, cell LIMIT 3), "
+            f"fence AS (SELECT DISTINCT (cell // {_N} + dy) * {_N} + "
+            f"(((cell % {_N}) + dx) % {_N} + {_N}) % {_N} AS cell "
+            f"FROM top3, offs "
+            f"WHERE cell // {_N} + dy BETWEEN 0 AND {_N - 1}), "
+            f"pcnt AS (SELECT {cell} AS cell, "
+            "CAST(count(*) AS BIGINT) AS n FROM base "
+            "WHERE lat IS NOT NULL GROUP BY 1), "
+            "scnt AS (SELECT "
+            f"(CAST(least(greatest(floor((CAST(site_lat AS DOUBLE) + 90.0) / 180.0 * {_N}), 0), {_N - 1}) AS BIGINT) * {_N} "
+            f"+ CAST(least(greatest(floor((CAST(site_lng AS DOUBLE) + 180.0) / 360.0 * {_N}), 0), {_N - 1}) AS BIGINT)) AS cell, "
+            f"CAST(count(*) AS BIGINT) AS n FROM {sites} GROUP BY 1) "
+            "SELECT f.cell, coalesce(p.n, 0) AS n_pages, "
+            "coalesce(s.n, 0) AS n_sites "
+            "FROM fence f LEFT JOIN pcnt p ON p.cell = f.cell "
+            "LEFT JOIN scnt s ON s.cell = f.cell"),
         "gi_star": (
             f"WITH base AS ({geo}), "
             f"pts AS (SELECT CAST(least(greatest(floor((lat + 90.0) / 180.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS iy, "
@@ -5185,6 +5281,7 @@ def build_queries() -> Dict[str, Callable]:
         "fuzzy_join": q_fuzzy_join,
         "gi_star": q_gi_star,
         "compression_ratio": q_compression_ratio,
+        "geo_composite": q_geo_composite,
         "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
