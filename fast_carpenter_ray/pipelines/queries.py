@@ -362,6 +362,46 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental dedup lifecycle (stages/dedup.py build_dedup_index +
+    incremental_dedup): index the even-id half of the corpus (with
+    planted cross-half duplicate payloads for ids % 5 == 3), then dedup
+    the odd-id increment against index + itself.  Oracle: NOT IN SQL
+    over the same sha256 hashes."""
+    import tempfile
+
+    import ray.data as rd
+
+    from ..stages.dedup import build_dedup_index, incremental_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def planted(parity: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            keep = (d % 2) == parity
+            d = d[keep]
+            texts = [t for t, k in zip(batch["text"].to_pylist(), keep)
+                     if k]
+            t2 = [f"dup-{i % 7}" if i % 5 == 3 else t
+                  for i, t in zip(d.tolist(), texts)]
+            return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                             "text": pa.array(t2, type=pa.string())})
+        return fn
+
+    idx = tempfile.mkdtemp(prefix="dedup_index_", dir="/tmp")
+    build_dedup_index(ds.map_batches(planted(0), batch_format="pyarrow"),
+                      idx, run_id="base")
+    out = incremental_dedup(
+        ds.map_batches(planted(1), batch_format="pyarrow"), idx,
+        run_id="inc1").to_pandas()
+    return (out[["doc_id", "_content_hash"]]
+            .rename(columns={"_content_hash": "content_hash"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_geo_composite(sf_dir: str):
     """End-to-end geospatial insight pipeline under ONE SQL oracle:
     cell encode -> Gi* hotspot z-scores -> top-3 hottest cells
@@ -3923,6 +3963,17 @@ def build_oracles() -> Dict[str, str]:
             f"ON s.iy = t.iy + o.dy "
             f"AND s.ix = ((t.ix + o.dx) % 64 + 64) % 64 "
             f"GROUP BY t.iy, t.ix, t.n"),
+        "incremental_dedup": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 3 "
+            "THEN 'dup-' || CAST(doc_id % 7 AS VARCHAR) ELSE text END "
+            "AS t FROM documents), "
+            "b AS (SELECT DISTINCT sha256(t) AS h FROM d "
+            "WHERE doc_id % 2 = 0), "
+            "inc AS (SELECT doc_id, sha256(t) AS h FROM d "
+            "WHERE doc_id % 2 = 1) "
+            "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
+            "h AS content_hash FROM inc "
+            "WHERE h NOT IN (SELECT h FROM b) GROUP BY h"),
         "geo_composite": (
             f"WITH base AS ({geo}), "
             f"pts AS (SELECT CAST(least(greatest(floor((lat + 90.0) / 180.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS iy, "
@@ -5282,6 +5333,7 @@ def build_queries() -> Dict[str, Callable]:
         "gi_star": q_gi_star,
         "compression_ratio": q_compression_ratio,
         "geo_composite": q_geo_composite,
+        "incremental_dedup": q_incremental_dedup,
         "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,

@@ -35,6 +35,7 @@ __all__ = [
     "ExactDedup", "MinHashDedup", "SimHashDedup",
     "tokenize", "shingle_hashes", "ngram_jaccard", "chunk_dup_stats",
     "dedup_pair_stream", "cluster_pairs", "distributed_components",
+    "build_dedup_index", "incremental_dedup",
     "near_dedup", "remove_dup_spans",
 ]
 
@@ -1121,3 +1122,101 @@ def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def build_dedup_index(ds, index_dir: str, key: str = "text",
+                      id_col: str = "doc_id", run_id: str = "base",
+                      num_partitions: Optional[int] = None):
+    """Write (or overwrite) one run's content-hash index shard:
+    ``index_dir/run-<run_id>/`` parquet of ``(_content_hash, id)`` —
+    one row per DISTINCT content in ``ds`` (min id).  Re-running the
+    same ``run_id`` overwrites its own shard only, so a killed index
+    build resumes idempotently; other runs' shards are untouched."""
+    import os
+
+    dd = ExactDedup("index_build", key=key, id_col=id_col)
+    surv = dd.survivors(ds, num_partitions=num_partitions)
+    path = os.path.join(index_dir, f"run-{run_id}")
+    surv.write_parquet(path, mode="overwrite")
+    return path
+
+
+def incremental_dedup(ds, index_dir: str, key: str = "text",
+                      id_col: str = "doc_id",
+                      run_id: Optional[str] = None,
+                      broadcast_budget: int = 2_000_000,
+                      num_partitions: Optional[int] = None):
+    """Dedup an INCREMENT against all previously indexed runs — the
+    daily-crawl lifecycle: rows survive iff their content hash is new
+    both within the increment (min ``id_col`` wins) and against every
+    ``run-*`` shard already in ``index_dir``.
+
+    Scale shape: within-increment dedupe is the ExactDedup shuffle
+    ((hash, id) rows only); the index check broadcasts the sorted hash
+    array when the index is ``<= broadcast_budget`` hashes (one
+    ``ray.put``, per-batch ``np.isin``) and otherwise left-outer hash
+    joins against the index Dataset with a null-marker filter — the
+    same honest fallback pair as everywhere else in this module.  With
+    ``run_id`` set, the survivors' hashes are appended as a new index
+    shard (idempotent per run_id), so the NEXT increment sees them.
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    if num_partitions is None:
+        from ..agg import default_partitions
+
+        num_partitions = default_partitions(4)
+    dd = ExactDedup("incremental", key=key, id_col=id_col)
+    within = dd.apply(ds).materialize()
+
+    # expand run dirs to files: Ray's read_parquet only walks
+    # directories when given a single path, not a list.  The CURRENT
+    # run_id's own shard is excluded — a replayed/resumed run must not
+    # see its earlier attempt's hashes (it would filter everything out
+    # and then overwrite its shard with nothing: data loss on retry).
+    shards = sorted(
+        os.path.join(index_dir, p, f) for p in
+        (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
+        if p.startswith("run-") and p != f"run-{run_id}"
+        for f in os.listdir(os.path.join(index_dir, p))
+        if f.endswith(".parquet"))
+    if shards:
+        index = rd.read_parquet(shards, columns=["_content_hash"])
+        n_idx = index.count()
+        if n_idx <= broadcast_budget:
+            known = np.sort(np.asarray(
+                index.to_pandas()["_content_hash"], dtype=object))
+            ref = ray.put(known)
+
+            def drop_known(batch: pa.Table) -> pa.Table:
+                h = np.asarray(batch["_content_hash"].to_pylist(),
+                               dtype=object)
+                return batch.filter(pa.array(
+                    ~np.isin(h, ray.get(ref))))
+
+            within = within.map_batches(drop_known, batch_format="pyarrow")
+        else:
+            logger.warning(
+                "incremental_dedup: %d indexed hashes exceed the %d "
+                "broadcast budget — joining against the index", n_idx,
+                broadcast_budget)
+            marked = index.map_batches(
+                lambda t: t.append_column(
+                    "_known", pa.array(np.ones(len(t), dtype=np.int8))),
+                batch_format="pyarrow")
+            joined = within.join(marked, join_type="left_outer",
+                                 on=("_content_hash",),
+                                 num_partitions=num_partitions)
+            within = joined.map_batches(
+                lambda t: t.drop_columns(["_known"]).filter(
+                    pa.compute.is_null(t["_known"])),
+                batch_format="pyarrow")
+
+    if run_id is not None:
+        surv = within.select_columns(["_content_hash", id_col])
+        surv.write_parquet(os.path.join(index_dir, f"run-{run_id}"),
+                           mode="overwrite")
+    return within
