@@ -362,6 +362,16 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_radius_of_gyration(sf_dir: str):
+    """Per-user radius of gyration on the synthetic 1024-grid positions
+    (stages/trajectory.py radius_of_gyration): exact int64 moment
+    numerator + sqrt/n, hash-exact vs the moment SQL."""
+    from ..stages.trajectory import radius_of_gyration
+
+    out = radius_of_gyration(_xy_events(sf_dir)).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_incremental_dedup(sf_dir: str):
     """Incremental dedup lifecycle (stages/dedup.py build_dedup_index +
     incremental_dedup): index the even-id half of the corpus (with
@@ -3963,6 +3973,18 @@ def build_oracles() -> Dict[str, str]:
             f"ON s.iy = t.iy + o.dy "
             f"AND s.ix = ((t.ix + o.dx) % 64 + 64) % 64 "
             f"GROUP BY t.iy, t.ix, t.n"),
+        "radius_of_gyration": (
+            "WITH p AS (SELECT user_id, "
+            "(event_id * 2654435761) % 1024 AS x, "
+            "(event_id * 40503 + 12345) % 1024 AS y FROM events), "
+            "m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+            "CAST(sum(x*x) AS BIGINT) AS qx, "
+            "CAST(sum(y*y) AS BIGINT) AS qy FROM p GROUP BY user_id) "
+            "SELECT user_id, n, "
+            "CAST(n * (qx + qy) - sx*sx - sy*sy AS BIGINT) AS rog2_num, "
+            "sqrt(CAST(n * (qx + qy) - sx*sx - sy*sy AS DOUBLE)) "
+            "/ CAST(n AS DOUBLE) AS rog FROM m"),
         "incremental_dedup": (
             "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 3 "
             "THEN 'dup-' || CAST(doc_id % 7 AS VARCHAR) ELSE text END "
@@ -5334,6 +5356,7 @@ def build_queries() -> Dict[str, Callable]:
         "compression_ratio": q_compression_ratio,
         "geo_composite": q_geo_composite,
         "incremental_dedup": q_incremental_dedup,
+        "radius_of_gyration": q_radius_of_gyration,
         "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,

@@ -74,3 +74,45 @@ def test_trajectory_bucketed_rejects_bad_width(ray_session):
     with pytest.raises(ValueError, match="bucket_width"):
         trajectory_stats_bucketed(rd.from_pandas(_points(n=10)),
                                   bucket_width=0)
+
+
+def test_radius_of_gyration_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.trajectory import radius_of_gyration
+
+    rng = np.random.RandomState(51)
+    n = 3000
+    t = pa.table({
+        "user_id": pa.array(rng.randint(0, 25, n), type=pa.int64()),
+        "x": pa.array(rng.randint(0, 1024, n), type=pa.int64()),
+        "y": pa.array(rng.randint(0, 1024, n), type=pa.int64()),
+    })
+    got = radius_of_gyration(rd.from_arrow(t)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    df = t.to_pandas()
+    for r in got.itertuples():
+        g = df[df["user_id"] == r.user_id]
+        cx, cy = g["x"].mean(), g["y"].mean()
+        rog = np.sqrt(((g["x"] - cx) ** 2 + (g["y"] - cy) ** 2).mean())
+        assert r.rog == pytest.approx(rog, rel=1e-12)
+        assert int(r.n) == len(g)
+
+
+def test_radius_of_gyration_degenerate(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.trajectory import radius_of_gyration
+
+    t = pa.table({
+        "user_id": pa.array([1, 2, 2], type=pa.int64()),
+        "x": pa.array([7, 3, 3], type=pa.int64()),
+        "y": pa.array([9, 4, 4], type=pa.int64()),
+    })
+    got = radius_of_gyration(rd.from_arrow(t)).to_pandas() \
+        .sort_values("user_id")
+    # single point and co-located points: rog exactly 0
+    assert got["rog"].tolist() == [0.0, 0.0]
+    assert got["rog2_num"].tolist() == [0, 0]
