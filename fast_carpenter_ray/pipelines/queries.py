@@ -362,6 +362,24 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_grid_bfs(sf_dir: str):
+    """Isochrone BFS (stages/griddist.py grid_bfs_distance): hop
+    distance from the nearest site-occupied cell through occupied
+    page-cells only (gaps block paths — genuine graph BFS, not
+    Chebyshev distance).  Oracle: recursive min-reachability CTE over
+    the same adjacency, capped at 6 hops."""
+    from ..fixtures import sites_table
+    from ..geo.cells import cell_id
+    from ..stages.griddist import grid_bfs_distance
+
+    sites = sites_table()
+    seed = np.unique(cell_id(sites["lat"].to_numpy(),
+                             sites["lng"].to_numpy(), RES - 2))
+    ds = _pages_geo(sf_dir)
+    # res 4 (16x16): dense enough occupancy for multi-hop paths
+    return grid_bfs_distance(ds, seed, res=RES - 2, max_dist=6)
+
+
 def q_radius_of_gyration(sf_dir: str):
     """Per-user radius of gyration on the synthetic 1024-grid positions
     (stages/trajectory.py radius_of_gyration): exact int64 moment
@@ -3973,6 +3991,26 @@ def build_oracles() -> Dict[str, str]:
             f"ON s.iy = t.iy + o.dy "
             f"AND s.ix = ((t.ix + o.dx) % 64 + 64) % 64 "
             f"GROUP BY t.iy, t.ix, t.n"),
+        "grid_bfs": (
+            f"WITH RECURSIVE base AS ({geo}), "
+            "occ AS (SELECT DISTINCT "
+            "(CAST(least(greatest(floor((lat + 90.0) / 180.0 * 16), 0), 15) AS BIGINT) * 16 "
+            "+ CAST(least(greatest(floor((lng + 180.0) / 360.0 * 16), 0), 15) AS BIGINT)) AS cell "
+            "FROM base WHERE lat IS NOT NULL), "
+            "sc AS (SELECT DISTINCT "
+            "(CAST(least(greatest(floor((CAST(site_lat AS DOUBLE) + 90.0) / 180.0 * 16), 0), 15) AS BIGINT) * 16 "
+            "+ CAST(least(greatest(floor((CAST(site_lng AS DOUBLE) + 180.0) / 360.0 * 16), 0), 15) AS BIGINT)) AS cell "
+            f"FROM {sites}), "
+            "r(cell, d) AS ("
+            "SELECT cell, 0 FROM occ WHERE cell IN (SELECT cell FROM sc) "
+            "UNION "
+            "SELECT o.cell, r.d + 1 FROM r JOIN occ o "
+            "ON abs(o.cell // 16 - r.cell // 16) <= 1 "
+            "AND least(((o.cell % 16) - (r.cell % 16) + 16) % 16, "
+            "((r.cell % 16) - (o.cell % 16) + 16) % 16) <= 1 "
+            "AND o.cell <> r.cell WHERE r.d < 6) "
+            "SELECT cell, CAST(min(d) AS BIGINT) AS dist "
+            "FROM r GROUP BY cell"),
         "radius_of_gyration": (
             "WITH p AS (SELECT user_id, "
             "(event_id * 2654435761) % 1024 AS x, "
@@ -5357,6 +5395,7 @@ def build_queries() -> Dict[str, Callable]:
         "geo_composite": q_geo_composite,
         "incremental_dedup": q_incremental_dedup,
         "radius_of_gyration": q_radius_of_gyration,
+        "grid_bfs": q_grid_bfs,
         "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
