@@ -362,6 +362,25 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_cell_mixture(sf_dir: str):
+    """Spatially stratified rebalancing (geo x curation crossover):
+    cap every res-6 cell at ~5 pages via mixture_sample on the cell
+    key — hot cells downsample, sparse cells pass through; the corpus
+    streams once and never shuffles (only (cell,1) count pairs do)."""
+    from ..stages import CellEncode
+    from ..stages.sample import mixture_sample
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["cell"], 0)),
+        batch_format="pyarrow")
+    out = mixture_sample(ds, group_col="cell", cap=5,
+                         id_col="doc_id").to_pandas()
+    return (out[["doc_id", "cell"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_grid_bfs(sf_dir: str):
     """Isochrone BFS (stages/griddist.py grid_bfs_distance): hop
     distance from the nearest site-occupied cell through occupied
@@ -3223,6 +3242,17 @@ def _zorder_sql() -> str:
         f"{zorder_sql('x', 'y', 10)} AS zkey FROM p")
 
 
+def _cell_mixture_sql() -> str:
+    from ..stages.sample import mixture_sample_sql
+
+    geo = _geo_sql_base()
+    cell = _cell_sql()
+    inner = (f"(SELECT doc_id, {cell} AS cell FROM ({geo}) g "
+             "WHERE lat IS NOT NULL)")
+    return ("SELECT doc_id, cell FROM ("
+            + mixture_sample_sql(inner, "cell", 5, "doc_id") + ") q")
+
+
 def _hll_sql(p: int = 10, seed: int = 0) -> str:
     """Bit-exact SQL replay of hll_registers: the splitmix64 mix64 hash
     in HUGEINT mod-2^64 arithmetic, bucket/remainder by shift/mask, and
@@ -3991,6 +4021,7 @@ def build_oracles() -> Dict[str, str]:
             f"ON s.iy = t.iy + o.dy "
             f"AND s.ix = ((t.ix + o.dx) % 64 + 64) % 64 "
             f"GROUP BY t.iy, t.ix, t.n"),
+        "cell_mixture": _cell_mixture_sql(),
         "grid_bfs": (
             f"WITH RECURSIVE base AS ({geo}), "
             "occ AS (SELECT DISTINCT "
@@ -5396,6 +5427,7 @@ def build_queries() -> Dict[str, Callable]:
         "incremental_dedup": q_incremental_dedup,
         "radius_of_gyration": q_radius_of_gyration,
         "grid_bfs": q_grid_bfs,
+        "cell_mixture": q_cell_mixture,
         "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
