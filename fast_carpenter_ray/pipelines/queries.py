@@ -362,6 +362,35 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_user_entropy(sf_dir: str):
+    """Per-user mobility predictability: Shannon entropy of each
+    user's visited-cell distribution on the synthetic 8x8 event grid
+    (Song et al. 2010 predictability literature) — grouped_entropy
+    keyed on the user instead of the cell; same exact-count machinery
+    and rounding contract as `cell_entropy`."""
+    from ..stages.stats import grouped_entropy
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id"])
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid * 2654435761) % 1024
+        y = (eid * 40503 + 12345) % 1024
+        return pa.table({
+            "user_id": batch["user_id"],
+            "cell": pa.array((x // 128) * 8 + y // 128, type=pa.int64()),
+        })
+
+    out = grouped_entropy(ds.map_batches(cellify, batch_format="pyarrow"),
+                          group="user_id", label="cell")
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    out["entropy"] = out["entropy"].round(6)  # same hash contract as
+    return out.sort_values("user_id").reset_index(drop=True)  # cell_entropy
+
+
 def q_cell_mixture(sf_dir: str):
     """Spatially stratified rebalancing (geo x curation crossover):
     cap every res-6 cell at ~5 pages via mixture_sample on the cell
@@ -4022,6 +4051,19 @@ def build_oracles() -> Dict[str, str]:
             f"AND s.ix = ((t.ix + o.dx) % 64 + 64) % 64 "
             f"GROUP BY t.iy, t.ix, t.n"),
         "cell_mixture": _cell_mixture_sql(),
+        "user_entropy": (
+            "WITH p AS (SELECT user_id, "
+            "(((event_id * 2654435761) % 1024) // 128) * 8 "
+            "+ ((event_id * 40503 + 12345) % 1024) // 128 AS cell "
+            "FROM events), "
+            "c AS (SELECT user_id, cell, count(*) AS c FROM p "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1) "
+            "SELECT c.user_id, CAST(t.n AS BIGINT) AS n, "
+            "round(0.0 - sum((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) * "
+            "ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))), 6) AS entropy "
+            "FROM c JOIN t ON c.user_id = t.user_id "
+            "GROUP BY c.user_id, t.n"),
         "grid_bfs": (
             f"WITH RECURSIVE base AS ({geo}), "
             "occ AS (SELECT DISTINCT "
@@ -5428,6 +5470,7 @@ def build_queries() -> Dict[str, Callable]:
         "radius_of_gyration": q_radius_of_gyration,
         "grid_bfs": q_grid_bfs,
         "cell_mixture": q_cell_mixture,
+        "user_entropy": q_user_entropy,
         "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
