@@ -362,6 +362,31 @@ def q_radius_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_cell_top_quality(sf_dir: str):
+    """Best document per occupied cell (geo x curation crossover):
+    group_topk keyed on the res-6 cell ordered by extracted text length
+    (the quality proxy), ties to the larger doc_id — the 'one
+    representative page per tile' selection step.  Shuffle volume is
+    O(cells x blocks), never the corpus."""
+    from ..stages import CellEncode
+    from ..stages.sample import group_topk
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["cell"], 0))
+        .append_column("n_chars", pa.compute.utf8_length(
+            t.filter(pa.compute.greater_equal(t["cell"], 0))["text"])
+            .cast(pa.int64())),
+        batch_format="pyarrow")
+    out = group_topk(ds, group="cell", order_by="n_chars", k=1,
+                     tie_break="doc_id",
+                     cols=["doc_id"]).to_pandas()
+    out = out[["cell", "doc_id", "n_chars"]].astype(
+        {"cell": np.int64, "doc_id": np.int64, "n_chars": np.int64})
+    return out.sort_values("cell").reset_index(drop=True)
+
+
 def q_user_entropy(sf_dir: str):
     """Per-user mobility predictability: Shannon entropy of each
     user's visited-cell distribution on the synthetic 8x8 event grid
@@ -4051,6 +4076,16 @@ def build_oracles() -> Dict[str, str]:
             f"AND s.ix = ((t.ix + o.dx) % 64 + 64) % 64 "
             f"GROUP BY t.iy, t.ix, t.n"),
         "cell_mixture": _cell_mixture_sql(),
+        "cell_top_quality": (
+            f"WITH base AS ({geo}), "
+            f"d AS (SELECT doc_id, {cell} AS cell, "
+            "CAST(length(text) AS BIGINT) AS n_chars FROM base "
+            "WHERE lat IS NOT NULL), "
+            "r AS (SELECT cell, doc_id, n_chars, "
+            "row_number() OVER (PARTITION BY cell "
+            "ORDER BY n_chars DESC, doc_id DESC) AS rk FROM d) "
+            "SELECT cell, CAST(doc_id AS BIGINT) AS doc_id, n_chars "
+            "FROM r WHERE rk = 1"),
         "user_entropy": (
             "WITH p AS (SELECT user_id, "
             "(((event_id * 2654435761) % 1024) // 128) * 8 "
@@ -5471,6 +5506,7 @@ def build_queries() -> Dict[str, Callable]:
         "grid_bfs": q_grid_bfs,
         "cell_mixture": q_cell_mixture,
         "user_entropy": q_user_entropy,
+        "cell_top_quality": q_cell_top_quality,
         "time_autocorr": q_time_autocorr,
         "convex_hulls": q_convex_hulls,
         "range_join": q_range_join,
