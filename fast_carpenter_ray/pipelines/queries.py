@@ -3225,6 +3225,35 @@ def q_geofence_dwell(sf_dir: str):
     return out.sort_values(["user_id", "enter_id"]).reset_index(drop=True)
 
 
+def q_geofence_bucketed(sf_dir: str):
+    """Hot-key-safe geofence transitions (stages/geofence.py
+    geofence_events_bucketed): bit-identical to q_geofence under the
+    same lag-window oracle; span/width-bounded group tasks + boundary
+    merge instead of one group per entity."""
+    from ..stages.geofence import box_fence, geofence_events_bucketed
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid * 2654435761) % 1024
+        y = (eid * 40503 + 12345) % 1024
+        return batch.append_column("cell", pa.array((x // 128) * 8 + y // 128))
+
+    fence = box_fence(2, 5, 3, 6, n_grid=8)
+    out = geofence_events_bucketed(
+        ds.map_batches(cellify, batch_format="pyarrow"), fence,
+        bucket_width=86_400_000_000).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["user_id", "event_id", "ts_us",
+                                     "transition"])
+    out["transition"] = out["transition"].astype(str)
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def q_hll_users(sf_dir: str):
     """HyperLogLog register table over event user ids (stages/sketch.py
     hll_registers): registers are exact integer functions of the input
@@ -3894,7 +3923,7 @@ def build_oracles() -> Dict[str, str]:
     cell = _cell_sql()
     zones = rect_zones_sql_values()
     sites = sites_sql_values()
-    return {
+    oracles = {
         "hash_invariant": "SELECT doc_id, sha256(text) AS text_sha256 FROM documents",
         "cell_encode": (
             f"WITH base AS ({geo}) SELECT doc_id, lat, lng, {cell} AS cell "
@@ -5386,6 +5415,10 @@ def build_oracles() -> Dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY r4 DESC, neighbor_id) AS rank "
             "FROM p) WHERE rank <= 5"),
     }
+    # bucketed variants are bit-identical to their flat operators and
+    # share the same oracle SQL (the od/window/session pattern)
+    oracles["geofence_bucketed"] = oracles["geofence"]
+    return oracles
 
 
 def build_queries() -> Dict[str, Callable]:
@@ -5483,6 +5516,7 @@ def build_queries() -> Dict[str, Callable]:
         "geofence": q_geofence,
         "hll_users": q_hll_users,
         "geofence_dwell": q_geofence_dwell,
+        "geofence_bucketed": q_geofence_bucketed,
         "zscore_outliers": q_zscore_outliers,
         "interval_join": q_interval_join,
         "colocation": q_colocation,

@@ -29,7 +29,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["geofence_events", "geofence_dwell", "box_fence"]
+__all__ = ["geofence_events", "geofence_events_bucketed",
+           "geofence_dwell", "box_fence"]
 
 
 def box_fence(x_lo: int, x_hi: int, y_lo: int, y_hi: int,
@@ -164,3 +165,113 @@ def geofence_dwell(ds, fence_cells: np.ndarray, key: str = "user_id",
     rows = ds.map_batches(slim, batch_format="pyarrow")
     return rows.groupby(key_c, num_partitions=num_partitions).map_groups(
         visits, batch_format="pandas")
+
+
+def geofence_events_bucketed(ds, fence_cells: np.ndarray,
+                             key: str = "user_id", ts: str = "ts",
+                             id_col: str = "event_id", cell: str = "cell",
+                             bucket_width: int = 86_400_000_000,
+                             num_partitions: Optional[int] = None):
+    """Hot-key-safe :func:`geofence_events`: group tasks keyed on
+    ``(key, ts // bucket_width)`` detect each bucket's transitions
+    locally and emit ONE summary row per bucket carrying its first/last
+    membership state; a second, summary-sized shuffle per key adds the
+    boundary transition between each bucket's last state and the next
+    bucket's first event.  Bit-identical to the flat operator (pytest
+    pins it) — an adversarial single-entity stream splits into
+    span/width bounded tasks instead of one giant group.
+    """
+    import ray
+
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("geofence_events_bucketed: bucket_width must "
+                         "be > 0")
+    if num_partitions is None:
+        from ..agg import default_partitions
+
+        num_partitions = default_partitions(4)
+
+    fence = np.sort(np.asarray(fence_cells, dtype=np.int64))
+    fence_ref = ray.put(fence)
+    key_c, ts_c, id_c = key, ts, id_col
+    _B = "__gf_bucket"
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch[ts_c].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cells = batch[cell].to_numpy(zero_copy_only=False).astype(np.int64)
+        inside = np.isin(cells, ray.get(fence_ref)).astype(np.int8)
+        return pa.table({
+            key_c: batch[key_c],
+            id_c: batch[id_c].cast(pa.int64()),
+            "t": pa.array(t, type=pa.int64()),
+            "inside": pa.array(inside, type=pa.int8()),
+            _B: pa.array(t // w, type=pa.int64()),
+        })
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["t", id_c], kind="stable")
+        inside = s["inside"].to_numpy()
+        prev = np.empty_like(inside)
+        prev[0] = inside[0]          # first event: resolved at merge
+        prev[1:] = inside[:-1]
+        hit = inside != prev
+        sub = s.loc[hit]
+        rows = pd.DataFrame({
+            key_c: sub[key_c].reset_index(drop=True),
+            _B: pd.Series(np.full(int(hit.sum()), s[_B].iloc[0]),
+                          dtype="int64"),
+            id_c: pd.Series(sub[id_c].to_numpy(), dtype="int64"),
+            "ts_us": pd.Series(sub["t"].to_numpy(), dtype="int64"),
+            "inside": pd.Series(sub["inside"].to_numpy(), dtype="int64"),
+            "_summary": pd.Series(np.zeros(int(hit.sum())), dtype="int64"),
+            "_first_in": pd.Series(np.zeros(int(hit.sum())),
+                                   dtype="int64"),
+            "_last_in": pd.Series(np.zeros(int(hit.sum())), dtype="int64"),
+        })
+        summary = pd.DataFrame({
+            key_c: [s[key_c].iloc[0]],
+            _B: pd.Series([s[_B].iloc[0]], dtype="int64"),
+            id_c: pd.Series([s[id_c].iloc[0]], dtype="int64"),
+            "ts_us": pd.Series([s["t"].iloc[0]], dtype="int64"),
+            "inside": pd.Series([int(inside[0])], dtype="int64"),
+            "_summary": pd.Series([1], dtype="int64"),
+            "_first_in": pd.Series([int(inside[0])], dtype="int64"),
+            "_last_in": pd.Series([int(inside[-1])], dtype="int64"),
+        })
+        return pd.concat([rows, summary], ignore_index=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        summ = g[g["_summary"] == 1].sort_values(_B, kind="stable")
+        first_in = summ["_first_in"].to_numpy()
+        last_in = summ["_last_in"].to_numpy()
+        # boundary: previous bucket's final state vs this bucket's first
+        # event (bucket 0's first event never emits)
+        cross = np.zeros(len(summ), dtype=bool)
+        cross[1:] = first_in[1:] != last_in[:-1]
+        b = summ.loc[cross]
+        boundary = pd.DataFrame({
+            key_c: b[key_c].reset_index(drop=True),
+            id_c: pd.Series(b[id_c].to_numpy(), dtype="int64"),
+            "ts_us": pd.Series(b["ts_us"].to_numpy(), dtype="int64"),
+            "transition": pd.Series(
+                np.where(b["_first_in"].to_numpy() == 1, "enter",
+                         "exit"), dtype="string"),
+        })
+        inner = g[g["_summary"] == 0]
+        inner_rows = pd.DataFrame({
+            key_c: inner[key_c].reset_index(drop=True),
+            id_c: pd.Series(inner[id_c].to_numpy(), dtype="int64"),
+            "ts_us": pd.Series(inner["ts_us"].to_numpy(), dtype="int64"),
+            "transition": pd.Series(
+                np.where(inner["inside"].to_numpy() == 1, "enter",
+                         "exit"), dtype="string"),
+        })
+        return pd.concat([inner_rows, boundary], ignore_index=True)
+
+    rows = ds.map_batches(slim, batch_format="pyarrow")
+    parts = rows.groupby([key_c, _B],
+                         num_partitions=num_partitions).map_groups(
+        local, batch_format="pandas")
+    return parts.groupby(key_c, num_partitions=num_partitions).map_groups(
+        merge, batch_format="pandas")

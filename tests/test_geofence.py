@@ -137,3 +137,41 @@ def test_dwell_matches_transitions_replay(ray_session):
     got = [(int(r.user_id), int(r.enter_id), int(r.exit_id),
             int(r.dwell_us)) for r in dw.itertuples()]
     assert got == sorted(want)
+
+
+def _run_bucketed(rows, fence, w):
+    from fast_carpenter_ray.stages.geofence import geofence_events_bucketed
+    out = geofence_events_bucketed(_events(rows), fence,
+                                   bucket_width=w).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["user_id", "event_id", "ts_us",
+                                     "transition"])
+    out["transition"] = out["transition"].astype(str)
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("w", [100, 1000, 50_000, 10**9])
+def test_bucketed_equals_flat(ray_session, w):
+    rng = np.random.RandomState(14)
+    n = 1500
+    rows = list(zip(rng.randint(0, 20, n).tolist(),
+                    rng.randint(0, 10**6, n).tolist(),
+                    range(1, n + 1),
+                    rng.randint(0, 64, n).tolist()))
+    fence = box_fence(2, 5, 3, 6, n_grid=8)
+    flat = _run(rows, fence)
+    buck = _run_bucketed(rows, fence, w)
+    pd.testing.assert_frame_equal(flat, buck)
+
+
+def test_bucketed_boundary_transition(ray_session):
+    fence = np.array([3], dtype=np.int64)
+    # cross the fence exactly at a bucket boundary: first event of the
+    # second bucket must emit the transition
+    rows = [(1, 10, 1, 5), (1, 99, 2, 5), (1, 100, 3, 3), (1, 150, 4, 3)]
+    out = _run_bucketed(rows, fence, 100)
+    assert list(out["event_id"]) == [3]
+    assert list(out["transition"]) == ["enter"]
+    # width=1: every event its own bucket -> pure boundary path
+    out1 = _run_bucketed(rows, fence, 1)
+    assert list(out1["event_id"]) == [3]
