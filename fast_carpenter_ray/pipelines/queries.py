@@ -583,6 +583,19 @@ def q_gi_star(sf_dir: str):
     return out.sort_values("cell").reset_index(drop=True)
 
 
+def q_dbscan(sf_dir: str):
+    """Grid DBSCAN (stages/dbscan.py dbscan_cells): density clustering
+    with core/border/noise roles — core cells have >= min_pts points in
+    their 3x3 wrap/clamp neighborhood, clusters are min-label connected
+    components of core cells, borders attach to the min adjacent core
+    cluster.  Oracle = recursive-CTE components over the same adjacency."""
+    from ..stages.dbscan import dbscan_cells
+
+    ds = _pages_geo(sf_dir)
+    out = dbscan_cells(ds, res=RES, min_pts=4).to_pandas()
+    return out.sort_values("cell").reset_index(drop=True)
+
+
 def q_fuzzy_join(sf_dir: str):
     """Typo-tolerant fuzzy value join (stages/fuzzy.py fuzzy_pairs_d1):
     part names vs deterministically perturbed part names (delete /
@@ -4104,6 +4117,50 @@ def build_oracles() -> Dict[str, str]:
             f"ON s.iy = t.iy + o.dy "
             f"AND s.ix = ((t.ix + o.dx) % 64 + 64) % 64 "
             f"GROUP BY t.iy, t.ix, t.n"),
+        "dbscan": (
+            f"WITH RECURSIVE base AS ({geo}), "
+            f"pts AS (SELECT CAST(least(greatest(floor((lat + 90.0) / 180.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS iy, "
+            f"CAST(least(greatest(floor((lng + 180.0) / 360.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS ix "
+            f"FROM base WHERE lat IS NOT NULL), "
+            "c AS (SELECT iy, ix, CAST(count(*) AS BIGINT) AS n "
+            "FROM pts GROUP BY iy, ix), "
+            "offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),"
+            "(0,1),(1,-1),(1,0),(1,1)), "
+            "nb AS (SELECT t.iy, t.ix, t.n, "
+            "CAST(sum(s.n) AS BIGINT) AS nbhd_n "
+            "FROM c t CROSS JOIN offs o JOIN c s "
+            "ON s.iy = t.iy + o.dy "
+            f"AND s.ix = ((t.ix + o.dx) % {_N} + {_N}) % {_N} "
+            "GROUP BY t.iy, t.ix, t.n), "
+            f"core AS (SELECT iy, ix, iy * {_N} + ix AS cell, n, nbhd_n "
+            "FROM nb WHERE nbhd_n >= 4), "
+            "edge AS (SELECT a.cell AS a, b.cell AS b "
+            "FROM core a CROSS JOIN offs o JOIN core b "
+            "ON b.iy = a.iy + o.dy "
+            f"AND b.ix = ((a.ix + o.dx) % {_N} + {_N}) % {_N} "
+            "AND b.cell <> a.cell), "
+            "reach(cell, root) AS (SELECT cell, cell FROM core "
+            "UNION SELECT e.b, r.root FROM reach r JOIN edge e "
+            "ON e.a = r.cell), "
+            "comp AS (SELECT cell, min(root) AS cluster "
+            "FROM reach GROUP BY cell), "
+            f"noncore AS (SELECT iy, ix, iy * {_N} + ix AS cell, n, nbhd_n "
+            "FROM nb WHERE nbhd_n < 4), "
+            "bcand AS (SELECT t.cell, min(comp.cluster) AS cluster "
+            "FROM noncore t CROSS JOIN offs o JOIN core s "
+            "ON s.iy = t.iy + o.dy "
+            f"AND s.ix = ((t.ix + o.dx) % {_N} + {_N}) % {_N} "
+            "JOIN comp ON comp.cell = s.cell GROUP BY t.cell) "
+            "SELECT core.cell, core.n, core.nbhd_n, "
+            "CAST(0 AS BIGINT) AS role, comp.cluster "
+            "FROM core JOIN comp USING (cell) "
+            "UNION ALL "
+            "SELECT nc.cell, nc.n, nc.nbhd_n, CAST(1 AS BIGINT) AS role, "
+            "b.cluster FROM noncore nc JOIN bcand b USING (cell) "
+            "UNION ALL "
+            "SELECT nc.cell, nc.n, nc.nbhd_n, CAST(2 AS BIGINT) AS role, "
+            "CAST(-1 AS BIGINT) AS cluster FROM noncore nc "
+            "LEFT JOIN bcand b USING (cell) WHERE b.cell IS NULL"),
         "cell_mixture": _cell_mixture_sql(),
         "cell_top_quality": (
             f"WITH base AS ({geo}), "
@@ -5533,6 +5590,7 @@ def build_queries() -> Dict[str, Callable]:
         "approx_quantiles": q_approx_quantiles,
         "fuzzy_join": q_fuzzy_join,
         "gi_star": q_gi_star,
+        "dbscan": q_dbscan,
         "compression_ratio": q_compression_ratio,
         "geo_composite": q_geo_composite,
         "incremental_dedup": q_incremental_dedup,

@@ -27,7 +27,7 @@ import pyarrow as pa
 
 from .compact_cells import _BROADCAST_CELL_BUDGET
 
-__all__ = ["cluster_cells"]
+__all__ = ["cluster_cells", "propagate_min_labels"]
 
 _OFFS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
@@ -100,6 +100,27 @@ def cluster_cells(ds, cell: str = "cell", res: int = 6, min_count: int = 1,
 
     state = counts.map_batches(init_label,
                                batch_format="pyarrow").materialize()
+    labels = propagate_min_labels(state, cell=cell, res=res,
+                                  num_partitions=np_, max_rounds=max_rounds)
+    return labels.map_batches(
+        lambda t: pa.table({cell: t[cell], "cluster": t["label"]}),
+        batch_format="pyarrow")
+
+
+def propagate_min_labels(state, cell: str = "cell", res: int = 6,
+                         num_partitions=None, max_rounds: int = 10_000):
+    """Distributed min-label propagation to a fixpoint over a materialized
+    ``(cell, label)`` Dataset (8-connected Chebyshev adjacency, lng wrap /
+    lat clamp — ``geo.cells.k_ring`` semantics).  Per round every cell
+    scatters its label to its 9 neighbors and a groupby keeps the min on
+    the ORIGINAL cell set (labels never leak onto absent cells); rounds
+    are bounded by the component diameter.  Shared by
+    :func:`cluster_cells` and ``dbscan.dbscan_cells``.
+    """
+    from ..agg import default_partitions
+
+    np_ = num_partitions if num_partitions is not None else (
+        default_partitions())
 
     n_grid = 1 << res
 
@@ -117,26 +138,40 @@ def cluster_cells(ds, cell: str = "cell", res: int = 6, min_count: int = 1,
         return pa.table({cell: pa.array(np.concatenate(outs_c)),
                          "label": pa.array(np.concatenate(outs_l))})
 
+    sent = np.int64(1) << 62  # > any cell id; Min ignores it when real
+
     def occupied_filter(labels_ds):
         # inner-join the propagated minima back onto the occupied set so
-        # labels never leak onto unoccupied cells (group sizes <= 10)
+        # labels never leak onto unoccupied cells.  Fully vectorized: the
+        # occupied marker rows carry a sentinel label (the scatter always
+        # includes the cell's own current label via the (0,0) offset, so
+        # Min over real labels is correct) and occ=1; one native hash
+        # aggregate keeps Min(label) + Max(occ), then a filter drops the
+        # unoccupied scatter targets.
+        from ray.data.aggregate import Max, Min
+
         tagged_occ = state.map_batches(
             lambda t: pa.table({cell: t[cell],
-                                "label": pa.nulls(len(t), pa.int64())}),
+                                "label": pa.array(
+                                    np.full(len(t), sent, dtype=np.int64)),
+                                "occ": pa.array(
+                                    np.ones(len(t), dtype=np.int64))}),
+            batch_format="pyarrow")
+        tagged_lab = labels_ds.map_batches(
+            lambda t: pa.table({cell: t[cell], "label": t["label"],
+                                "occ": pa.array(
+                                    np.zeros(len(t), dtype=np.int64))}),
             batch_format="pyarrow")
 
-        def keep(group: pd.DataFrame) -> pd.DataFrame:
-            has_occ = group["label"].isna().any()
-            lab = group["label"].dropna()
-            if not has_occ or not len(lab):
-                return pd.DataFrame({cell: pd.Series([], dtype=np.int64),
-                                     "label": pd.Series([], dtype=np.int64)})
-            return pd.DataFrame({cell: [np.int64(group[cell].iloc[0])],
-                                 "label": [np.int64(lab.min())]})
+        agg = (tagged_lab.union(tagged_occ)
+               .groupby(cell, num_partitions=np_)
+               .aggregate(Min("label"), Max("occ")))
 
-        return (labels_ds.union(tagged_occ)
-                .groupby(cell, num_partitions=np_)
-                .map_groups(keep, batch_format="pandas"))
+        def finish(t: pa.Table) -> pa.Table:
+            f = t.filter(pa.compute.equal(t["max(occ)"], 1))
+            return pa.table({cell: f[cell], "label": f["min(label)"]})
+
+        return agg.map_batches(finish, batch_format="pyarrow")
 
     def label_sum(st) -> int:
         # labels only ever decrease; an unchanged sum means a fixpoint
@@ -154,6 +189,4 @@ def cluster_cells(ds, cell: str = "cell", res: int = 6, min_count: int = 1,
         if cur == prev:
             break
         prev = cur
-    return state.map_batches(
-        lambda t: pa.table({cell: t[cell], "cluster": t["label"]}),
-        batch_format="pyarrow")
+    return state
