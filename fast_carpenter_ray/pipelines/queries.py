@@ -1142,6 +1142,31 @@ def q_decontam_clean(sf_dir: str):
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_bloom_decontam(sf_dir: str):
+    """Bloom-prefilter decontamination (stages/bloom.py): exact stats for
+    contaminated docs with the eval side streamed through an m-bit Bloom
+    bitmap instead of a driver-side hash array — the shape for eval sets
+    beyond the broadcast budget.  Same corpus/eval split as ``decontam``;
+    the verify pass makes the output bit-identical to the exact stage's
+    contaminated rows, so the oracle is the decontam stats SQL filtered
+    to overlap >= threshold."""
+    import ray.data as rd
+
+    from ..stages.bloom import BloomDecontaminate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def eval_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 50 == 0))
+
+    ev_ds = docs.map_batches(eval_filter, batch_format="pyarrow")
+    d = BloomDecontaminate("bloom_decontam", width=3, threshold=0.5,
+                           m_bits=1 << 20)
+    return d.stats(docs, ev_ds)
+
+
 def _plant_pii_batch(batch: pa.Table, keep_lang: bool) -> pa.Table:
     """Deterministic planted PII (the base synthetic text contains
     none): every 7th doc gains an email, every 11th a phone number,
@@ -4911,6 +4936,12 @@ def build_oracles() -> Dict[str, str]:
             _decontam_stats_sql()
             + " SELECT doc_id FROM stats "
             "WHERE CAST(n_hit AS DOUBLE) / n_sh < 0.5"),
+        "bloom_decontam": (
+            _decontam_stats_sql()
+            + " SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles, "
+            "CAST(n_hit AS BIGINT) AS n_hit, "
+            "CAST(n_hit AS DOUBLE) / n_sh AS overlap_frac FROM stats "
+            "WHERE CAST(n_hit AS DOUBLE) / n_sh >= 0.5"),
         "bm25": _bm25_sql(),
         "llm_curation": _llm_curation_sql(),
         "classifier": _classifier_sql(),
@@ -5591,6 +5622,7 @@ def build_queries() -> Dict[str, Callable]:
         "fuzzy_join": q_fuzzy_join,
         "gi_star": q_gi_star,
         "dbscan": q_dbscan,
+        "bloom_decontam": q_bloom_decontam,
         "compression_ratio": q_compression_ratio,
         "geo_composite": q_geo_composite,
         "incremental_dedup": q_incremental_dedup,
