@@ -108,6 +108,40 @@ def q_compact_cells(sf_dir: str):
     return compact_cells(ds, cell="cell", res=RES, min_res=RES - 2)
 
 
+def q_local_hour(sf_dir: str):
+    """Crawl activity by local SOLAR hour: each page's UTC crawl
+    timestamp shifted by its longitude (15 degrees per hour, the
+    geo-temporal join of the two page axes), counted per (local_hour,
+    lang).  24 x langs keys — summary-sized, zero-shuffle tree combine.
+    Float ops are one division + one addition + floor in both engines,
+    so the oracle hashes bit-exactly."""
+
+    from ..agg import combine_partials
+
+    ds = _pages_geo(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        ok = ~np.isnan(lat)
+        lh = (np.floor(ts[ok].astype(np.float64) / 3600000000.0
+                       + lng[ok] / 15.0).astype(np.int64) % 24)
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)[ok]
+        df = pd.DataFrame({"local_hour": lh, "lang": lang})
+        out = (df.groupby(["local_hour", "lang"], as_index=False)
+               .size().rename(columns={"size": "n_pages"}))
+        out["n_pages"] = out["n_pages"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["local_hour", "lang"], value_cols=["n_pages"],
+        mode="tree").to_pandas()
+    return out.sort_values(["local_hour", "lang"]).reset_index(drop=True)
+
+
 def q_spacetime(sf_dir: str):
     """Space-time cube (stages/spacetime.py): per (cell, day) counts +
     exact dyadic weight sums over the page stream — keyed on a space
@@ -1001,6 +1035,33 @@ def q_fingerprint(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return Fingerprint().apply(ds).select_columns(["doc_id", "fingerprint"])
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: declared ``lang`` column vs the
+    stopword-heuristic prediction, ``(lang, lang_pred, n_docs)`` rows.
+    The key space is langs x langs (summary-sized), so per-batch
+    value-count partials tree-combine with zero shuffle; the oracle
+    replays the heuristic via the shared stopword VALUES join."""
+    import ray.data as rd
+
+    from ..agg import combine_partials
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    ds = LangId().apply(ds)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (batch.groupby(["lang", "lang_pred"], as_index=False)
+               .size().rename(columns={"size": "n_docs"}))
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+
+    out = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "lang_pred"], value_cols=["n_docs"],
+        mode="tree").to_pandas()
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
 
 
 def _neardup_corpus(sf_dir: str):
@@ -4747,6 +4808,12 @@ def build_oracles() -> Dict[str, str]:
             "SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank "
             "FROM r WHERE rank <= 5"),
         "lang_id": _lang_id_sql(),
+        "lang_confusion": (
+            f"WITH pred AS ({_lang_id_sql()}) "
+            "SELECT d.lang, p.lang_pred, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents d JOIN pred p USING (doc_id) "
+            "GROUP BY 1, 2"),
         "repetition": (
             "WITH toks AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), "
@@ -5226,6 +5293,13 @@ def build_oracles() -> Dict[str, str]:
             "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
             "ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1 "
             "ORDER BY vec_id"),
+        "local_hour": (
+            f"WITH base AS ({geo}) "
+            f"SELECT CAST(floor(CAST(({WARC_EPOCH_US} + doc_id * "
+            f"{WARC_STEP_S * 1_000_000}) AS DOUBLE) / 3600000000.0 "
+            "+ lng / 15.0) AS BIGINT) % 24 AS local_hour, lang, "
+            "CAST(count(*) AS BIGINT) AS n_pages "
+            "FROM base WHERE lat IS NOT NULL GROUP BY 1, 2"),
         "term_trends": (
             f"WITH d AS (SELECT ({WARC_EPOCH_US} + doc_id * "
             f"{WARC_STEP_S * 1_000_000}) // 14400000000 AS day, "
@@ -5623,6 +5697,7 @@ def build_queries() -> Dict[str, Callable]:
         "gi_star": q_gi_star,
         "dbscan": q_dbscan,
         "bloom_decontam": q_bloom_decontam,
+        "local_hour": q_local_hour,
         "compression_ratio": q_compression_ratio,
         "geo_composite": q_geo_composite,
         "incremental_dedup": q_incremental_dedup,
@@ -5646,6 +5721,7 @@ def build_queries() -> Dict[str, Callable]:
         "token_count": q_token_count,
         "quality": q_quality,
         "lang_id": q_lang_id,
+        "lang_confusion": q_lang_confusion,
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
         "near_dedup": q_near_dedup,
