@@ -1479,6 +1479,23 @@ def q_similarity_join(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_containment_join(sf_dir: str):
+    """Exact set-containment self-join (stages/simjoin.py
+    containment_join): ordered pairs with |S_a & S_b| / |S_a| >= 0.8 —
+    the asymmetric doc-in-doc inclusion signal.  Probe-prefix candidate
+    generation is lossless and verification exact, so the oracle is the
+    naive ordered DISTINCT-token self-join; containment is one f64
+    division of exact ints."""
+    import ray.data as rd
+
+    from ..stages.simjoin import containment_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = containment_join(ds, threshold=0.8).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _token_val_lists(sf_dir: str):
     """documents -> (doc_id, vals) with ``vals`` a jagged int64 list
     column (sha256-prefix token hash mod 1000 per token) — the list
@@ -4857,6 +4874,19 @@ def build_oracles() -> Dict[str, str]:
             "CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard "
             "FROM i WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) "
             ">= 0.9"),
+        "containment_join": (
+            "WITH toks AS (SELECT doc_id, list_distinct(list_filter("
+            "regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), "
+            "t -> t != '')) AS t FROM documents), "
+            "u AS (SELECT doc_id, unnest(t) AS w, len(t) AS sz FROM toks), "
+            "i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS inter, any_value(a.sz) AS sz_a, "
+            "any_value(b.sz) AS sz_b "
+            "FROM u a JOIN u b ON a.w = b.w AND a.doc_id != b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b, inter, sz_a, sz_b, "
+            "CAST(inter AS DOUBLE) / sz_a AS containment "
+            "FROM i WHERE CAST(inter AS DOUBLE) / sz_a >= 0.8"),
         "reduce_cut": (
             "WITH toks AS (SELECT doc_id, list_transform(list_filter("
             "regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), "
@@ -5739,6 +5769,7 @@ def build_queries() -> Dict[str, Callable]:
         "pack_sequences": q_pack_sequences,
         "pack_summary": q_pack_summary,
         "similarity_join": q_similarity_join,
+        "containment_join": q_containment_join,
         "polygon_cover": q_polygon_cover,
         "reduce_cut": q_reduce_cut,
         "binned_padded": q_binned_padded,
