@@ -617,6 +617,20 @@ def q_gi_star(sf_dir: str):
     return out.sort_values("cell").reset_index(drop=True)
 
 
+def q_emerging_hotspots(sf_dir: str):
+    """Emerging space-time hotspots (stages/hotspot.py
+    emerging_hotspots): Gi* per 4h bucket, hot at z >= 1.96, integer
+    taxonomy per cell (0 none / 1 new / 2 persistent / 3 intensifying /
+    4 former).  The z chain is the gi_star fixed float chain per bucket,
+    so the SQL replay hashes bit-exactly."""
+    from ..stages.hotspot import emerging_hotspots
+
+    ds = _pages_geo(sf_dir)
+    out = emerging_hotspots(ds, res=RES, ring=1).to_pandas()
+    out = out.astype({c: np.int64 for c in out.columns})
+    return out.sort_values("cell").reset_index(drop=True)
+
+
 def q_dbscan(sf_dir: str):
     """Grid DBSCAN (stages/dbscan.py dbscan_cells): density clustering
     with core/border/noise roles — core cells have >= min_pts points in
@@ -4402,6 +4416,51 @@ def build_oracles() -> Dict[str, str]:
             "CAST(w_i AS HUGEINT) * w_i AS DOUBLE) "
             "/ CAST(nc - 1 AS DOUBLE))) AS gi_star "
             "FROM agg, gl"),
+        "emerging_hotspots": (
+            f"WITH base AS ({geo}), "
+            f"pts AS (SELECT CAST(least(greatest(floor((lat + 90.0) / 180.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS iy, "
+            f"CAST(least(greatest(floor((lng + 180.0) / 360.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS ix, "
+            f"({WARC_EPOCH_US} + doc_id * {WARC_STEP_S * 1_000_000}) "
+            "// 14400000000 AS bucket "
+            "FROM base WHERE lat IS NOT NULL), "
+            "c AS (SELECT bucket, iy, ix, CAST(count(*) AS BIGINT) AS n "
+            "FROM pts GROUP BY 1, 2, 3), "
+            "gl AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nc, "
+            "CAST(sum(n) AS BIGINT) AS sx, "
+            "CAST(sum(n*n) AS BIGINT) AS q FROM c GROUP BY 1), "
+            "glb AS (SELECT CAST(count(DISTINCT bucket) AS BIGINT) "
+            "AS nb_all, CAST(max(bucket) AS BIGINT) AS maxb FROM c), "
+            "offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),"
+            "(0,1),(1,-1),(1,0),(1,1)), "
+            f"agg AS (SELECT t.bucket, t.iy * {_N} + t.ix AS cell, t.n, "
+            "CAST(sum(s.n) AS BIGINT) AS nbhd_n, "
+            "CAST(count(*) AS BIGINT) AS w_i "
+            "FROM c t CROSS JOIN offs o JOIN c s "
+            "ON s.bucket = t.bucket AND s.iy = t.iy + o.dy "
+            f"AND s.ix = ((t.ix + o.dx) % {_N} + {_N}) % {_N} "
+            "GROUP BY 1, 2, 3), "
+            "z AS (SELECT agg.bucket, cell, "
+            "CASE WHEN gl.nc >= 2 "
+            "AND CAST(gl.nc AS HUGEINT) * gl.q "
+            "- CAST(gl.sx AS HUGEINT) * gl.sx > 0 "
+            "AND CAST(CAST(gl.nc AS HUGEINT) * nbhd_n "
+            "- CAST(gl.sx AS HUGEINT) * w_i AS DOUBLE) "
+            "/ (sqrt(CAST(CAST(gl.nc AS HUGEINT) * gl.q "
+            "- CAST(gl.sx AS HUGEINT) * gl.sx AS DOUBLE)) "
+            "* sqrt(CAST(CAST(gl.nc AS HUGEINT) * w_i - "
+            "CAST(w_i AS HUGEINT) * w_i AS DOUBLE) "
+            "/ CAST(gl.nc - 1 AS DOUBLE))) >= 1.96 "
+            "THEN 1 ELSE 0 END AS hot "
+            "FROM agg JOIN gl USING (bucket)), "
+            "per AS (SELECT cell, CAST(sum(hot) AS BIGINT) AS n_hot, "
+            "CAST(max(CASE WHEN z.bucket = glb.maxb THEN hot ELSE 0 END) "
+            "AS BIGINT) AS last_hot FROM z, glb GROUP BY cell) "
+            "SELECT cell, n_hot, last_hot, "
+            "CAST(CASE WHEN n_hot = glb.nb_all THEN 2 "
+            "WHEN last_hot = 1 AND n_hot = 1 AND glb.nb_all > 1 THEN 1 "
+            "WHEN last_hot = 1 AND n_hot > 1 THEN 3 "
+            "WHEN n_hot >= 1 THEN 4 ELSE 0 END AS BIGINT) AS category "
+            "FROM per, glb"),
         "radius_join": (
             f"WITH base AS ({geo}), "
             f"d AS (SELECT doc_id, site_id, "
@@ -5728,6 +5787,7 @@ def build_queries() -> Dict[str, Callable]:
         "dbscan": q_dbscan,
         "bloom_decontam": q_bloom_decontam,
         "local_hour": q_local_hour,
+        "emerging_hotspots": q_emerging_hotspots,
         "compression_ratio": q_compression_ratio,
         "geo_composite": q_geo_composite,
         "incremental_dedup": q_incremental_dedup,
