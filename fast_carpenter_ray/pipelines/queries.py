@@ -631,6 +631,19 @@ def q_emerging_hotspots(sf_dir: str):
     return out.sort_values("cell").reset_index(drop=True)
 
 
+def q_lang_frontier(sf_dir: str):
+    """Language-frontier cells (stages/frontier.py language_frontiers):
+    occupied cells whose dominant page language differs from the ring
+    neighborhood's dominant — argmaxes computed with native Max over a
+    (count, tie-break) score encoding, no per-group Python.  Oracle:
+    row_number argmax with the identical (n DESC, lang) tie-break."""
+    from ..stages.frontier import language_frontiers
+
+    ds = _pages_geo(sf_dir)
+    out = language_frontiers(ds, res=RES, ring=1).to_pandas()
+    return out.sort_values("cell").reset_index(drop=True)
+
+
 def q_dbscan(sf_dir: str):
     """Grid DBSCAN (stages/dbscan.py dbscan_cells): density clustering
     with core/border/noise roles — core cells have >= min_pts points in
@@ -4416,6 +4429,32 @@ def build_oracles() -> Dict[str, str]:
             "CAST(w_i AS HUGEINT) * w_i AS DOUBLE) "
             "/ CAST(nc - 1 AS DOUBLE))) AS gi_star "
             "FROM agg, gl"),
+        "lang_frontier": (
+            f"WITH base AS ({geo}), "
+            f"pts AS (SELECT CAST(least(greatest(floor((lat + 90.0) / 180.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS iy, "
+            f"CAST(least(greatest(floor((lng + 180.0) / 360.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS ix, "
+            "lang FROM base WHERE lat IS NOT NULL), "
+            "c AS (SELECT iy, ix, lang, CAST(count(*) AS BIGINT) AS n "
+            "FROM pts GROUP BY 1, 2, 3), "
+            "occ AS (SELECT DISTINCT iy, ix FROM c), "
+            "offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),"
+            "(0,1),(1,-1),(1,0),(1,1)), "
+            "own AS (SELECT iy, ix, lang, row_number() OVER ("
+            "PARTITION BY iy, ix ORDER BY n DESC, lang) AS rk FROM c), "
+            "nbsum AS (SELECT t.iy, t.ix, s.lang, "
+            "CAST(sum(s.n) AS BIGINT) AS n "
+            "FROM occ t CROSS JOIN offs o JOIN c s "
+            "ON s.iy = t.iy + o.dy "
+            f"AND s.ix = ((t.ix + o.dx) % {_N} + {_N}) % {_N} "
+            "GROUP BY 1, 2, 3), "
+            "nbd AS (SELECT iy, ix, lang, row_number() OVER ("
+            "PARTITION BY iy, ix ORDER BY n DESC, lang) AS rk FROM nbsum) "
+            f"SELECT t.iy * {_N} + t.ix AS cell, o.lang AS own_lang, "
+            "d.lang AS nbhd_lang, "
+            "CAST(o.lang != d.lang AS BIGINT) AS frontier "
+            "FROM occ t "
+            "JOIN own o ON o.iy = t.iy AND o.ix = t.ix AND o.rk = 1 "
+            "JOIN nbd d ON d.iy = t.iy AND d.ix = t.ix AND d.rk = 1"),
         "emerging_hotspots": (
             f"WITH base AS ({geo}), "
             f"pts AS (SELECT CAST(least(greatest(floor((lat + 90.0) / 180.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS iy, "
@@ -5788,6 +5827,7 @@ def build_queries() -> Dict[str, Callable]:
         "bloom_decontam": q_bloom_decontam,
         "local_hour": q_local_hour,
         "emerging_hotspots": q_emerging_hotspots,
+        "lang_frontier": q_lang_frontier,
         "compression_ratio": q_compression_ratio,
         "geo_composite": q_geo_composite,
         "incremental_dedup": q_incremental_dedup,
