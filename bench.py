@@ -121,7 +121,10 @@ def run_bench() -> dict:
                  "mixture_sample", "train_order", "pii_stats",
                  # round-3 late geospatial statistics/joins
                  "spatial_autocorr", "gi_star", "knn_graph", "geofence",
-                 "knox", "stay_points", "fuzzy_join"):
+                 "knox", "stay_points", "fuzzy_join",
+                 # round-3 closing operators
+                 "dbscan", "emerging_hotspots", "lang_frontier",
+                 "local_hour", "lang_confusion", "bloom_decontam"):
         best = float("inf")
         for _ in range(2):
             import gc
