@@ -3238,6 +3238,18 @@ def q_zorder(sf_dir: str):
     return ds.select_columns(["event_id", "x", "y", "zkey"])
 
 
+def q_hilbert(sf_dir: str):
+    """Hilbert curve locality keys over the synthetic 1024-grid
+    positions (stages/zorder.py hilbert_key): the xy2d bit walk restated
+    with per-level [0, s) reduction so every intermediate is nonnegative
+    — replayed bit-for-bit by a generated CTE chain (no bit intrinsics).
+    Strictly better box-locality than Morton (no diagonal jumps)."""
+    from ..stages.zorder import hilbert_key
+
+    ds = hilbert_key(_xy_events(sf_dir), bits=10)
+    return ds.select_columns(["event_id", "x", "y", "hkey"])
+
+
 def q_rdp_simplify(sf_dir: str):
     """Per-user RDP polyline simplification (stages/simplify.py) at
     eps=256 on the synthetic 1024-grid paths.  Recursive argmax
@@ -3466,6 +3478,19 @@ def _zorder_sql() -> str:
         "(event_id * 40503 + 12345) % 1024 AS y FROM events) "
         f"SELECT event_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, "
         f"{zorder_sql('x', 'y', 10)} AS zkey FROM p")
+
+
+def _hilbert_sql() -> str:
+    from ..stages.zorder import hilbert_sql
+
+    return (
+        "WITH p AS (SELECT event_id, "
+        "(event_id * 2654435761) % 1024 AS x, "
+        "(event_id * 40503 + 12345) % 1024 AS y FROM events), "
+        + hilbert_sql("p", "event_id, x, y", "x", "y", 10)
+        .replace("SELECT event_id, x, y, hd AS hkey",
+                 "SELECT event_id, CAST(x AS BIGINT) AS x, "
+                 "CAST(y AS BIGINT) AS y, hd AS hkey"))
 
 
 def _cell_mixture_sql() -> str:
@@ -4547,6 +4572,7 @@ def build_oracles() -> Dict[str, str]:
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "hll_users": _hll_sql(),
         "zorder": _zorder_sql(),
+        "hilbert": _hilbert_sql(),
         "knn_graph": (
             f"WITH base AS ({geo}), "
             f"p AS (SELECT doc_id, lat, lng FROM base "
@@ -5812,6 +5838,7 @@ def build_queries() -> Dict[str, Callable]:
         "colocation": q_colocation,
         "rdp_simplify": q_rdp_simplify,
         "zorder": q_zorder,
+        "hilbert": q_hilbert,
         "local_autocorr": q_local_autocorr,
         "attribution": q_attribution,
         "stay_points": q_stay_points,
