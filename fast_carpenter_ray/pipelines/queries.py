@@ -631,6 +631,21 @@ def q_emerging_hotspots(sf_dir: str):
     return out.sort_values("cell").reset_index(drop=True)
 
 
+def q_cell_terms(sf_dir: str):
+    """Per-tile vocabulary signature (stages/text.py cell_terms): top-3
+    terms per occupied cell by count, ties token-ascending.  Vectorized
+    explode shrinks to (cell, tok) partials in-task; the two-phase
+    top-k bounds the final shuffle to O(cells x k per block)."""
+    from ..stages import CellEncode
+    from ..stages.text import cell_terms
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    out = cell_terms(ds, k=3).to_pandas()
+    out = out[["cell", "tok", "n", "rank"]]
+    return out.sort_values(["cell", "rank"]).reset_index(drop=True)
+
+
 def q_lang_frontier(sf_dir: str):
     """Language-frontier cells (stages/frontier.py language_frontiers):
     occupied cells whose dominant page language differs from the ring
@@ -4454,6 +4469,17 @@ def build_oracles() -> Dict[str, str]:
             "CAST(w_i AS HUGEINT) * w_i AS DOUBLE) "
             "/ CAST(nc - 1 AS DOUBLE))) AS gi_star "
             "FROM agg, gl"),
+        "cell_terms": (
+            f"WITH base AS ({geo}), "
+            f"d AS (SELECT {_cell_sql()} AS cell, "
+            "unnest(regexp_split_to_array(lower(coalesce(text, '')), "
+            "'\\s+')) AS tok FROM base WHERE lat IS NOT NULL), "
+            "c AS (SELECT cell, tok, CAST(count(*) AS BIGINT) AS n "
+            "FROM d WHERE tok != '' GROUP BY 1, 2), "
+            "r AS (SELECT cell, tok, n, row_number() OVER ("
+            "PARTITION BY cell ORDER BY n DESC, tok) AS rk FROM c) "
+            "SELECT cell, tok, n, CAST(rk AS BIGINT) AS rank "
+            "FROM r WHERE rk <= 3"),
         "lang_frontier": (
             f"WITH base AS ({geo}), "
             f"pts AS (SELECT CAST(least(greatest(floor((lat + 90.0) / 180.0 * {_N}), 0), {_N - 1}) AS BIGINT) AS iy, "
@@ -5855,6 +5881,7 @@ def build_queries() -> Dict[str, Callable]:
         "local_hour": q_local_hour,
         "emerging_hotspots": q_emerging_hotspots,
         "lang_frontier": q_lang_frontier,
+        "cell_terms": q_cell_terms,
         "compression_ratio": q_compression_ratio,
         "geo_composite": q_geo_composite,
         "incremental_dedup": q_incremental_dedup,

@@ -634,3 +634,51 @@ def compression_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def cell_terms(ds, cell_col: str = "cell", text_col: str = "text",
+               k: int = 3):
+    """Top-``k`` terms per grid cell by count, ties broken token
+    ascending — the per-tile vocabulary signature (geo x text
+    crossover; reference analogue: none, SURVEY §2.5 extension).
+
+    Shape: per-batch vectorized explode shrinks to (cell, tok, n)
+    partial counts before anything leaves the task; ONE (cell, tok)
+    hash combine; then the group_topk two-phase pattern — per-batch
+    partial top-k bounds the final shuffle to O(cells x k per block)
+    before the per-cell head-k (mixed sort direction, so the native-Max
+    encoding trick from language_frontiers does not apply).
+
+    Output: ``(cell, tok, n, rank)`` with rank 1..k.
+    """
+    from ..agg import combine_partials, default_partitions
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (batch[text_col].fillna("").str.lower()
+                .str.split(r"[ \t\n\r\f]+", regex=True))
+        df = pd.DataFrame({"cell": batch[cell_col].to_numpy(),
+                           "tok": toks}).explode("tok")
+        df = df[(df["cell"] >= 0) & df["tok"].notna() & (df["tok"] != "")]
+        out = (df.groupby(["cell", "tok"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["cell", "tok"], value_cols=["n"], mode="hash")
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.sort_values(["n", "tok"], ascending=[False, True],
+                                  kind="stable")
+                .groupby("cell", sort=False).head(k))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(["n", "tok"], ascending=[False, True],
+                            kind="stable").head(k).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return (counts.map_batches(partial_topk, batch_format="pandas")
+            .groupby("cell", num_partitions=default_partitions())
+            .map_groups(final_topk, batch_format="pandas"))
