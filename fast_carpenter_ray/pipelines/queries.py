@@ -3424,6 +3424,22 @@ def q_geofence_bucketed(sf_dir: str):
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 
+def q_cms_users(sf_dir: str):
+    """Count-Min register table over event user ids (stages/sketch.py
+    cms_registers): counter increments are exact integer functions of
+    the input multiset and sum-mergeable, so the sketch itself is
+    hash-checked against a SQL replay of the per-row splitmix64
+    column addressing; only cms_query (pytest-pinned no-underestimate
+    property) is approximate."""
+    from ..stages.sketch import cms_registers
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = cms_registers(ds, "user_id", width=512, depth=3).to_pandas()
+    return out.sort_values(["row", "col"]).reset_index(drop=True)
+
+
 def q_hll_users(sf_dir: str):
     """HyperLogLog register table over event user ids (stages/sketch.py
     hll_registers): registers are exact integer functions of the input
@@ -3517,6 +3533,21 @@ def _cell_mixture_sql() -> str:
              "WHERE lat IS NOT NULL)")
     return ("SELECT doc_id, cell FROM ("
             + mixture_sample_sql(inner, "cell", 5, "doc_id") + ") q")
+
+
+def _cms_sql(width: int = 512, depth: int = 3) -> str:
+    """Bit-exact SQL replay of cms_registers: one UNION ALL leg per hash
+    row, column = mix64(user_id, seed=row+1) % width in UBIGINT."""
+    from ..stages.sample import mix64_sql
+
+    legs = []
+    for j in range(depth):
+        z = mix64_sql("user_id", j + 1)
+        legs.append(f"SELECT CAST({j} AS BIGINT) AS row, "
+                    f"CAST({z} % {width} AS BIGINT) AS col FROM events")
+    u = " UNION ALL ".join(legs)
+    return (f"WITH a AS ({u}) SELECT row, col, "
+            "CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1, 2")
 
 
 def _hll_sql(p: int = 10, seed: int = 0) -> str:
@@ -4597,6 +4628,7 @@ def build_oracles() -> Dict[str, str]:
             "SELECT cell, n, focal_n, focal_sum, "
             "focal_sum / focal_n AS focal_mean FROM f WHERE n > 0"),
         "hll_users": _hll_sql(),
+        "cms_users": _cms_sql(),
         "zorder": _zorder_sql(),
         "hilbert": _hilbert_sql(),
         "knn_graph": (
@@ -5857,6 +5889,7 @@ def build_queries() -> Dict[str, Callable]:
         "spatial_autocorr": q_spatial_autocorr,
         "geofence": q_geofence,
         "hll_users": q_hll_users,
+        "cms_users": q_cms_users,
         "geofence_dwell": q_geofence_dwell,
         "geofence_bucketed": q_geofence_bucketed,
         "zscore_outliers": q_zscore_outliers,

@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["mg_compress", "mg_merge", "heavy_hitters",
-           "hll_registers", "hll_estimate"]
+           "hll_registers", "hll_estimate", "cms_registers", "cms_query"]
 
 #: reserved item key carrying the per-batch row count through the same
 #: partial pass (never a valid item: engine item ids are >= -1)
@@ -198,3 +198,63 @@ def hll_estimate(registers: pd.DataFrame, p: int = 12) -> float:
     if est <= 2.5 * m and zeros > 0:
         return float(m * np.log(m / zeros))
     return float(est)
+
+
+def cms_registers(ds, id_col: str, width: int = 512, depth: int = 3,
+                  mode: str = "tree"):
+    """Count-Min sketch register table (Cormode & Muthukrishnan 2005,
+    public literature): ``(row, col, n)`` counter increments for
+    ``depth`` independent splitmix64 hash rows of ``width`` counters.
+
+    Registers are exact integer functions of the input MULTISET and
+    sum-mergeable (the whole point of the sketch at 100 TB: per-block
+    partial tables are at most depth*width rows regardless of block
+    size, and partitions/runs merge by elementwise +), so a SQL oracle
+    replays them bit-for-bit.  The approximation lives only in
+    :func:`cms_query` — the min-over-rows point estimate, which
+    overestimates by at most the usual eps*N bound.
+    """
+    from ..agg import combine_partials
+    from .sample import mix64
+
+    if width < 2 or depth < 1:
+        raise ValueError("cms_registers: need width >= 2, depth >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows, cols, ns = [], [], []
+        for j in range(depth):
+            col = (mix64(ids, seed=j + 1) % np.uint64(width)).astype(
+                np.int64)
+            u, c = np.unique(col, return_counts=True)
+            rows.append(np.full(len(u), j, dtype=np.int64))
+            cols.append(u)
+            ns.append(c.astype(np.int64))
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.array([], dtype=np.int64))
+        return pa.table({"row": pa.array(cat(rows)),
+                         "col": pa.array(cat(cols)),
+                         "n": pa.array(cat(ns))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return combine_partials(parts, keys=["row", "col"], value_cols=["n"],
+                            mode=mode)
+
+
+def cms_query(registers: pd.DataFrame, ids: np.ndarray,
+              width: int = 512, depth: int = 3) -> np.ndarray:
+    """Point frequency estimates for ``ids`` from a register table:
+    min over rows of the addressed counter (missing counters are 0).
+    Never underestimates the true count."""
+    from .sample import mix64
+
+    table = np.zeros((depth, width), dtype=np.int64)
+    r = registers["row"].to_numpy().astype(np.int64)
+    c = registers["col"].to_numpy().astype(np.int64)
+    table[r, c] = registers["n"].to_numpy().astype(np.int64)
+    ids = np.asarray(ids, dtype=np.int64)
+    est = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(depth):
+        col = (mix64(ids, seed=j + 1) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, table[j, col])
+    return est
