@@ -631,6 +631,109 @@ def q_emerging_hotspots(sf_dir: str):
     return out.sort_values("cell").reset_index(drop=True)
 
 
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (cell, lang) quasi-identifier pair:
+    groups with fewer than k=4 members — each row in one is
+    re-identifiable by its tile + language alone (the privacy gate a
+    geo-tagged crawl needs before release).  One (cell, lang) hash
+    combine + a filter; rows never shuffle."""
+    from ..agg import combine_partials
+    from ..stages import CellEncode
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        ok = cells >= 0
+        df = pd.DataFrame({"cell": cells[ok], "lang": lang[ok]})
+        out = (df.groupby(["cell", "lang"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["cell", "lang"], value_cols=["n"], mode="hash")
+    out = counts.map_batches(
+        lambda t: t.filter(pa.compute.less(t["n"], 4)),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values(["cell", "lang"]).reset_index(drop=True)
+
+
+def q_k_anon_generalize(sf_dir: str):
+    """k-anonymity enforcement by spatial generalization: docs whose
+    (cell, lang) group has fewer than k=4 members get their cell
+    coarsened to the res-4 parent tile (16x coarser), everyone else
+    keeps the fine cell.  The small-group set is budget-guarded and
+    broadcast (ray.put once); the doc stream re-maps in ONE streaming
+    pass — no row shuffle.  Output (doc_id, cell_out, generalized)."""
+    import ray
+
+    from ..agg import combine_partials
+    from ..geo.cells import parent
+    from ..stages import CellEncode
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds).materialize()
+
+    def cpart(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        ok = cells >= 0
+        df = pd.DataFrame({"cell": cells[ok], "lang": lang[ok]})
+        out = (df.groupby(["cell", "lang"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = combine_partials(
+        ds.map_batches(cpart, batch_format="pyarrow"),
+        keys=["cell", "lang"], value_cols=["n"], mode="hash")
+    small = counts.map_batches(
+        lambda t: t.filter(pa.compute.less(t["n"], 4)),
+        batch_format="pyarrow").materialize()
+    if small.count() > 2_000_000:
+        raise ValueError("k_anon_generalize: small-group set exceeds the "
+                         "broadcast budget — generalize at a coarser "
+                         "starting resolution instead")
+    sm = small.to_pandas()
+    # integer composite key: langs are a handful, so a broadcast code
+    # map turns (cell, lang) membership into one sorted-array search
+    langs = sorted(set(sm["lang"])) or [""]
+    code = {l: i for i, l in enumerate(langs)}
+    k_langs = len(langs)
+    sm_keys = np.sort(
+        sm["cell"].to_numpy().astype(np.int64) * k_langs
+        + sm["lang"].map(code).to_numpy().astype(np.int64))
+    key_ref = ray.put(sm_keys)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ok = cells >= 0
+        cells, lang, ids = cells[ok], lang[ok], ids[ok]
+        cd = np.fromiter((code.get(x, -1) for x in lang),
+                         dtype=np.int64, count=len(lang))
+        key = cells.astype(np.int64) * k_langs + cd
+        sml = ray.get(key_ref)
+        pos = np.searchsorted(sml, key)
+        inb = pos < sml.size
+        gen = (cd >= 0) & inb
+        gen[gen] = sml[pos[gen]] == key[gen]
+        par = parent(cells, RES, RES - 2)
+        out_cell = np.where(gen, par, cells)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "cell_out": pa.array(out_cell.astype(np.int64)),
+            "generalized": pa.array(gen.astype(np.int64))})
+
+    out = ds.map_batches(remap, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_cell_terms(sf_dir: str):
     """Per-tile vocabulary signature (stages/text.py cell_terms): top-3
     terms per occupied cell by count, ties token-ascending.  Vectorized
@@ -4500,6 +4603,23 @@ def build_oracles() -> Dict[str, str]:
             "CAST(w_i AS HUGEINT) * w_i AS DOUBLE) "
             "/ CAST(nc - 1 AS DOUBLE))) AS gi_star "
             "FROM agg, gl"),
+        "k_anonymity": (
+            f"WITH base AS ({geo}), "
+            f"d AS (SELECT {_cell_sql()} AS cell, lang FROM base "
+            "WHERE lat IS NOT NULL), "
+            "c AS (SELECT cell, lang, CAST(count(*) AS BIGINT) AS n "
+            "FROM d GROUP BY 1, 2) "
+            "SELECT cell, lang, n FROM c WHERE n < 4"),
+        "k_anon_generalize": (
+            f"WITH base AS ({geo}), "
+            f"d AS (SELECT doc_id, {_cell_sql()} AS cell, lang FROM base "
+            "WHERE lat IS NOT NULL), "
+            "c AS (SELECT cell, lang, count(*) AS n FROM d GROUP BY 1, 2) "
+            "SELECT d.doc_id, "
+            f"CAST(CASE WHEN c.n < 4 THEN ((d.cell // {_N}) // 4) * {_N // 4} "
+            "+ ((d.cell % " f"{_N}) // 4) ELSE d.cell END AS BIGINT) AS cell_out, "
+            "CAST(CASE WHEN c.n < 4 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS generalized FROM d JOIN c USING (cell, lang)"),
         "cell_terms": (
             f"WITH base AS ({geo}), "
             f"d AS (SELECT {_cell_sql()} AS cell, "
@@ -5915,6 +6035,8 @@ def build_queries() -> Dict[str, Callable]:
         "emerging_hotspots": q_emerging_hotspots,
         "lang_frontier": q_lang_frontier,
         "cell_terms": q_cell_terms,
+        "k_anonymity": q_k_anonymity,
+        "k_anon_generalize": q_k_anon_generalize,
         "compression_ratio": q_compression_ratio,
         "geo_composite": q_geo_composite,
         "incremental_dedup": q_incremental_dedup,
