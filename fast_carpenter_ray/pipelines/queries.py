@@ -734,6 +734,23 @@ def q_k_anon_generalize(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_quadtree(sf_dir: str):
+    """Adaptive quadtree tiling (stages/compact_cells.py
+    quadtree_leaves): cells holding more than 24 points split into
+    occupied children from res 2 down to res 6 — variable-resolution
+    cover, dense cities deep.  Split sets (bounded by points/threshold)
+    are the only driver pulls; leaves stream.  Oracle: per-level CTE
+    chain with the identical integer parent mapping."""
+    from ..stages import CellEncode
+    from ..stages.compact_cells import quadtree_leaves
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    out = quadtree_leaves(ds, res=RES, min_res=2,
+                          threshold=24).to_pandas()
+    return out.sort_values(["res", "cell"]).reset_index(drop=True)
+
+
 def q_cell_terms(sf_dir: str):
     """Per-tile vocabulary signature (stages/text.py cell_terms): top-3
     terms per occupied cell by count, ties token-ascending.  Vectorized
@@ -3627,6 +3644,48 @@ def _hilbert_sql() -> str:
                  "CAST(y AS BIGINT) AS y, hd AS hkey"))
 
 
+def _quadtree_sql(min_res: int = 2, res: int = 6,
+                  thr: int = 24) -> str:
+    """Per-level CTE chain replaying quadtree_leaves: max-res counts,
+    integer parent rollups, split/candidate/leaf per level."""
+    geo = _geo_sql_base()
+    n6 = 1 << res
+    parts = [f"base AS ({geo})",
+             f"p6 AS (SELECT {_cell_sql()} AS cell FROM base "
+             "WHERE lat IS NOT NULL)",
+             f"c{res} AS (SELECT cell, CAST(count(*) AS BIGINT) AS n "
+             f"FROM p6 GROUP BY 1)"]
+    for r in range(min_res, res):
+        sh = 1 << (res - r)
+        parts.append(
+            f"c{r} AS (SELECT ((cell // {n6}) // {sh}) * {1 << r} "
+            f"+ ((cell % {n6}) // {sh}) AS cell, "
+            f"CAST(sum(n) AS BIGINT) AS n FROM c{res} GROUP BY 1)")
+    parts.append(f"split{min_res} AS (SELECT cell FROM c{min_res} "
+                 f"WHERE n > {thr})")
+    parts.append(f"leaf{min_res} AS (SELECT cell, "
+                 f"CAST({min_res} AS BIGINT) AS res, n FROM c{min_res} "
+                 f"WHERE n <= {thr})")
+    for r in range(min_res + 1, res + 1):
+        nr, npp = 1 << r, 1 << (r - 1)
+        parts.append(
+            f"cand{r} AS (SELECT c.cell, c.n FROM c{r} c "
+            f"JOIN split{r - 1} s ON ((c.cell // {nr}) // 2) * {npp} "
+            f"+ ((c.cell % {nr}) // 2) = s.cell)")
+        if r < res:
+            parts.append(f"split{r} AS (SELECT cell FROM cand{r} "
+                         f"WHERE n > {thr})")
+            parts.append(f"leaf{r} AS (SELECT cell, "
+                         f"CAST({r} AS BIGINT) AS res, n FROM cand{r} "
+                         f"WHERE n <= {thr})")
+        else:
+            parts.append(f"leaf{r} AS (SELECT cell, "
+                         f"CAST({r} AS BIGINT) AS res, n FROM cand{r})")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM leaf{r}" for r in range(min_res, res + 1))
+    return "WITH " + ", ".join(parts) + " " + union
+
+
 def _cell_mixture_sql() -> str:
     from ..stages.sample import mixture_sample_sql
 
@@ -4620,6 +4679,7 @@ def build_oracles() -> Dict[str, str]:
             "+ ((d.cell % " f"{_N}) // 4) ELSE d.cell END AS BIGINT) AS cell_out, "
             "CAST(CASE WHEN c.n < 4 THEN 1 ELSE 0 END AS BIGINT) "
             "AS generalized FROM d JOIN c USING (cell, lang)"),
+        "quadtree": _quadtree_sql(),
         "cell_terms": (
             f"WITH base AS ({geo}), "
             f"d AS (SELECT {_cell_sql()} AS cell, "
@@ -6035,6 +6095,7 @@ def build_queries() -> Dict[str, Callable]:
         "emerging_hotspots": q_emerging_hotspots,
         "lang_frontier": q_lang_frontier,
         "cell_terms": q_cell_terms,
+        "quadtree": q_quadtree,
         "k_anonymity": q_k_anonymity,
         "k_anon_generalize": q_k_anon_generalize,
         "compression_ratio": q_compression_ratio,

@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["compact_cells", "uncompact_cells", "tile_pyramid"]
+__all__ = ["compact_cells", "uncompact_cells", "tile_pyramid", "quadtree_leaves"]
 
 
 #: Cell spaces up to this size (4**res <= budget, i.e. res <= 11) are
@@ -265,3 +265,125 @@ def tile_pyramid(ds, cell: str = "cell", res: int = 6, min_res: int = 4,
             num_partitions=np_).materialize()
         out = out.union(with_res(level, r - 1))
     return out
+
+
+def quadtree_leaves(ds, cell: str = "cell", res: int = 6, min_res: int = 2,
+                    threshold: int = 64, split_budget: int = 5_000_000):
+    """Adaptive quadtree tiling by COUNT threshold: starting at
+    ``min_res``, any cell holding more than ``threshold`` points splits
+    into its occupied children, recursively down to ``res``; everything
+    else is a leaf.  Output ``(cell, res, n)`` leaves — the
+    variable-resolution cover a tile-serving layer wants (dense cities
+    deep, oceans shallow).  Complements :func:`compact_cells`, which
+    merges by OCCUPANCY; this splits by LOAD.
+
+    Scale shape: per-level counts are one hash combine over the CELL
+    SET at that level (points shrink to max-res counts once; coarser
+    levels roll up by integer parent mapping).  The only driver pulls
+    are the per-level SPLIT sets, each bounded by ``total_points /
+    threshold`` cells (every split cell holds > threshold points) and
+    budget-guarded; leaf rows stream out unioned, never pulled.
+    """
+    if not (0 <= min_res < res):
+        raise ValueError("quadtree_leaves: need 0 <= min_res < res")
+    if threshold < 1:
+        raise ValueError("quadtree_leaves: threshold must be >= 1")
+    import ray
+
+    from ..agg import combine_partials, default_partitions
+    from ..geo.cells import parent
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch[cell].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, n = np.unique(c[c >= 0], return_counts=True)
+        return pa.table({"cell": pa.array(u),
+                         "n": pa.array(n.astype(np.int64))})
+
+    fine = combine_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            keys=["cell"], value_cols=["n"],
+                            mode="hash").materialize()
+
+    def level_counts(r: int):
+        if r == res:
+            return fine
+
+        def up(batch: pa.Table) -> pa.Table:
+            c = batch["cell"].to_numpy(zero_copy_only=False)
+            return pa.table({"cell": pa.array(parent(c, res, r)),
+                             "n": batch["n"]})
+
+        return combine_partials(
+            fine.map_batches(up, batch_format="pyarrow"),
+            keys=["cell"], value_cols=["n"], mode="hash").materialize()
+
+    counts = {r: level_counts(r) for r in range(min_res, res + 1)}
+
+    def pull_split(level_ds, r: int) -> np.ndarray:
+        sp = level_ds.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], threshold)),
+            batch_format="pyarrow").materialize()
+        n_sp = sp.count()
+        if n_sp > split_budget:
+            raise ValueError(
+                f"quadtree_leaves: {n_sp} split cells at res {r} exceed "
+                f"the {split_budget} budget — raise threshold (split "
+                "count is bounded by points/threshold)")
+        if n_sp == 0:
+            return np.array([], dtype=np.int64)
+        return np.sort(sp.to_pandas()["cell"].to_numpy().astype(np.int64))
+
+    def leaves_of(level_ds, r: int, keep: "np.ndarray | None"):
+        """Filter a level to (candidate AND leaf) rows; keep=None means
+        every cell is a candidate (the root level)."""
+        keep_ref = None if keep is None else ray.put(keep)
+        last = r == res
+
+        def f(batch: pa.Table) -> pa.Table:
+            c = batch["cell"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.ones(len(c), dtype=bool)
+            if keep_ref is not None:
+                par = parent(c, r, r - 1)
+                ks = ray.get(keep_ref)
+                pos = np.searchsorted(ks, par)
+                inb = pos < ks.size
+                m = inb.copy()
+                m[inb] = ks[pos[inb]] == par[inb]
+            if not last:
+                m &= n <= threshold
+            return pa.table({
+                "cell": pa.array(c[m]),
+                "res": pa.array(np.full(int(m.sum()), r, dtype=np.int64)),
+                "n": pa.array(n[m])})
+
+        return level_ds.map_batches(f, batch_format="pyarrow")
+
+    out = leaves_of(counts[min_res], min_res, None)
+    split = pull_split(counts[min_res], min_res)
+    for r in range(min_res + 1, res + 1):
+        # candidates at r = occupied children of the previous split set
+        keep = split
+        if len(keep) == 0:
+            break
+        out = out.union(leaves_of(counts[r], r, keep))
+        if r < res:
+            lvl = counts[r].map_batches(
+                lambda t, _k=keep, _r=r: _filter_children(t, _k, _r,
+                                                          parent),
+                batch_format="pyarrow")
+            split = pull_split(lvl, r)
+    return out
+
+
+def _filter_children(batch: pa.Table, keep: np.ndarray, r: int,
+                     parent_fn) -> pa.Table:
+    """Rows of a level whose parent is in the sorted ``keep`` set."""
+    c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+    par = parent_fn(c, r, r - 1)
+    pos = np.searchsorted(keep, par)
+    inb = pos < keep.size
+    m = inb.copy()
+    m[inb] = keep[pos[inb]] == par[inb]
+    return pa.table({"cell": pa.array(c[m]), "n": batch["n"].take(
+        pa.array(np.nonzero(m)[0]))})
