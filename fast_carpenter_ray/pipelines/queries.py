@@ -200,6 +200,58 @@ def q_domain_stats(sf_dir: str):
 BLOCKED_HOSTS = ["site3.example", "site7.example", "site13.example"]
 
 
+def q_domain_footprint(sf_dir: str):
+    """Per-domain geographic footprint: scaled-int (milli-degree)
+    centroid and 2D RMS dispersion per host — where on the globe a
+    site's pages concentrate and how spread out they are.  Coordinates
+    quantize to exact int64 milli-degrees (floor(x*1000 + 0.5) in both
+    engines), so all sums are exact and the centroid/dispersion are one
+    fixed float chain each — hash-exact.  Host space is summary-sized:
+    tree combine, no shuffle."""
+    from ..agg import combine_partials
+    from ..stages.urls import ParseURL
+
+    ds = pages_dataset(sf_dir)
+    ds = ParseURL(keep=("host",)).apply(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = geo_columns(batch["doc_id"].to_numpy(zero_copy_only=False))
+        ok = ~np.isnan(g["lat"])
+        la = np.floor(g["lat"][ok] * 1000.0 + 0.5).astype(np.int64)
+        lo = np.floor(g["lng"][ok] * 1000.0 + 0.5).astype(np.int64)
+        host = np.asarray(batch["host"].to_pylist(), dtype=object)[ok]
+        df = pd.DataFrame({"host": host, "la": la, "lo": lo})
+        df["qa"] = df["la"] * df["la"]
+        df["qo"] = df["lo"] * df["lo"]
+        out = (df.groupby("host", sort=False)
+               .agg(n=("la", "size"), s_lat=("la", "sum"),
+                    q_lat=("qa", "sum"), s_lng=("lo", "sum"),
+                    q_lng=("qo", "sum")).reset_index())
+        for c in ("n", "s_lat", "q_lat", "s_lng", "q_lng"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["host"], value_cols=["n", "s_lat", "q_lat", "s_lng",
+                                   "q_lng"], mode="tree").to_pandas()
+    n = agg["n"].to_numpy().astype(np.int64)
+    s_lat = agg["s_lat"].to_numpy().astype(np.int64)
+    s_lng = agg["s_lng"].to_numpy().astype(np.int64)
+    qq = (agg["q_lat"].to_numpy() + agg["q_lng"].to_numpy()).astype(
+        np.int64)
+    d = (n.astype(np.float64) * qq.astype(np.float64)
+         - s_lat.astype(np.float64) * s_lat.astype(np.float64)
+         - s_lng.astype(np.float64) * s_lng.astype(np.float64))
+    out = pd.DataFrame({
+        "host": agg["host"],
+        "n": n,
+        "lat_c": s_lat.astype(np.float64) / n / 1000.0,
+        "lng_c": s_lng.astype(np.float64) / n / 1000.0,
+        "disp": np.sqrt(np.maximum(d, 0.0)) / n / 1000.0})
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def q_blocklist(sf_dir: str):
     """Domain blocklist anti-filter (stages/urls.py): parse hosts, drop
     blocked domains via a broadcast is_in — the row-level curation gate
@@ -4410,6 +4462,29 @@ def build_oracles() -> Dict[str, str]:
             f"'^(?:[a-z][a-z0-9+.-]*)://([^/]+)', 1) AS host FROM u) "
             f"SELECT host, CAST(count(*) AS BIGINT) AS n, "
             f"sum(weight) AS sum_w FROM h GROUP BY host"),
+        "domain_footprint": (
+            f"WITH base AS ({geo}), "
+            f"u AS (SELECT doc_id, lat, lng, "
+            f"'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/' "
+            f"|| lang || '/p' || CAST(doc_id AS VARCHAR) AS url FROM base), "
+            "h AS (SELECT regexp_extract(url, "
+            "'^(?:[a-z][a-z0-9+.-]*)://([^/]+)', 1) AS host, "
+            "CAST(floor(lat * 1000.0 + 0.5) AS BIGINT) AS la, "
+            "CAST(floor(lng * 1000.0 + 0.5) AS BIGINT) AS lo "
+            "FROM u WHERE lat IS NOT NULL), "
+            "a AS (SELECT host, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(la) AS BIGINT) AS s_lat, "
+            "CAST(sum(la * la) AS BIGINT) AS q_lat, "
+            "CAST(sum(lo) AS BIGINT) AS s_lng, "
+            "CAST(sum(lo * lo) AS BIGINT) AS q_lng FROM h GROUP BY 1) "
+            "SELECT host, n, "
+            "CAST(s_lat AS DOUBLE) / n / 1000.0 AS lat_c, "
+            "CAST(s_lng AS DOUBLE) / n / 1000.0 AS lng_c, "
+            "sqrt(greatest(CAST(n AS DOUBLE) "
+            "* CAST(q_lat + q_lng AS DOUBLE) "
+            "- CAST(s_lat AS DOUBLE) * CAST(s_lat AS DOUBLE) "
+            "- CAST(s_lng AS DOUBLE) * CAST(s_lng AS DOUBLE), 0.0)) "
+            "/ n / 1000.0 AS disp FROM a"),
         "blocklist": (
             f"WITH u AS (SELECT doc_id, "
             f"'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/' "
@@ -6042,6 +6117,7 @@ def build_queries() -> Dict[str, Callable]:
         "spacetime": q_spacetime,
         "outlier_cells": q_outlier_cells,
         "domain_stats": q_domain_stats,
+        "domain_footprint": q_domain_footprint,
         "blocklist": q_blocklist,
         "cluster_cells": q_cluster_cells,
         "site_visits": q_site_visits,
