@@ -124,7 +124,8 @@ def run_bench() -> dict:
                  "knox", "stay_points", "fuzzy_join",
                  # round-3 closing operators
                  "dbscan", "emerging_hotspots", "lang_frontier",
-                 "local_hour", "lang_confusion", "bloom_decontam"):
+                 "local_hour", "lang_confusion", "bloom_decontam",
+                 "quadtree", "hilbert", "cms_users"):
         best = float("inf")
         for _ in range(2):
             import gc
