@@ -2894,6 +2894,34 @@ def q_lang_quantiles(sf_dir: str):
     return out.sort_values(["lang", "q"]).reset_index(drop=True)
 
 
+def q_weighted_median(sf_dir: str):
+    """Per-group exact WEIGHTED lower median (stages/quantile.py
+    grouped_weighted_median): lineitem quantity weighted by line number —
+    (group, value) weight-sum partials, one hash combine, per-group
+    integer cumulative read-off; the row stream never sorts."""
+    import ray.data as rd
+
+    from ..stages.quantile import grouped_weighted_median
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_linenumber"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "qty": pa.array(batch["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "w": pa.array(batch["l_linenumber"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+        })
+
+    ds = ds.map_batches(to_int, batch_format="pyarrow")
+    out = grouped_weighted_median(ds, "l_returnflag", "qty", "w").to_pandas()
+    out["wmedian"] = out["wmedian"].astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def q_percentile_rank(sf_dir: str):
     """Global SQL ``rank() OVER (ORDER BY n_chars)`` per document WITHOUT a
     global sort (stages/quantile.py percentile_rank): distinct-value count
@@ -5227,6 +5255,16 @@ def build_oracles() -> Dict[str, str]:
             "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
             "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
             "SELECT g AS lang, 0.5 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.5 * n) GROUP BY g UNION ALL SELECT g AS lang, 0.9 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.9 * n) GROUP BY g"),
+        "weighted_median": (
+            "WITH w AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) "
+            "AS v, CAST(l_linenumber AS BIGINT) AS wt FROM lineitem), "
+            "g AS (SELECT l_returnflag, v, sum(wt) AS wv FROM w "
+            "GROUP BY l_returnflag, v), "
+            "c AS (SELECT l_returnflag, v, "
+            "sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw, "
+            "sum(wv) OVER (PARTITION BY l_returnflag) AS tw FROM g) "
+            "SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian "
+            "FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag"),
         "percentile_rank": (
             "SELECT doc_id, n_chars, "
             "CAST(rank() OVER (ORDER BY n_chars) AS BIGINT) AS rnk "
@@ -6125,6 +6163,7 @@ def build_queries() -> Dict[str, Callable]:
         "tile_pyramid": q_tile_pyramid,
         "quantiles": q_quantiles,
         "lang_quantiles": q_lang_quantiles,
+        "weighted_median": q_weighted_median,
         "percentile_rank": q_percentile_rank,
         "distinct_users": q_distinct_users,
         "curation_pipeline": q_curation_pipeline,

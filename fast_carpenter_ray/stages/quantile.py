@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["exact_quantiles", "grouped_quantiles", "percentile_rank",
-           "approx_quantiles"]
+           "approx_quantiles", "grouped_weighted_median"]
 
 
 def exact_quantiles(ds, col: str, qs: Sequence[float],
@@ -110,6 +110,50 @@ def grouped_quantiles(ds, group: str, col: str,
         out = pd.DataFrame(rows)
         out["value"] = out["value"].astype(np.int64)
         return out
+
+    return hist.groupby(group, num_partitions=default_partitions()).map_groups(
+        read_off, batch_format="pandas")
+
+
+def grouped_weighted_median(ds, group: str, col: str, weight: str):
+    """Exact per-group WEIGHTED lower median of integer ``col`` with
+    integer weights: the smallest value ``v`` whose cumulative weight
+    reaches half the group total (``2 * cumw(v) >= totw`` — pure integer
+    comparison, so no float midpoint ambiguity and a clean SQL oracle).
+
+    Scale shape mirrors :func:`grouped_quantiles`: per-batch
+    (group, value) weight-sum partials shrink each block to its distinct
+    pairs, ONE hash combine merges them, and the per-group cumulative
+    read-off sees distinct-values-per-group rows, never raw rows — the
+    row stream itself never sorts or shuffles.  Weighted medians drive
+    curation thresholds where rows carry replication / importance
+    weights (e.g. per-URL duplicate multiplicity).
+    """
+    from ..agg import combine_partials, default_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            group: batch[group].to_numpy(zero_copy_only=False),
+            "value": batch[col].to_numpy(zero_copy_only=False).astype(np.int64),
+            "w": batch[weight].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        out = (df.groupby([group, "value"], sort=False)["w"].sum()
+               .reset_index())
+        out["w"] = out["w"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    hist = combine_partials(parts, keys=[group, "value"], value_cols=["w"],
+                            mode="hash")
+
+    def read_off(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value")
+        cum = g["w"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        idx = int(np.searchsorted(2 * cum, tot, side="left"))
+        return pd.DataFrame({group: [g[group].iloc[0]],
+                             "wmedian": np.array([g["value"].iloc[idx]],
+                                                 dtype=np.int64)})
 
     return hist.groupby(group, num_partitions=default_partitions()).map_groups(
         read_off, batch_format="pandas")

@@ -136,3 +136,44 @@ def test_percentile_rank_driver_budget(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": v, "x": v}))
     with pytest.raises(ValueError, match="budget"):
         percentile_rank(ds, "x", max_driver_rows=3)
+
+
+def test_grouped_weighted_median_matches_expansion(ray_session):
+    """Weighted lower median == unweighted lower median of the
+    weight-expanded multiset (np.repeat reference)."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.quantile import grouped_weighted_median
+
+    rng = np.random.default_rng(91)
+    n = 6000
+    g = rng.integers(0, 5, n).astype(np.int64)
+    v = rng.integers(-50, 50, n).astype(np.int64)
+    w = rng.integers(1, 7, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "v": v, "w": w})).repartition(5)
+    got = grouped_weighted_median(ds, "g", "v", "w").to_pandas()
+    got = got.sort_values("g").reset_index(drop=True)
+    assert len(got) == 5
+    for _, r in got.iterrows():
+        sub = np.sort(np.repeat(v[g == r["g"]], w[g == r["g"]]))
+        # lower median: smallest value with 2*cumw >= total
+        expect = sub[int(np.ceil(len(sub) / 2)) - 1]
+        assert r["wmedian"] == expect
+
+
+def test_grouped_weighted_median_unit_weights_match_median(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.quantile import (grouped_quantiles,
+                                                    grouped_weighted_median)
+
+    rng = np.random.default_rng(92)
+    n = 4000
+    g = rng.integers(0, 3, n).astype(np.int64)
+    v = rng.integers(0, 200, n).astype(np.int64)
+    t = pa.table({"g": g, "v": v, "w": np.ones(n, dtype=np.int64)})
+    ds = rd.from_arrow(t).repartition(4)
+    wm = grouped_weighted_median(ds, "g", "v", "w").to_pandas()
+    q5 = grouped_quantiles(ds, "g", "v", [0.5]).to_pandas()
+    merged = wm.merge(q5[["g", "value"]], on="g")
+    assert (merged["wmedian"] == merged["value"]).all()
