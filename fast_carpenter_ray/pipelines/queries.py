@@ -2894,6 +2894,20 @@ def q_lang_quantiles(sf_dir: str):
     return out.sort_values(["lang", "q"]).reset_index(drop=True)
 
 
+def q_crawl_order(sf_dir: str):
+    """Politeness round-robin crawl schedule (stages/crawl.py): per-domain
+    wave rank in group tasks, an EXACT wave<=k prune (position >= wave),
+    then one schedule-sized sort — the frontier never globally sorts."""
+    import ray.data as rd
+
+    from ..stages.crawl import crawl_order
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+    return crawl_order(ds, domain="source", id_col="doc_id",
+                       priority="n_chars", k=100)
+
+
 def q_weighted_median(sf_dir: str):
     """Per-group exact WEIGHTED lower median (stages/quantile.py
     grouped_weighted_median): lineitem quantity weighted by line number —
@@ -5255,6 +5269,16 @@ def build_oracles() -> Dict[str, str]:
             "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
             "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
             "SELECT g AS lang, 0.5 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.5 * n) GROUP BY g UNION ALL SELECT g AS lang, 0.9 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.9 * n) GROUP BY g"),
+        "crawl_order": (
+            "WITH r AS (SELECT source, doc_id, "
+            "CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS wave "
+            "FROM documents), "
+            "s AS (SELECT source, doc_id, wave, "
+            "CAST(row_number() OVER (ORDER BY wave, source, doc_id) "
+            "AS BIGINT) AS schedule_pos FROM r) "
+            "SELECT schedule_pos, wave, source, doc_id FROM s "
+            "WHERE schedule_pos <= 100"),
         "weighted_median": (
             "WITH w AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) "
             "AS v, CAST(l_linenumber AS BIGINT) AS wt FROM lineitem), "
@@ -6164,6 +6188,7 @@ def build_queries() -> Dict[str, Callable]:
         "quantiles": q_quantiles,
         "lang_quantiles": q_lang_quantiles,
         "weighted_median": q_weighted_median,
+        "crawl_order": q_crawl_order,
         "percentile_rank": q_percentile_rank,
         "distinct_users": q_distinct_users,
         "curation_pipeline": q_curation_pipeline,
