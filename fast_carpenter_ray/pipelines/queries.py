@@ -2894,6 +2894,22 @@ def q_lang_quantiles(sf_dir: str):
     return out.sort_values(["lang", "q"]).reset_index(drop=True)
 
 
+def q_theil_sen(sf_dir: str):
+    """Per-user Theil-Sen robust trend of event value over time
+    (stages/stats.py grouped_theil_sen): lower median of pairwise slopes —
+    a pure selection, so the float hashes bit-exactly vs the SQL replay."""
+    import ray.data as rd
+
+    from ..stages.stats import grouped_theil_sen
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = grouped_theil_sen(ds, "user_id", "ts", "value").to_pandas()
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_crawl_order(sf_dir: str):
     """Politeness round-robin crawl schedule (stages/crawl.py): per-domain
     wave rank in group tasks, an EXACT wave<=k prune (position >= wave),
@@ -5269,6 +5285,17 @@ def build_oracles() -> Dict[str, str]:
             "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
             "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
             "SELECT g AS lang, 0.5 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.5 * n) GROUP BY g UNION ALL SELECT g AS lang, 0.9 AS q, CAST(min(v) AS BIGINT) AS value FROM c WHERE cum >= ceil(0.9 * n) GROUP BY g"),
+        "theil_sen": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v "
+            "FROM events), "
+            "p AS (SELECT a.user_id, "
+            "(b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS slope "
+            "FROM e a JOIN e b ON a.user_id = b.user_id AND b.t > a.t), "
+            "r AS (SELECT user_id, slope, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rk, "
+            "count(*) OVER (PARTITION BY user_id) AS m FROM p) "
+            "SELECT user_id, slope AS theil_sen, CAST(m AS BIGINT) "
+            "AS n_pairs FROM r WHERE rk = (m + 1) // 2"),
         "crawl_order": (
             "WITH r AS (SELECT source, doc_id, "
             "CAST(row_number() OVER (PARTITION BY source "
@@ -6189,6 +6216,7 @@ def build_queries() -> Dict[str, Callable]:
         "lang_quantiles": q_lang_quantiles,
         "weighted_median": q_weighted_median,
         "crawl_order": q_crawl_order,
+        "theil_sen": q_theil_sen,
         "percentile_rank": q_percentile_rank,
         "distinct_users": q_distinct_users,
         "curation_pipeline": q_curation_pipeline,

@@ -25,7 +25,72 @@ import pyarrow as pa
 
 __all__ = ["grouped_corr", "grouped_entropy", "grouped_mode",
            "zipf_slope", "grouped_collect_set", "pivot_counts", "grouped_ols",
-           "zscore_outliers"]
+           "zscore_outliers", "grouped_theil_sen"]
+
+
+def grouped_theil_sen(ds, group: str, t: str, v: str,
+                      max_group_rows: int = 20_000):
+    """Per-group Theil-Sen ROBUST trend: the lower median of all pairwise
+    slopes ``(v_j - v_i) / (t_j - t_i)`` over pairs with ``t_j > t_i``
+    (up to 29% outlier breakdown vs OLS's zero — the robust counterpart
+    of :func:`grouped_ols` for noisy per-entity series).
+
+    Deterministic + oracle-exact: the lower median is a pure SELECTION
+    (sorted slope at rank ``ceil(m/2)``), never an interpolated midpoint,
+    so engine and SQL agree bit-for-bit; each slope is one double
+    subtraction + one division computed identically in both engines.
+
+    Scale shape: the stream slims to (group, t, v) and each entity's
+    series is ranked inside ONE ``map_groups`` task (pairs are O(n^2)
+    per entity — guarded by ``max_group_rows``; per-entity event series
+    are conversation/visit-sized, not corpus-sized).  Only int64/double
+    triples shuffle, once.
+    """
+
+    def slim(batch: pa.Table) -> pa.Table:
+        tv = batch[t]
+        if pa.types.is_timestamp(tv.type):
+            tv = tv.cast(pa.int64())
+        return pa.table({
+            group: batch[group],
+            "t": tv.cast(pa.int64()) if not pa.types.is_int64(tv.type) else tv,
+            "v": pa.array(batch[v].to_numpy(zero_copy_only=False).astype(
+                np.float64)),
+        })
+
+    from ..agg import default_partitions
+
+    slimmed = ds.map_batches(slim, batch_format="pyarrow", batch_size=None)
+
+    def theil(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n > max_group_rows:
+            raise ValueError(
+                f"grouped_theil_sen: group {g[group].iloc[0]!r} has {n} rows "
+                f"(> {max_group_rows}); pairwise slopes are O(n^2) — "
+                f"pre-aggregate the series (e.g. per-hour means) upstream")
+        tt = g["t"].to_numpy(dtype=np.int64)
+        vv = g["v"].to_numpy(dtype=np.float64)
+        i, j = np.triu_indices(n, k=1)
+        dt = tt[j] - tt[i]
+        keep = dt != 0
+        if not keep.any():
+            return pd.DataFrame({group: g[group].iloc[:1],
+                                 "theil_sen": [np.nan],
+                                 "n_pairs": np.array([0], dtype=np.int64)})
+        # later-minus-earlier orientation, matching the SQL b.t > a.t join
+        sgn = np.sign(dt[keep])
+        slopes = (sgn * (vv[j][keep] - vv[i][keep])) / (
+            sgn * dt[keep]).astype(np.float64)
+        m = len(slopes)
+        med = np.sort(slopes, kind="stable")[(m + 1) // 2 - 1]
+        return pd.DataFrame({group: g[group].iloc[:1],
+                             "theil_sen": [med],
+                             "n_pairs": np.array([m], dtype=np.int64)})
+
+    return slimmed.groupby(group,
+                           num_partitions=default_partitions()).map_groups(
+        theil, batch_format="pandas")
 
 
 def grouped_corr(ds, group: str, x: str, y: str, mode: str = "tree"):
