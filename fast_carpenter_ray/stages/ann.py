@@ -376,10 +376,9 @@ def near_dup_cosine(ds, threshold: float = 0.9, id_col: str = "vec_id",
     from ..agg import default_partitions
 
     np_ = default_partitions(4)
-    cand = bucketed.groupby("lsh_bucket", num_partitions=np_).map_groups(
+    # Each vector has exactly ONE signature bucket (single hyperplane sign
+    # vector, not banded like MinHash), so a pair can only be emitted by the
+    # one bucket both members share — pairs are globally unique already and
+    # no cross-bucket dedupe shuffle is needed.
+    return bucketed.groupby("lsh_bucket", num_partitions=np_).map_groups(
         pairs, batch_format="pandas")
-
-    from ray.data.aggregate import Max
-
-    return cand.groupby(["id_a", "id_b"], num_partitions=np_).aggregate(
-        Max("cosine", alias_name="cosine"))
