@@ -2657,6 +2657,25 @@ def q_triangles(sf_dir: str):
     return out
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Per-domain local clustering coefficient (stages/linkgraph.py
+    clustering_coefficients): n_tri / (deg choose 2) over the undirected
+    domain graph, riding on count_triangles' one wedge-closure join.
+    n_tri/n_wedges are exact ints; coeff is their exact IEEE quotient, so
+    the SQL replay hashes bit-identically."""
+    import ray.data as rd
+
+    from ..stages.linkgraph import clustering_coefficients, extract_links
+
+    edges = extract_links(pages_dataset(sf_dir))
+    planted = pa.table({
+        "src_domain": pa.array([a for a, _ in _PLANTED_TRI_EDGES]),
+        "dst_domain": pa.array([b for _, b in _PLANTED_TRI_EDGES]),
+        "n": pa.array(np.ones(len(_PLANTED_TRI_EDGES), dtype=np.int64)),
+    })
+    return clustering_coefficients(edges=edges.union(rd.from_arrow(planted)))
+
+
 def q_rollup(sf_dir: str):
     """Hierarchical ROLLUP over (day, hour) of the events stream
     (stages/rollup.py): one scan, finest-level combine, coarser levels
@@ -6041,6 +6060,32 @@ def build_oracles() -> Dict[str, str]:
             "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
             "SELECT domain, CAST(count(*) AS BIGINT) AS n_tri "
             "FROM v GROUP BY domain"),
+        "clustering_coeff": (
+            f"WITH l AS ({_LINK_EDGES_SQL}), "
+            "alle AS (SELECT src_domain AS s, dst_domain AS d FROM l "
+            "UNION ALL SELECT * FROM (VALUES "
+            + ", ".join(f"('{a}', '{b}')" for a, b in _PLANTED_TRI_EDGES)
+            + ") AS p(s, d)), "
+            "und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b "
+            "FROM alle WHERE s != d), "
+            "deg AS (SELECT domain, CAST(count(*) AS BIGINT) AS deg FROM "
+            "(SELECT a AS domain FROM und UNION ALL SELECT b FROM und) "
+            "GROUP BY domain), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM und e1 JOIN und e2 ON e2.a = e1.b "
+            "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "v AS (SELECT x AS domain FROM tri UNION ALL "
+            "SELECT y FROM tri UNION ALL SELECT z FROM tri), "
+            "nt AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_tri "
+            "FROM v GROUP BY domain) "
+            "SELECT deg.domain AS domain, "
+            "CAST(coalesce(nt.n_tri, 0) AS BIGINT) AS n_tri, "
+            "CAST((deg.deg * (deg.deg - 1)) // 2 AS BIGINT) AS n_wedges, "
+            "CASE WHEN deg.deg >= 2 THEN "
+            "CAST(coalesce(nt.n_tri, 0) AS DOUBLE) / "
+            "CAST((deg.deg * (deg.deg - 1)) // 2 AS DOUBLE) "
+            "ELSE 0.0 END AS coeff "
+            "FROM deg LEFT JOIN nt ON nt.domain = deg.domain"),
         "domain_degrees": (
             f"WITH l AS ({_LINK_EDGES_SQL}), "
             "e AS (SELECT src_domain, dst_domain, count(*) AS n FROM l "
@@ -6192,6 +6237,7 @@ def build_queries() -> Dict[str, Callable]:
         "dataset_diff": q_dataset_diff,
         "link_graph": q_link_graph,
         "triangles": q_triangles,
+        "clustering_coeff": q_clustering_coeff,
         "rollup": q_rollup,
         "collect_set": q_collect_set,
         "cube": q_cube,

@@ -211,7 +211,7 @@ def pagerank(ds, html: str = "html", url: str = "url",
 
 def count_triangles(ds=None, html: str = "html", url: str = "url",
                     num_partitions=None, max_out: int = 100_000,
-                    edges=None):
+                    edges=None, return_degrees: bool = False):
     """Per-domain triangle participation counts over the UNDIRECTED
     domain graph: ``(domain, n_tri)``, each triangle counted once at
     each of its three vertices.
@@ -283,8 +283,12 @@ def count_triangles(ds=None, html: str = "html", url: str = "url",
         dedup_bucket, batch_format="pandas").materialize()
 
     if und.count() == 0:
-        return pd.DataFrame({"domain": pd.Series([], dtype=object),
-                             "n_tri": pd.Series([], dtype=np.int64)})
+        empty = pd.DataFrame({"domain": pd.Series([], dtype=object),
+                              "n_tri": pd.Series([], dtype=np.int64)})
+        if return_degrees:
+            return empty, pd.DataFrame({"domain": pd.Series([], dtype=object),
+                                        "deg": pd.Series([], dtype=np.int64)})
+        return empty
 
     # degree table (summary-sized): one hash combine over both endpoints
     def deg_partials(batch: pa.Table) -> pa.Table:
@@ -404,9 +408,43 @@ def count_triangles(ds=None, html: str = "html", url: str = "url",
         tri.map_batches(vertex_partials, batch_format="pyarrow"),
         keys=["domain"], value_cols=["n_tri"], mode="hash").to_pandas()
     if "domain" not in out.columns:  # no triangles at all
-        return pd.DataFrame({"domain": pd.Series([], dtype=object),
-                             "n_tri": pd.Series([], dtype=np.int64)})
+        out = pd.DataFrame({"domain": pd.Series([], dtype=object),
+                            "n_tri": pd.Series([], dtype=np.int64)})
     out["n_tri"] = out["n_tri"].astype(np.int64)
+    out = out.sort_values("domain").reset_index(drop=True)
+    if return_degrees:
+        return out, degs.sort_values("domain").reset_index(drop=True)
+    return out
+
+
+def clustering_coefficients(ds=None, html: str = "html", url: str = "url",
+                            num_partitions=None, edges=None):
+    """Per-domain local clustering coefficient over the undirected domain
+    graph: ``coeff = n_tri / (deg * (deg - 1) / 2)``.
+
+    Rides entirely on :func:`count_triangles` — the per-vertex triangle
+    counts AND the degree table it already computes (one canonical-edge
+    dedupe, one degree combine, one wedge-closure join; nothing extra is
+    shuffled).  Every vertex of the graph appears in the output, zero-
+    triangle vertices included.  ``n_tri`` and ``n_wedges`` are exact
+    int64; ``coeff`` is their exact IEEE float64 quotient (0.0 when
+    ``deg < 2``), so a SQL replay hashes bit-identically.
+
+    Reference analogue: none (SURVEY §2.5 extension, alongside
+    ``count_triangles`` — Schank & Wagner 2005 / Watts-Strogatz 1998,
+    public literature).
+    """
+    tri, degs = count_triangles(ds, html=html, url=url,
+                                num_partitions=num_partitions, edges=edges,
+                                return_degrees=True)
+    out = degs.merge(tri, on="domain", how="left")
+    out["n_tri"] = out["n_tri"].fillna(0).astype(np.int64)
+    deg = out.pop("deg").to_numpy()
+    out["n_wedges"] = (deg * (deg - 1) // 2).astype(np.int64)
+    nw = out["n_wedges"].to_numpy().astype(np.float64)
+    out["coeff"] = np.where(
+        nw > 0, out["n_tri"].to_numpy().astype(np.float64) / np.where(nw > 0, nw, 1.0),
+        0.0)
     return out.sort_values("domain").reset_index(drop=True)
 
 

@@ -208,3 +208,49 @@ def test_link_components_distributed_equals_driver(ray_session, sf_dir):
     canon = lbl.groupby("cluster_id")["domain"].min()
     dist_map = dict(zip(lbl["domain"], lbl["cluster_id"].map(canon)))
     assert dist_map == dict(zip(driver["domain"], driver["component"]))
+
+
+def test_clustering_coefficients_planted(ray_session):
+    from fast_carpenter_ray.stages.linkgraph import clustering_coefficients
+
+    # K4 on a..d + pendant e + triangle-free 4-cycle p-q-r-s
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("p", "q"), ("q", "r"), ("r", "s"),
+             ("s", "p")]
+    got = clustering_coefficients(edges=_edge_ds(pairs))
+    by = got.set_index("domain")
+    # K4 interior vertices: 3 triangles over C(3,2)=3 wedges -> 1.0
+    for v in "abc":
+        assert by.loc[v, "n_tri"] == 3 and by.loc[v, "coeff"] == 1.0
+    # d has the pendant: deg 4 -> 6 wedges, still 3 triangles
+    assert by.loc["d", "n_wedges"] == 6 and by.loc["d", "coeff"] == 3 / 6
+    # pendant: deg 1 -> 0 wedges, coeff defined as 0.0
+    assert by.loc["e", "n_wedges"] == 0 and by.loc["e", "coeff"] == 0.0
+    # 4-cycle vertices: 1 wedge each, no triangles
+    for v in "pqrs":
+        assert by.loc[v, "n_tri"] == 0 and by.loc[v, "coeff"] == 0.0
+    # every vertex of the graph appears, including zero-triangle ones
+    assert set(got["domain"]) == set("abcde") | set("pqrs")
+
+
+def test_clustering_coefficients_random_vs_brute(ray_session):
+    from fast_carpenter_ray.stages.linkgraph import clustering_coefficients
+
+    rng = np.random.default_rng(23)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    pairs = [(nodes[int(i)], nodes[int(j)])
+             for i, j in rng.integers(0, 25, size=(200, 2)) if i != j]
+    got = clustering_coefficients(edges=_edge_ds(pairs))
+    tri = _brute_triangles(pairs)
+    und = set((min(a, b), max(a, b)) for a, b in pairs if a != b)
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for _, row in got.iterrows():
+        d = deg[row["domain"]]
+        assert row["n_wedges"] == d * (d - 1) // 2
+        assert row["n_tri"] == tri.get(row["domain"], 0)
+        want = (row["n_tri"] / row["n_wedges"]) if row["n_wedges"] else 0.0
+        assert row["coeff"] == want
+    assert set(got["domain"]) == set(deg)
