@@ -264,6 +264,52 @@ def q_blocklist(sf_dir: str):
     return ds.select_columns(["doc_id", "host"])
 
 
+def q_url_canon_groups(sf_dir: str):
+    """Canonical-URL grouping via stages/urls.py CanonicalizeURL — the
+    Arrow-native RFC-3986-style normalizer (scheme-preserving, default
+    ports, gclid/fbclid trackers, '?'-separator repair), i.e. the rules
+    url_dedup's pandas normalize_urls does NOT cover.  Five deterministic
+    spellings per page group (uppercase-host:443 / leading-utm / trailing-
+    gclid+fragment / slash+fbclid) collapse onto two canonical forms; the
+    output is per-canonical-group (keeper = min doc_id, n_variants).
+    The whole regex chain is RE2 on both sides, hash-exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from ..agg import default_partitions
+    from ..stages.urls import CanonicalizeURL
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = d - (d % 5)
+        host = pd.Series(pid % 20).map(lambda h: f"site{h}.example")
+        base = "https://" + host + "/p" + pd.Series(pid).astype(str)
+        upper = ("https://" + host.str.upper() + ":443/p"
+                 + pd.Series(pid).astype(str))
+        ref = "r" + pd.Series(pid % 7).astype(str)
+        v = d % 5
+        url = np.select(
+            [v == 0, v == 1, v == 2, v == 3],
+            [base, upper,
+             base + "?utm_source=feed&ref=" + ref,
+             base + "?ref=" + ref + "&gclid=g" + pd.Series(pid % 11).astype(str)
+             + "#frag"],
+            default=base + "/?fbclid=x")
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "url": pa.array(url.astype(object), type=pa.string())})
+
+    ds = docs.map_batches(make, batch_format="pyarrow")
+    ds = CanonicalizeURL().apply(ds)
+    out = ds.groupby("canon_url", num_partitions=default_partitions(4)).aggregate(
+        Min("doc_id", alias_name="keeper"),
+        Count(alias_name="n_variants")).to_pandas()
+    out["keeper"] = out["keeper"].astype(np.int64)
+    out["n_variants"] = out["n_variants"].astype(np.int64)
+    return out.sort_values("canon_url").reset_index(drop=True)
+
+
 def q_cluster_cells(sf_dir: str):
     """Grid connected-components clustering (stages/cluster.py): label
     every occupied cell with the minimum cell id of its 8-connected
@@ -4571,6 +4617,50 @@ def build_oracles() -> Dict[str, str]:
             f"'^(?:[a-z][a-z0-9+.-]*)://([^/]+)', 1) AS host FROM u) "
             f"SELECT doc_id, host FROM h WHERE host NOT IN "
             f"('site3.example', 'site7.example', 'site13.example')"),
+        "url_canon_groups": (
+            "WITH d AS (SELECT doc_id, doc_id - (doc_id % 5) AS pid "
+            "FROM documents), "
+            "m AS (SELECT doc_id, doc_id % 5 AS v, "
+            "'site' || CAST(pid % 20 AS VARCHAR) || '.example' AS host, "
+            "'/p' || CAST(pid AS VARCHAR) AS path, "
+            "'r' || CAST(pid % 7 AS VARCHAR) AS ref, "
+            "'g' || CAST(pid % 11 AS VARCHAR) AS gc FROM d), "
+            "u0 AS (SELECT doc_id, CASE v "
+            "WHEN 0 THEN 'https://' || host || path "
+            "WHEN 1 THEN 'https://' || upper(host) || ':443' || path "
+            "WHEN 2 THEN 'https://' || host || path "
+            "|| '?utm_source=feed&ref=' || ref "
+            "WHEN 3 THEN 'https://' || host || path || '?ref=' || ref "
+            "|| '&gclid=' || gc || '#frag' "
+            "ELSE 'https://' || host || path || '/?fbclid=x' END AS url "
+            "FROM m), "
+            "u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u "
+            "FROM u0), "
+            "p AS (SELECT doc_id, u, "
+            "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) "
+            "AS scheme, "
+            "lower(regexp_extract(u, "
+            "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1)) AS hostport, "
+            "regexp_extract(u, "
+            "'^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+(.*)$', 1) AS rest FROM u1), "
+            "r AS (SELECT doc_id, CASE WHEN scheme = '' THEN u ELSE "
+            "scheme || '://' || "
+            "(CASE WHEN scheme = 'https' THEN regexp_replace(hostport, "
+            "':443$', '') WHEN scheme = 'http' THEN "
+            "regexp_replace(hostport, ':80$', '') ELSE hostport END) "
+            "|| rest END AS u FROM p), "
+            "t1 AS (SELECT doc_id, regexp_replace(u, "
+            "'\\?(?:utm_[a-z]+|fbclid|gclid)=[^&]*&', '?', 'g') AS u FROM r), "
+            "t2 AS (SELECT doc_id, regexp_replace(u, "
+            "'[?&](?:utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g') AS u FROM t1), "
+            "t3 AS (SELECT doc_id, regexp_replace(u, '^([^?]*)&', '\\1?') "
+            "AS u FROM t2), "
+            "s1 AS (SELECT doc_id, regexp_replace(u, '/\\?', '?', 'g') "
+            "AS u FROM t3), "
+            "s2 AS (SELECT doc_id, regexp_replace(u, '([^:/])/$', '\\1') "
+            "AS u FROM s1) "
+            "SELECT u AS canon_url, CAST(min(doc_id) AS BIGINT) AS keeper, "
+            "CAST(count(*) AS BIGINT) AS n_variants FROM s2 GROUP BY u"),
         "cluster_cells": (
             f"WITH RECURSIVE base AS ({geo}), "
             f"z AS (SELECT DISTINCT {cell} AS cell FROM base "
@@ -6340,6 +6430,7 @@ def build_queries() -> Dict[str, Callable]:
         "repetition": q_repetition,
         "near_dedup": q_near_dedup,
         "url_dedup": q_url_dedup,
+        "url_canon_groups": q_url_canon_groups,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

@@ -50,3 +50,45 @@ def test_blocklist_in_dataset(ray_session):
     assert np.array_equal(np.sort(out["doc_id"].to_numpy()),
                           np.array(sorted(i for i in range(50)
                                           if i % 4 != 1)))
+
+
+def test_canonicalize_url_rules():
+    from fast_carpenter_ray.stages.urls import CanonicalizeURL
+
+    cases = {
+        # scheme/host lowering + default ports (scheme-matched only)
+        "https://SITE3.EXAMPLE:443/en/p1": "https://site3.example/en/p1",
+        "HTTP://Host.Example:80/a?x=1": "http://host.example/a?x=1",
+        "https://h.example:8080/a": "https://h.example:8080/a",
+        "http://h.example:443/a": "http://h.example:443/a",
+        # fragment
+        "https://h.example/a#frag": "https://h.example/a",
+        # tracking params in every position
+        "https://h.example/a?utm_source=f&b=2": "https://h.example/a?b=2",
+        "https://h.example/a?b=2&gclid=g": "https://h.example/a?b=2",
+        "https://h.example/a?a=1&utm_x=2&b=3": "https://h.example/a?a=1&b=3",
+        "https://h.example/a?fbclid=x": "https://h.example/a",
+        # trailing slash, incl. before a query
+        "https://h.example/a/": "https://h.example/a",
+        "https://h.example/a/?b=1": "https://h.example/a?b=1",
+        "https://h.example/": "https://h.example",
+        # unparseable passes through
+        "not-a-url": "not-a-url",
+    }
+    got = CanonicalizeURL().canonicalize(
+        pa.chunked_array([pa.array(list(cases))])).to_pylist()
+    assert got == list(cases.values())
+
+
+def test_canonicalize_url_in_dataset(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.urls import CanonicalizeURL
+
+    urls = [f"https://SITE{i % 3}.EXAMPLE:443/p{i % 4}?utm_c=x"
+            for i in range(24)]
+    out = CanonicalizeURL().apply(rd.from_arrow(_batch(urls))).to_pandas()
+    assert set(out["canon_url"]) == {
+        f"https://site{i % 3}.example/p{i % 4}" for i in range(24)}
+    # 3x4 = 12 canonical forms, each hit twice
+    assert out["canon_url"].nunique() == 12
