@@ -310,6 +310,26 @@ def q_url_canon_groups(sf_dir: str):
     return out.sort_values("canon_url").reset_index(drop=True)
 
 
+def q_snap_segments(sf_dir: str):
+    """Snap-to-segment map matching (stages/mapmatch.py): every geo page
+    is assigned the nearest admin-boundary edge (the 24 rect-zone edges,
+    broadcast) by exact planar point-to-segment distance, with the
+    clamped projection parameter and the distance.  One dense [n, 24]
+    NumPy broadcast per batch, fused into the read chain; the oracle is
+    a cross join + row_number over the identical IEEE expressions."""
+    import pyarrow.compute as pc
+
+    from ..fixtures import RECT_ZONES
+    from ..stages.mapmatch import SnapToSegments, boundary_segments
+
+    ds = _pages_geo(sf_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_nan(t["lat"]))),
+        batch_format="pyarrow")
+    ds = SnapToSegments(boundary_segments(RECT_ZONES)).apply(ds)
+    return ds.select_columns(["doc_id", "seg_id", "seg_t", "seg_dist"])
+
+
 def q_cluster_cells(sf_dir: str):
     """Grid connected-components clustering (stages/cluster.py): label
     every occupied cell with the minimum cell id of its 8-connected
@@ -4474,11 +4494,39 @@ def build_oracles() -> Dict[str, str]:
     cell = _cell_sql()
     zones = rect_zones_sql_values()
     sites = sites_sql_values()
+
+    from ..fixtures import RECT_ZONES
+    from ..stages.mapmatch import boundary_segments
+
+    _segs = boundary_segments(RECT_ZONES)
+    segs_values = ("(VALUES " + ", ".join(
+        f"({int(s)}, {ax!r}, {ay!r}, {bx!r}, {by!r})"
+        for s, ax, ay, bx, by in _segs)
+        + ") AS s(seg_id, ax, ay, bx, by)")
     oracles = {
         "hash_invariant": "SELECT doc_id, sha256(text) AS text_sha256 FROM documents",
         "cell_encode": (
             f"WITH base AS ({geo}) SELECT doc_id, lat, lng, {cell} AS cell "
             f"FROM base WHERE lat IS NOT NULL"),
+        "snap_segments": (
+            f"WITH base AS ({geo}), "
+            "pts AS (SELECT doc_id, lat, lng FROM base "
+            "WHERE lat IS NOT NULL), "
+            f"seg0 AS (SELECT seg_id, CAST(ax AS DOUBLE) AS ax, "
+            "CAST(ay AS DOUBLE) AS ay, CAST(bx AS DOUBLE) AS bx, "
+            f"CAST(by AS DOUBLE) AS by FROM {segs_values}), "
+            "seg AS (SELECT seg_id, ax, ay, bx - ax AS dx, by - ay AS dy, "
+            "(bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS l2 FROM seg0), "
+            "c AS (SELECT doc_id, seg_id, "
+            "least(greatest(((lat - ax) * dx + (lng - ay) * dy) / l2, 0.0), "
+            "1.0) AS t, lat, lng, ax, ay, dx, dy FROM pts CROSS JOIN seg), "
+            "d AS (SELECT doc_id, seg_id, t, "
+            "(lat - (ax + t * dx)) * (lat - (ax + t * dx)) "
+            "+ (lng - (ay + t * dy)) * (lng - (ay + t * dy)) AS d2 FROM c) "
+            "SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id, t AS seg_t, "
+            "sqrt(d2) AS seg_dist FROM d "
+            "QUALIFY row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY d2, seg_id) = 1"),
         "polygon_cover": (
             "WITH z AS (SELECT poly_id, "
             "CAST(least(greatest(floor((lng0 + 180.0) / 360.0 * 64), 0), "
@@ -6431,6 +6479,7 @@ def build_queries() -> Dict[str, Callable]:
         "near_dedup": q_near_dedup,
         "url_dedup": q_url_dedup,
         "url_canon_groups": q_url_canon_groups,
+        "snap_segments": q_snap_segments,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,
