@@ -330,6 +330,26 @@ def q_snap_segments(sf_dir: str):
     return ds.select_columns(["doc_id", "seg_id", "seg_t", "seg_dist"])
 
 
+def q_target_encode(sf_dir: str):
+    """Leave-one-out target encoding (stages/encode.py): per-l_partkey
+    mean of l_quantity excluding the row itself, singleton keys falling
+    back to the global leave-one-out mean.  Combiner-shrunken stats
+    table + one hash join; quantities are integer-valued so every sum
+    and the final quotient are exact IEEE — hash-exact vs SQL."""
+    import ray.data as rd
+
+    from ..stages.encode import target_encode
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
+    out = target_encode(ds, key="l_partkey", target="l_quantity",
+                        id_cols=["l_orderkey", "l_linenumber"])
+    df = out.to_pandas().drop(columns=["l_quantity"])
+    return df.sort_values(["l_orderkey", "l_linenumber"]).reset_index(
+        drop=True)
+
+
 def q_cluster_cells(sf_dir: str):
     """Grid connected-components clustering (stages/cluster.py): label
     every occupied cell with the minimum cell id of its 8-connected
@@ -4527,6 +4547,17 @@ def build_oracles() -> Dict[str, str]:
             "sqrt(d2) AS seg_dist FROM d "
             "QUALIFY row_number() OVER "
             "(PARTITION BY doc_id ORDER BY d2, seg_id) = 1"),
+        "target_encode": (
+            "WITH g AS (SELECT l_partkey, sum(l_quantity) AS s, "
+            "count(*) AS n FROM lineitem GROUP BY 1), "
+            "t AS (SELECT sum(l_quantity) AS gs, count(*) AS gn "
+            "FROM lineitem) "
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, "
+            "CASE WHEN g.n > 1 THEN "
+            "(g.s - l.l_quantity) / CAST(g.n - 1 AS DOUBLE) "
+            "ELSE (t.gs - l.l_quantity) / CAST(t.gn - 1 AS DOUBLE) END "
+            "AS loo_mean "
+            "FROM lineitem l JOIN g USING (l_partkey) CROSS JOIN t"),
         "polygon_cover": (
             "WITH z AS (SELECT poly_id, "
             "CAST(least(greatest(floor((lng0 + 180.0) / 360.0 * 64), 0), "
@@ -6480,6 +6511,7 @@ def build_queries() -> Dict[str, Callable]:
         "url_dedup": q_url_dedup,
         "url_canon_groups": q_url_canon_groups,
         "snap_segments": q_snap_segments,
+        "target_encode": q_target_encode,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,
