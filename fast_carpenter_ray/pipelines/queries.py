@@ -350,6 +350,46 @@ def q_target_encode(sf_dir: str):
         drop=True)
 
 
+#: robots.txt-style path rules (host, path_prefix, allow) — even hosts
+#: get an explicit root allow + a /de disallow, every fourth host carves
+#: an allow back out under /de/p1 (longest prefix wins); odd hosts have
+#: no rules and exercise the default-allow path.
+ROBOTS_RULES = tuple(
+    [(f"site{h}.example", "/", True) for h in range(0, 20, 2)]
+    + [(f"site{h}.example", "/de", False) for h in range(0, 20, 2)]
+    + [(f"site{h}.example", "/de/p1", True) for h in range(0, 20, 4)])
+
+
+def q_robots_rules(sf_dir: str):
+    """Longest-prefix-wins robots rules (stages/crawl.py RobotsRules,
+    RFC 9309 most-specific-match semantics): per page, the matched rule
+    prefix and the allow verdict, default-allow when the host has no
+    matching rule.  Broadcast rule set, one vectorized prefix test per
+    rule per batch, no shuffle; the oracle replays it as a prefix join
+    + row_number over prefix length."""
+    import ray.data as rd
+
+    from ..stages.crawl import RobotsRules
+    from ..stages.urls import ParseURL
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+
+    def make(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = pd.Series(batch["lang"].to_pylist(), dtype=object)
+        url = ("https://site" + pd.Series(d % 20).astype(str)
+               + ".example/" + lang + "/p" + pd.Series(d).astype(str))
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "url": pa.array(url.to_numpy(dtype=object),
+                                         type=pa.string())})
+
+    ds = docs.map_batches(make, batch_format="pyarrow")
+    ds = ParseURL(keep=("host", "path")).apply(ds)
+    ds = RobotsRules(ROBOTS_RULES).apply(ds)
+    return ds.select_columns(["doc_id", "rule_prefix", "allowed"])
+
+
 def q_cluster_cells(sf_dir: str):
     """Grid connected-components clustering (stages/cluster.py): label
     every occupied cell with the minimum cell id of its 8-connected
@@ -4558,6 +4598,22 @@ def build_oracles() -> Dict[str, str]:
             "ELSE (t.gs - l.l_quantity) / CAST(t.gn - 1 AS DOUBLE) END "
             "AS loo_mean "
             "FROM lineitem l JOIN g USING (l_partkey) CROSS JOIN t"),
+        "robots_rules": (
+            "WITH u AS (SELECT doc_id, "
+            "'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host, "
+            "'/' || lang || '/p' || CAST(doc_id AS VARCHAR) AS path "
+            "FROM documents), "
+            "r AS (SELECT * FROM (VALUES "
+            + ", ".join(f"('{h}', '{p}', {int(a)})" for h, p, a in ROBOTS_RULES)
+            + ") AS r(host, prefix, allow)), "
+            "m AS (SELECT u.doc_id, r.prefix, r.allow FROM u JOIN r "
+            "ON r.host = u.host "
+            "AND substr(u.path, 1, length(r.prefix)) = r.prefix "
+            "QUALIFY row_number() OVER (PARTITION BY u.doc_id "
+            "ORDER BY length(r.prefix) DESC) = 1) "
+            "SELECT u.doc_id, coalesce(m.prefix, '') AS rule_prefix, "
+            "CAST(coalesce(m.allow, 1) AS BIGINT) AS allowed "
+            "FROM u LEFT JOIN m ON m.doc_id = u.doc_id"),
         "polygon_cover": (
             "WITH z AS (SELECT poly_id, "
             "CAST(least(greatest(floor((lng0 + 180.0) / 360.0 * 64), 0), "
@@ -6512,6 +6568,7 @@ def build_queries() -> Dict[str, Callable]:
         "url_canon_groups": q_url_canon_groups,
         "snap_segments": q_snap_segments,
         "target_encode": q_target_encode,
+        "robots_rules": q_robots_rules,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

@@ -37,7 +37,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["crawl_order"]
+__all__ = ["crawl_order", "RobotsRules"]
 
 
 def crawl_order(ds, domain: str = "source", id_col: str = "doc_id",
@@ -79,3 +79,59 @@ def crawl_order(ds, domain: str = "source", id_col: str = "doc_id",
     head = (ranked.sort(["wave", domain, id_col]).limit(k).to_pandas())
     head["schedule_pos"] = np.arange(1, len(head) + 1, dtype=np.int64)
     return head[["schedule_pos", "wave", domain, id_col]]
+
+
+class RobotsRules:
+    """Longest-prefix-wins path rules per host — robots.txt semantics
+    (RFC 9309 §2.2.2: "the most specific match found MUST be used").
+
+    ``rules`` is a list of ``(host, path_prefix, allow)`` triples; a page
+    whose host has no matching prefix is allowed by default.  Appends
+    ``rule_prefix`` (matched prefix, '' when none) and ``allowed``
+    (int64 0/1).
+
+    Ray shape: the rule set is small broadcast state captured at plan
+    time (the BlocklistFilter pattern).  The kernel loops over RULES,
+    not rows — each rule is one vectorized host-equality + prefix test
+    over the whole batch with a running longest-match update, so the
+    per-batch cost is ``n_rules`` Arrow/NumPy kernels.  Streams, no
+    shuffle, fuses into the read chain.
+    """
+
+    def __init__(self, rules, host_col: str = "host",
+                 path_col: str = "path"):
+        seen = set()
+        for h, p, _ in rules:
+            if (h, p) in seen:
+                raise ValueError(f"duplicate rule for ({h!r}, {p!r})")
+            seen.add((h, p))
+        # longest-first evaluation order is not required (we track max
+        # length), but sorting makes the captured state deterministic
+        self.rules = sorted(rules, key=lambda r: (r[0], -len(r[1]), r[1]))
+        self.host_col = host_col
+        self.path_col = path_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        host = batch[self.host_col].to_pandas().to_numpy(dtype=object)
+        path = batch[self.path_col].to_pandas().to_numpy(dtype=object)
+        n = len(host)
+        best_len = np.full(n, -1, dtype=np.int64)
+        allowed = np.ones(n, dtype=np.int64)       # default allow
+        prefix = np.full(n, "", dtype=object)
+        path_s = pd.Series(path, dtype=object)
+        for h, p, allow in self.rules:
+            hit = ((host == h)
+                   & path_s.str.startswith(p).fillna(False).to_numpy()
+                   & (len(p) > best_len))
+            if hit.any():
+                best_len[hit] = len(p)
+                allowed[hit] = int(bool(allow))
+                prefix[hit] = p
+        return (batch
+                .append_column("rule_prefix",
+                               pa.array(prefix, type=pa.string()))
+                .append_column("allowed", pa.array(allowed,
+                                                   type=pa.int64())))
+
+    def apply(self, ds, **kw):
+        return ds.map_batches(self, batch_format="pyarrow", **kw)

@@ -92,3 +92,30 @@ def test_canonicalize_url_in_dataset(ray_session):
         f"https://site{i % 3}.example/p{i % 4}" for i in range(24)}
     # 3x4 = 12 canonical forms, each hit twice
     assert out["canon_url"].nunique() == 12
+
+
+def test_robots_rules_longest_prefix_wins():
+    from fast_carpenter_ray.stages.crawl import RobotsRules
+
+    rules = [("h.example", "/", True),
+             ("h.example", "/private", False),
+             ("h.example", "/private/pub", True)]
+    batch = pa.table({
+        "host": pa.array(["h.example", "h.example", "h.example",
+                          "h.example", "other.example"]),
+        "path": pa.array(["/a", "/private/x", "/private/pub/y",
+                          "/privateer", "/private/x"]),
+    })
+    out = RobotsRules(rules)(batch)
+    assert out["rule_prefix"].to_pylist() == [
+        "/", "/private", "/private/pub", "/private", ""]
+    assert out["allowed"].to_pylist() == [1, 0, 1, 0, 1]
+
+
+def test_robots_rules_duplicate_raises(ray_session):
+    import pytest as _pt
+
+    from fast_carpenter_ray.stages.crawl import RobotsRules
+
+    with _pt.raises(ValueError):
+        RobotsRules([("h", "/", True), ("h", "/", False)])
