@@ -390,6 +390,22 @@ def q_robots_rules(sf_dir: str):
     return ds.select_columns(["doc_id", "rule_prefix", "allowed"])
 
 
+def q_cusum(sf_dir: str):
+    """Per-user CUSUM changepoint (stages/windows.py cusum_changepoints):
+    the event position maximizing |n*cumsum - i*total| over the user's
+    (ts, event_id)-ordered integer series — the classic Page 1954
+    statistic in an all-int64 formulation, zero float arithmetic, exact
+    SQL window replay."""
+    import ray.data as rd
+
+    from ..stages.windows import cusum_changepoints
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+    out = cusum_changepoints(ds).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_cluster_cells(sf_dir: str):
     """Grid connected-components clustering (stages/cluster.py): label
     every occupied cell with the minimum cell id of its 8-connected
@@ -4614,6 +4630,24 @@ def build_oracles() -> Dict[str, str]:
             "SELECT u.doc_id, coalesce(m.prefix, '') AS rule_prefix, "
             "CAST(coalesce(m.allow, 1) AS BIGINT) AS allowed "
             "FROM u LEFT JOIN m ON m.doc_id = u.doc_id"),
+        "cusum": (
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "CAST(floor(value * 64) AS BIGINT) AS x FROM events), "
+            "w AS (SELECT user_id, "
+            "row_number() OVER win AS idx, "
+            "sum(x) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS cs "
+            "FROM e WINDOW win AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)), "
+            "t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(x) AS BIGINT) AS total FROM e GROUP BY 1), "
+            "d AS (SELECT w.user_id, w.idx, t.n, "
+            "abs(t.n * w.cs - w.idx * t.total) AS ad "
+            "FROM w JOIN t USING (user_id)) "
+            "SELECT user_id, n, CAST(idx AS BIGINT) AS change_idx, "
+            "CAST(ad AS BIGINT) AS d_max FROM d "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ad DESC, idx ASC) = 1"),
         "polygon_cover": (
             "WITH z AS (SELECT poly_id, "
             "CAST(least(greatest(floor((lng0 + 180.0) / 360.0 * 64), 0), "
@@ -6569,6 +6603,7 @@ def build_queries() -> Dict[str, Callable]:
         "snap_segments": q_snap_segments,
         "target_encode": q_target_encode,
         "robots_rules": q_robots_rules,
+        "cusum": q_cusum,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

@@ -25,7 +25,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["session_windows", "session_windows_bucketed", "hop_windows", "ewma",
-           "funnel", "window_funcs", "window_funcs_bucketed", "transitions"]
+           "funnel", "window_funcs", "window_funcs_bucketed", "transitions",
+           "cusum_changepoints"]
 
 
 def hop_windows(ds, ts: str = "ts", width_us: int = 3_600_000_000,
@@ -560,3 +561,54 @@ def transitions(ds, key: str = "user_id", ts: str = "ts",
                            value_cols=["n"], mode=mode).to_pandas()
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+def cusum_changepoints(ds, key: str = "user_id", ts: str = "ts",
+                       id_col: str = "event_id", value: str = "value",
+                       scale: int = 64):
+    """Per-key CUSUM changepoint: the position maximizing the absolute
+    cumulative deviation from the key's mean (Page 1954, public
+    literature).
+
+    Exact-integer formulation: with ``x_i = floor(value * scale)`` as
+    int64 and prefix sums ``cs_i``, the deviation ``cs_i − i·mean`` is
+    scaled by ``n`` to ``D_i = n·cs_i − i·total`` — all int64, so the
+    statistic and its argmax are exact with NO float arithmetic and a
+    SQL window replay matches bit-for-bit.  Ties on ``|D_i|`` break to
+    the earliest position.
+
+    Returns one row per key: ``(key, n, change_idx [1-based], d_max)``.
+    Scale shape: the stream slims to four narrow columns before the one
+    hash shuffle; per-key series run in group tasks (same frontier-fits-
+    one-task assumption as crawl_order/trajectory; the bucketed window
+    machinery above is the fallback for pathological keys).
+    """
+    from ..agg import default_partitions
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch[ts]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        x = np.floor(batch[value].to_numpy(zero_copy_only=False)
+                     * scale).astype(np.int64)
+        return pa.table({key: batch[key], "_t": t, "_i": batch[id_col],
+                         "_x": pa.array(x, type=pa.int64())})
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_t", "_i"], kind="stable")
+        x = g["_x"].to_numpy()
+        n = np.int64(len(x))
+        cs = np.cumsum(x)
+        idx = np.arange(1, len(x) + 1, dtype=np.int64)
+        d = np.abs(n * cs - idx * cs[-1])
+        j = int(np.argmax(d))  # first occurrence == earliest position
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n": np.array([n], dtype=np.int64),
+            "change_idx": np.array([j + 1], dtype=np.int64),
+            "d_max": np.array([d[j]], dtype=np.int64),
+        })
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby(key, num_partitions=default_partitions())
+            .map_groups(per_key, batch_format="pandas"))

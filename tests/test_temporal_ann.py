@@ -543,3 +543,54 @@ def test_transitions_users_do_not_bridge(ray_session):
     out = transitions(_events_tbl(rows))
     got = set(zip(out["prev_type"], out["next_type"]))
     assert got == {("a", "c"), ("b", "d")}
+
+
+def test_cusum_changepoint_planted(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import cusum_changepoints
+
+    # user 1: level shift 0 -> 10 after position 6 of 10; CUSUM peaks
+    # exactly at the shift boundary
+    vals = [0.0] * 6 + [10.0] * 4
+    n = len(vals)
+    t = pa.table({
+        "user_id": pa.array([1] * n + [2] * 3, type=pa.int64()),
+        "ts": pa.array(np.arange(n + 3), type=pa.int64()),
+        "event_id": pa.array(np.arange(n + 3), type=pa.int64()),
+        "value": pa.array(vals + [5.0, 5.0, 5.0], type=pa.float64()),
+    })
+    out = cusum_changepoints(rd.from_arrow(t).repartition(2)).to_pandas()
+    out = out.set_index("user_id")
+    assert out.loc[1, "change_idx"] == 6
+    # D_6 = n*cs_6 - 6*total = 10*0 - 6*(4*640) = 15360
+    assert out.loc[1, "d_max"] == 6 * 4 * 640
+    # constant series: every deviation is exactly 0, earliest index wins
+    assert out.loc[2, "d_max"] == 0 and out.loc[2, "change_idx"] == 1
+
+
+def test_cusum_matches_brute(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import cusum_changepoints
+
+    rng = np.random.default_rng(3)
+    n = 200
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 7, n), type=pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**6, n), type=pa.int64()),
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "value": pa.array(rng.uniform(-50, 50, n), type=pa.float64()),
+    })
+    out = cusum_changepoints(rd.from_arrow(t).repartition(3)).to_pandas()
+    df = t.to_pandas()
+    df["x"] = np.floor(df["value"] * 64).astype(np.int64)
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        cs = g["x"].cumsum().to_numpy()
+        m = len(cs)
+        d = np.abs(m * cs - np.arange(1, m + 1) * cs[-1])
+        row = out[out["user_id"] == uid].iloc[0]
+        assert row["n"] == m
+        assert row["d_max"] == d.max()
+        assert row["change_idx"] == int(np.argmax(d)) + 1
