@@ -406,6 +406,24 @@ def q_cusum(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_quantile_bucket(sf_dir: str):
+    """Equal-frequency feature bucketing (stages/quantile.py
+    quantile_bucket): quartile buckets of integer-cents l_extendedprice
+    via exact type-1 quantile edges broadcast to a stateless digitize
+    pass — no corpus sort, ties never split.  Exact int64 end to end."""
+    import ray.data as rd
+
+    from ..stages.quantile import quantile_bucket
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = quantile_bucket(ds, col="l_extendedprice", k=4,
+                          keep=("l_orderkey", "l_linenumber"), scale=100)
+    return out.to_pandas().sort_values(
+        ["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
 def q_cluster_cells(sf_dir: str):
     """Grid connected-components clustering (stages/cluster.py): label
     every occupied cell with the minimum cell id of its 8-connected
@@ -4648,6 +4666,19 @@ def build_oracles() -> Dict[str, str]:
             "CAST(ad AS BIGINT) AS d_max FROM d "
             "QUALIFY row_number() OVER (PARTITION BY user_id "
             "ORDER BY ad DESC, idx ASC) = 1"),
+        "quantile_bucket": (
+            "WITH e AS (SELECT l_orderkey, l_linenumber, "
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) AS x "
+            "FROM lineitem), "
+            "c AS (SELECT x AS v, count(*) OVER (ORDER BY x RANGE BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            "(SELECT count(*) FROM lineitem) AS n FROM e), "
+            "ed AS (SELECT min(v) AS edge FROM c WHERE cum >= ceil(0.25 * n) "
+            "UNION ALL SELECT min(v) FROM c WHERE cum >= ceil(0.5 * n) "
+            "UNION ALL SELECT min(v) FROM c WHERE cum >= ceil(0.75 * n)) "
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(1 + (SELECT count(*) FROM ed WHERE ed.edge < e.x) "
+            "AS BIGINT) AS bucket FROM e"),
         "polygon_cover": (
             "WITH z AS (SELECT poly_id, "
             "CAST(least(greatest(floor((lng0 + 180.0) / 360.0 * 64), 0), "
@@ -6604,6 +6635,7 @@ def build_queries() -> Dict[str, Callable]:
         "target_encode": q_target_encode,
         "robots_rules": q_robots_rules,
         "cusum": q_cusum,
+        "quantile_bucket": q_quantile_bucket,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

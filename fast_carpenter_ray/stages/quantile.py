@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["exact_quantiles", "grouped_quantiles", "percentile_rank",
-           "approx_quantiles", "grouped_weighted_median"]
+           "approx_quantiles", "grouped_weighted_median", "quantile_bucket"]
 
 
 def exact_quantiles(ds, col: str, qs: Sequence[float],
@@ -271,3 +271,41 @@ def approx_quantiles(ds, col: str, qs: Sequence[float],
         "value": pd.Series(out_v, dtype="float64"),
         "rank_error_bound": pd.Series([err] * len(qs), dtype="float64"),
     })
+
+
+def quantile_bucket(ds, col: str, k: int,
+                    keep: Sequence[str] = ("doc_id",), scale: int = 1,
+                    out: str = "bucket"):
+    """Equal-frequency bucketing (NTILE-style feature discretization):
+    assign each row ``1 + #{edges < x}`` where the edges are the exact
+    type-1 quantiles of ``floor(col * scale)`` at i/k, i = 1..k-1.
+
+    Unlike SQL NTILE (rank-based, needs a global sort), the edge form
+    needs only the value-count shrink :func:`exact_quantiles` already
+    does plus one stateless digitize pass — no corpus-wide sort, and
+    equal values always land in the same bucket (ties never split).
+    Edges broadcast in the task closure.  Exact: values and edges are
+    int64, so the bucket assignment replays in SQL bit-for-bit.
+    """
+    if k < 2:
+        raise ValueError("quantile_bucket: k must be >= 2")
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        x = np.floor(batch[col].to_numpy(zero_copy_only=False)
+                     * scale).astype(np.int64)
+        cols = {c: batch[c] for c in keep}
+        cols["_x"] = pa.array(x, type=pa.int64())
+        return pa.table(cols)
+
+    slim = ds.map_batches(to_int, batch_format="pyarrow")
+    qs = [i / k for i in range(1, k)]
+    edges = np.sort(exact_quantiles(slim, "_x", qs)["value"].to_numpy()
+                    .astype(np.int64))
+
+    def digitize(batch: pa.Table) -> pa.Table:
+        x = batch["_x"].to_numpy(zero_copy_only=False)
+        b = 1 + np.searchsorted(edges, x, side="left")  # #{edges < x}
+        batch = batch.drop_columns(["_x"])
+        return batch.append_column(out, pa.array(b.astype(np.int64)))
+
+    return slim.map_batches(digitize, batch_format="pyarrow")

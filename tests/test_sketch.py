@@ -177,3 +177,44 @@ def test_grouped_weighted_median_unit_weights_match_median(ray_session):
     q5 = grouped_quantiles(ds, "g", "v", [0.5]).to_pandas()
     merged = wm.merge(q5[["g", "value"]], on="g")
     assert (merged["wmedian"] == merged["value"]).all()
+
+
+def test_quantile_bucket_quartiles(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.quantile import quantile_bucket
+
+    # 1..100: quartile edges (type-1) at 25, 50, 75; bucket = 1 + #{e < x}
+    t = pa.table({"doc_id": pa.array(np.arange(100), type=pa.int64()),
+                  "v": pa.array(np.arange(1.0, 101.0))})
+    out = quantile_bucket(rd.from_arrow(t).repartition(4), col="v", k=4,
+                          keep=("doc_id",)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    v = np.arange(1, 101)
+    want = 1 + (v > 25).astype(int) + (v > 50).astype(int) + (v > 75).astype(int)
+    np.testing.assert_array_equal(out["bucket"].to_numpy(), want)
+    # perfectly balanced: 25 rows per bucket
+    assert out["bucket"].value_counts().tolist() == [25, 25, 25, 25]
+
+
+def test_quantile_bucket_ties_never_split(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.quantile import quantile_bucket
+
+    # 90% of the mass on one value: all copies share a bucket
+    vals = np.array([5.0] * 90 + list(range(100, 110)))
+    t = pa.table({"doc_id": pa.array(np.arange(100), type=pa.int64()),
+                  "v": pa.array(vals)})
+    out = quantile_bucket(rd.from_arrow(t).repartition(3), col="v", k=4,
+                          keep=("doc_id",)).to_pandas()
+    assert out[out["doc_id"] < 90]["bucket"].nunique() == 1
+
+
+def test_quantile_bucket_rejects_k1(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.quantile import quantile_bucket
+
+    with pytest.raises(ValueError):
+        quantile_bucket(rd.range(10), col="id", k=1)
