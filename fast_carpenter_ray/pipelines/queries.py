@@ -424,6 +424,68 @@ def q_quantile_bucket(sf_dir: str):
         ["l_orderkey", "l_linenumber"]).reset_index(drop=True)
 
 
+def q_crawl_pipeline(sf_dir: str):
+    """End-to-end crawl-frontier curation composite under ONE SQL
+    oracle: two deterministic messy spellings per page -> canonicalize
+    (stages/urls.py CanonicalizeURL) -> robots longest-prefix gate
+    (stages/crawl.py RobotsRules) -> domain blocklist -> canonical
+    dedupe (min-id keeper) -> politeness round-robin schedule
+    (stages/crawl.py crawl_order, k=50).  Every stage is the oracle-
+    checked operator the standalone queries use; the composite pins
+    their composition."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..agg import default_partitions
+    from ..stages.crawl import RobotsRules, crawl_order
+    from ..stages.urls import BlocklistFilter, CanonicalizeURL, ParseURL
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+
+    def make(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = pd.Series(batch["lang"].to_pylist(), dtype=object)
+        host = "site" + pd.Series(d % 20).astype(str) + ".example"
+        path = "/" + lang + "/p" + pd.Series(d).astype(str)
+        base = "https://" + host + path
+
+        def spell(v):
+            return np.select(
+                [v == 0, v == 1, v == 2, v == 3],
+                [base,
+                 "https://" + host.str.upper() + ":443" + path,
+                 base + "?utm_source=feed",
+                 base + "?gclid=g7#frag"],
+                default=base + "/?fbclid=x").astype(object)
+
+        ids = np.concatenate([d, d + 10_000_000])
+        urls = np.concatenate([spell(d % 5), spell((d + 2) % 5)])
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "url": pa.array(urls, type=pa.string())})
+
+    ds = docs.map_batches(make, batch_format="pyarrow")
+    ds = CanonicalizeURL().apply(ds)
+    ds = ParseURL(col="canon_url", keep=("host", "path")).apply(ds)
+    ds = RobotsRules(ROBOTS_RULES).apply(ds)
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["allowed"], 1)),
+        batch_format="pyarrow")
+    ds = BlocklistFilter(BLOCKED_HOSTS).apply(ds)
+    ded = ds.groupby("canon_url", num_partitions=default_partitions(4)) \
+        .aggregate(Min("doc_id", alias_name="keeper"))
+    ded = ParseURL(col="canon_url", keep=("host",)).apply(ded)
+
+    def prio(batch: pa.Table) -> pa.Table:
+        k = batch["keeper"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "prio", pa.array((k * 37) % 101, type=pa.int64()))
+
+    ded = ded.map_batches(prio, batch_format="pyarrow")
+    return crawl_order(ded, domain="host", id_col="keeper",
+                       priority="prio", k=50)
+
+
 def q_cluster_cells(sf_dir: str):
     """Grid connected-components clustering (stages/cluster.py): label
     every occupied cell with the minimum cell id of its 8-connected
@@ -4580,6 +4642,38 @@ _TRAJECTORY_SQL = (
     "FROM o GROUP BY user_id")
 
 
+def _canon_chain_sql(src: str, id_col: str = "doc_id") -> str:
+    """CTE chain replaying stages/urls.py CanonicalizeURL bit-exactly:
+    canonicalizes column ``url`` of CTE ``src`` into a final CTE
+    ``canon(id_col, u)``.  Splice after a comma inside a WITH list."""
+    return (
+        f"u1 AS (SELECT {id_col}, regexp_replace(url, '#.*$', '') AS u "
+        f"FROM {src}), "
+        f"p AS (SELECT {id_col}, u, "
+        "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) "
+        "AS scheme, "
+        "lower(regexp_extract(u, "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1)) AS hostport, "
+        "regexp_extract(u, "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+(.*)$', 1) AS rest FROM u1), "
+        f"r AS (SELECT {id_col}, CASE WHEN scheme = '' THEN u ELSE "
+        "scheme || '://' || "
+        "(CASE WHEN scheme = 'https' THEN regexp_replace(hostport, "
+        "':443$', '') WHEN scheme = 'http' THEN "
+        "regexp_replace(hostport, ':80$', '') ELSE hostport END) "
+        "|| rest END AS u FROM p), "
+        f"t1 AS (SELECT {id_col}, regexp_replace(u, "
+        "'\\?(?:utm_[a-z]+|fbclid|gclid)=[^&]*&', '?', 'g') AS u FROM r), "
+        f"t2 AS (SELECT {id_col}, regexp_replace(u, "
+        "'[?&](?:utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g') AS u FROM t1), "
+        f"t3 AS (SELECT {id_col}, regexp_replace(u, '^([^?]*)&', '\\1?') "
+        "AS u FROM t2), "
+        f"s1 AS (SELECT {id_col}, regexp_replace(u, '/\\?', '?', 'g') "
+        "AS u FROM t3), "
+        f"canon AS (SELECT {id_col}, regexp_replace(u, '([^:/])/$', '\\1') "
+        "AS u FROM s1)")
+
+
 def build_oracles() -> Dict[str, str]:
     from ..stages.sample import (mix_hash_sql, sample_sql,
                                  weighted_sample_sql)
@@ -4679,6 +4773,51 @@ def build_oracles() -> Dict[str, str]:
             "SELECT l_orderkey, l_linenumber, "
             "CAST(1 + (SELECT count(*) FROM ed WHERE ed.edge < e.x) "
             "AS BIGINT) AS bucket FROM e"),
+        "crawl_pipeline": (
+            "WITH b AS (SELECT doc_id, "
+            "'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host, "
+            "'/' || lang || '/p' || CAST(doc_id AS VARCHAR) AS path "
+            "FROM documents), "
+            "m AS (SELECT doc_id AS id, doc_id % 5 AS v, host, path FROM b "
+            "UNION ALL SELECT doc_id + 10000000, (doc_id + 2) % 5, host, "
+            "path FROM b), "
+            "u0 AS (SELECT id AS doc_id, CASE v "
+            "WHEN 0 THEN 'https://' || host || path "
+            "WHEN 1 THEN 'https://' || upper(host) || ':443' || path "
+            "WHEN 2 THEN 'https://' || host || path || '?utm_source=feed' "
+            "WHEN 3 THEN 'https://' || host || path || '?gclid=g7#frag' "
+            "ELSE 'https://' || host || path || '/?fbclid=x' END AS url "
+            "FROM m), "
+            + _canon_chain_sql("u0") + ", "
+            "hp AS (SELECT doc_id, u, "
+            "regexp_extract(u, '^(?:[a-z][a-z0-9+.\\-]*)://([^/]+)', 1) "
+            "AS host, "
+            "regexp_extract(u, '^(?:[a-z][a-z0-9+.\\-]*)://[^/]+(/.*)$', 1) "
+            "AS path FROM canon), "
+            "rules AS (SELECT * FROM (VALUES "
+            + ", ".join(f"('{h}', '{p}', {int(a)})" for h, p, a in ROBOTS_RULES)
+            + ") AS r(host, prefix, allow)), "
+            "mt AS (SELECT hp.doc_id, r.allow FROM hp JOIN rules r "
+            "ON r.host = hp.host "
+            "AND substr(hp.path, 1, length(r.prefix)) = r.prefix "
+            "QUALIFY row_number() OVER (PARTITION BY hp.doc_id "
+            "ORDER BY length(r.prefix) DESC) = 1), "
+            "keep AS (SELECT hp.doc_id, hp.u, hp.host FROM hp "
+            "LEFT JOIN mt ON mt.doc_id = hp.doc_id "
+            "WHERE coalesce(mt.allow, 1) = 1 AND hp.host NOT IN "
+            "('site3.example', 'site7.example', 'site13.example')), "
+            "ded AS (SELECT u, min(doc_id) AS keeper, min(host) AS host "
+            "FROM keep GROUP BY u), "
+            "pr AS (SELECT host, CAST(keeper AS BIGINT) AS keeper, "
+            "(keeper * 37) % 101 AS prio FROM ded), "
+            "r2 AS (SELECT host, keeper, "
+            "CAST(row_number() OVER (PARTITION BY host "
+            "ORDER BY prio DESC, keeper) AS BIGINT) AS wave FROM pr), "
+            "s AS (SELECT host, keeper, wave, "
+            "CAST(row_number() OVER (ORDER BY wave, host, keeper) "
+            "AS BIGINT) AS schedule_pos FROM r2) "
+            "SELECT schedule_pos, wave, host, keeper FROM s "
+            "WHERE schedule_pos <= 50"),
         "polygon_cover": (
             "WITH z AS (SELECT poly_id, "
             "CAST(least(greatest(floor((lng0 + 180.0) / 360.0 * 64), 0), "
@@ -4834,33 +4973,9 @@ def build_oracles() -> Dict[str, str]:
             "|| '&gclid=' || gc || '#frag' "
             "ELSE 'https://' || host || path || '/?fbclid=x' END AS url "
             "FROM m), "
-            "u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u "
-            "FROM u0), "
-            "p AS (SELECT doc_id, u, "
-            "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) "
-            "AS scheme, "
-            "lower(regexp_extract(u, "
-            "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1)) AS hostport, "
-            "regexp_extract(u, "
-            "'^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+(.*)$', 1) AS rest FROM u1), "
-            "r AS (SELECT doc_id, CASE WHEN scheme = '' THEN u ELSE "
-            "scheme || '://' || "
-            "(CASE WHEN scheme = 'https' THEN regexp_replace(hostport, "
-            "':443$', '') WHEN scheme = 'http' THEN "
-            "regexp_replace(hostport, ':80$', '') ELSE hostport END) "
-            "|| rest END AS u FROM p), "
-            "t1 AS (SELECT doc_id, regexp_replace(u, "
-            "'\\?(?:utm_[a-z]+|fbclid|gclid)=[^&]*&', '?', 'g') AS u FROM r), "
-            "t2 AS (SELECT doc_id, regexp_replace(u, "
-            "'[?&](?:utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g') AS u FROM t1), "
-            "t3 AS (SELECT doc_id, regexp_replace(u, '^([^?]*)&', '\\1?') "
-            "AS u FROM t2), "
-            "s1 AS (SELECT doc_id, regexp_replace(u, '/\\?', '?', 'g') "
-            "AS u FROM t3), "
-            "s2 AS (SELECT doc_id, regexp_replace(u, '([^:/])/$', '\\1') "
-            "AS u FROM s1) "
+            + _canon_chain_sql("u0") + " "
             "SELECT u AS canon_url, CAST(min(doc_id) AS BIGINT) AS keeper, "
-            "CAST(count(*) AS BIGINT) AS n_variants FROM s2 GROUP BY u"),
+            "CAST(count(*) AS BIGINT) AS n_variants FROM canon GROUP BY u"),
         "cluster_cells": (
             f"WITH RECURSIVE base AS ({geo}), "
             f"z AS (SELECT DISTINCT {cell} AS cell FROM base "
@@ -6636,6 +6751,7 @@ def build_queries() -> Dict[str, Callable]:
         "robots_rules": q_robots_rules,
         "cusum": q_cusum,
         "quantile_bucket": q_quantile_bucket,
+        "crawl_pipeline": q_crawl_pipeline,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

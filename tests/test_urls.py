@@ -119,3 +119,20 @@ def test_robots_rules_duplicate_raises(ray_session):
 
     with _pt.raises(ValueError):
         RobotsRules([("h", "/", True), ("h", "/", False)])
+
+
+def test_crawl_pipeline_structure(ray_session):
+    from fast_carpenter_ray.pipelines.queries import (
+        BLOCKED_HOSTS, q_crawl_pipeline)
+
+    out = q_crawl_pipeline("/root/testdata/sf0.001")
+    assert len(out) == 50
+    assert list(out.columns) == ["schedule_pos", "wave", "host", "keeper"]
+    # blocked domains never scheduled
+    assert not out["host"].isin(BLOCKED_HOSTS).any()
+    # politeness: within a wave each host appears at most once
+    assert (out.groupby(["wave", "host"]).size() <= 1).all()
+    # dedupe kept originals over the +10M shifted spellings
+    assert (out["keeper"] < 10_000_000).all()
+    # schedule positions are 1..50 in order
+    assert out["schedule_pos"].tolist() == list(range(1, 51))
