@@ -125,7 +125,10 @@ def run_bench() -> dict:
                  # round-3 closing operators
                  "dbscan", "emerging_hotspots", "lang_frontier",
                  "local_hour", "lang_confusion", "bloom_decontam",
-                 "quadtree", "hilbert", "cms_users"):
+                 "quadtree", "hilbert", "cms_users",
+                 # this session's additions: web curation + geo/graph/ML
+                 "crawl_pipeline", "snap_segments", "clustering_coeff",
+                 "target_encode", "quantile_bucket", "cusum"):
         best = float("inf")
         for _ in range(2):
             import gc

@@ -486,6 +486,20 @@ def q_crawl_pipeline(sf_dir: str):
                        priority="prio", k=50)
 
 
+def q_areal_interp(sf_dir: str):
+    """Areal interpolation (stages/raster.py areal_interpolate): per-cell
+    page counts apportioned to the rect zones by exact overlap-area
+    fraction in integer micro-index units — the gridded-counts answer to
+    point-in-polygon when only the grid survives.  Per-cell counts
+    shrink to the 64x64 grid before any zone math; zones broadcast."""
+    from ..fixtures import RECT_ZONES
+    from ..stages.raster import areal_interpolate
+
+    ds = _pages_geo(sf_dir)
+    ds = CellEncode(res=RES).apply(ds)
+    return areal_interpolate(ds, RECT_ZONES, res=RES)
+
+
 def q_cluster_cells(sf_dir: str):
     """Grid connected-components clustering (stages/cluster.py): label
     every occupied cell with the minimum cell id of its 8-connected
@@ -4773,6 +4787,33 @@ def build_oracles() -> Dict[str, str]:
             "SELECT l_orderkey, l_linenumber, "
             "CAST(1 + (SELECT count(*) FROM ed WHERE ed.edge < e.x) "
             "AS BIGINT) AS bucket FROM e"),
+        "areal_interp": (
+            f"WITH base AS ({geo}), "
+            "pts AS (SELECT doc_id, lat, lng FROM base "
+            "WHERE lat IS NOT NULL), "
+            f"cc AS (SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS n "
+            "FROM pts GROUP BY 1), "
+            "zi AS (SELECT poly_id, "
+            "CAST(floor((CAST(lat0 AS DOUBLE) + 90.0) / 180.0 "
+            f"* {_N} * 1000000) AS BIGINT) AS zy0, "
+            "CAST(floor((CAST(lat1 AS DOUBLE) + 90.0) / 180.0 "
+            f"* {_N} * 1000000) AS BIGINT) AS zy1, "
+            "CAST(floor((CAST(lng0 AS DOUBLE) + 180.0) / 360.0 "
+            f"* {_N} * 1000000) AS BIGINT) AS zx0, "
+            "CAST(floor((CAST(lng1 AS DOUBLE) + 180.0) / 360.0 "
+            f"* {_N} * 1000000) AS BIGINT) AS zx1 "
+            f"FROM {zones}), "
+            "ov AS (SELECT zi.poly_id, cc.n, "
+            f"least((cc.cell // {_N}) * 1000000 + 1000000, zi.zy1) "
+            f"- greatest((cc.cell // {_N}) * 1000000, zi.zy0) AS ovy, "
+            f"least((cc.cell % {_N}) * 1000000 + 1000000, zi.zx1) "
+            f"- greatest((cc.cell % {_N}) * 1000000, zi.zx0) AS ovx "
+            "FROM cc CROSS JOIN zi), "
+            "agg AS (SELECT poly_id, sum(n * ovy * ovx) AS num FROM ov "
+            "WHERE ovy > 0 AND ovx > 0 GROUP BY 1) "
+            "SELECT CAST(poly_id AS BIGINT) AS poly_id, "
+            "CAST(num AS BIGINT) AS num, "
+            "CAST(num AS DOUBLE) / 1000000000000.0 AS est FROM agg"),
         "crawl_pipeline": (
             "WITH b AS (SELECT doc_id, "
             "'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host, "
@@ -6752,6 +6793,7 @@ def build_queries() -> Dict[str, Callable]:
         "cusum": q_cusum,
         "quantile_bucket": q_quantile_bucket,
         "crawl_pipeline": q_crawl_pipeline,
+        "areal_interp": q_areal_interp,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

@@ -80,3 +80,48 @@ def test_raster_zonal_matches_local(ray_session, mode):
     np.testing.assert_array_equal(got["n"], exp["n"])
     np.testing.assert_allclose(got["sum_value"], exp["sum_value"])
     np.testing.assert_allclose(got["mean_value"], exp["sum_value"] / exp["n"])
+
+
+def test_areal_interpolate_full_and_half_overlap(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.raster import areal_interpolate
+
+    # grid res 1 -> 2x2 cells, cell size 90 deg lat x 180 deg lng.
+    # 8 points in cell (iy=1, ix=1) == cell 3 (lat>0, lng>0)
+    t = pa.table({"cell": pa.array([3] * 8, type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(2)
+    # zone 0 covers the cell fully; zone 1 covers its lower half in lat
+    zones = [(0, 0.0, 90.0, 0.0, 180.0),
+             (1, 0.0, 45.0, 0.0, 180.0)]
+    out = areal_interpolate(ds, zones, res=1)
+    out = out.set_index("poly_id")
+    assert out.loc[0, "est"] == pytest.approx(8.0)
+    assert out.loc[1, "est"] == pytest.approx(4.0)
+    # integer numerators are exact: half overlap = 500000 * 1000000
+    assert out.loc[1, "num"] == 8 * 500_000 * 1_000_000
+
+
+def test_areal_interpolate_disjoint_zone_absent(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.raster import areal_interpolate
+
+    t = pa.table({"cell": pa.array([0] * 5, type=pa.int64())})  # SW cell
+    out = areal_interpolate(rd.from_arrow(t), [(9, 0.0, 90.0, 0.0, 180.0)],
+                            res=1)
+    assert len(out) == 0 or (out["num"] == 0).all()
+
+
+def test_areal_interpolate_conserves_mass(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.raster import areal_interpolate
+
+    # a partition of the whole world into two zones conserves total count
+    rng = np.random.default_rng(2)
+    cells = rng.integers(0, 4, 100).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"cell": pa.array(cells)})).repartition(3)
+    zones = [(0, -90.0, 0.0, -180.0, 180.0), (1, 0.0, 90.0, -180.0, 180.0)]
+    out = areal_interpolate(ds, zones, res=1)
+    assert out["est"].sum() == pytest.approx(100.0)
