@@ -2912,6 +2912,19 @@ def q_clustering_coeff(sf_dir: str):
     return clustering_coefficients(edges=edges.union(rd.from_arrow(planted)))
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities (stages/linkgraph.py hits): two L1-
+    normalized power half-steps over the domain graph, broadcast-iterate
+    like pagerank (edges stay put, the vectors move).  Round-6 float
+    contract, unrolled-CTE SQL replay."""
+    from ..stages.linkgraph import hits
+
+    out = hits(pages_dataset(sf_dir))
+    out["hub"] = out["hub"].round(6)
+    out["authority"] = out["authority"].round(6)
+    return out.sort_values("domain").reset_index(drop=True)
+
+
 def q_rollup(sf_dir: str):
     """Hierarchical ROLLUP over (day, hour) of the events stream
     (stages/rollup.py): one scan, finest-level combine, coarser levels
@@ -6548,6 +6561,32 @@ def build_oracles() -> Dict[str, str]:
             "FROM o FULL OUTER JOIN i ON o.domain = i.domain "
             "ORDER BY domain"),
         "pagerank": _PAGERANK_SQL,
+        "hits": (
+            f"WITH l AS ({_LINK_EDGES_SQL}), "
+            "e AS (SELECT src_domain, dst_domain, "
+            "CAST(count(*) AS DOUBLE) AS n FROM l GROUP BY 1, 2), "
+            "d AS (SELECT src_domain AS domain FROM e "
+            "UNION SELECT dst_domain FROM e), "
+            "a1 AS (SELECT dst_domain AS domain, sum(1.0 * n) AS w "
+            "FROM e GROUP BY 1), "
+            "a1n AS (SELECT domain, w / (SELECT sum(w) FROM a1) AS v "
+            "FROM a1), "
+            "h1 AS (SELECT e.src_domain AS domain, sum(a1n.v * e.n) AS w "
+            "FROM e JOIN a1n ON a1n.domain = e.dst_domain GROUP BY 1), "
+            "h1n AS (SELECT domain, w / (SELECT sum(w) FROM h1) AS v "
+            "FROM h1), "
+            "a2 AS (SELECT e.dst_domain AS domain, sum(h1n.v * e.n) AS w "
+            "FROM e JOIN h1n ON h1n.domain = e.src_domain GROUP BY 1), "
+            "a2n AS (SELECT domain, w / (SELECT sum(w) FROM a2) AS v "
+            "FROM a2), "
+            "h2 AS (SELECT e.src_domain AS domain, sum(a2n.v * e.n) AS w "
+            "FROM e JOIN a2n ON a2n.domain = e.dst_domain GROUP BY 1), "
+            "h2n AS (SELECT domain, w / (SELECT sum(w) FROM h2) AS v "
+            "FROM h2) "
+            "SELECT d.domain, round(coalesce(h2n.v, 0), 6) AS hub, "
+            "round(coalesce(a2n.v, 0), 6) AS authority "
+            "FROM d LEFT JOIN h2n ON h2n.domain = d.domain "
+            "LEFT JOIN a2n ON a2n.domain = d.domain"),
         "retention": (
             "WITH a AS (SELECT DISTINCT user_id, "
             "epoch_us(ts) // 86400000000 AS day FROM events), "
@@ -6794,6 +6833,7 @@ def build_queries() -> Dict[str, Callable]:
         "quantile_bucket": q_quantile_bucket,
         "crawl_pipeline": q_crawl_pipeline,
         "areal_interp": q_areal_interp,
+        "hits": q_hits,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

@@ -37,7 +37,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["extract_links", "domain_degrees", "pagerank", "count_triangles", "link_components"]
+__all__ = ["extract_links", "domain_degrees", "pagerank", "count_triangles",
+           "link_components", "hits", "clustering_coefficients"]
 
 #: absolute http(s) links only; captures the host. Relative links (nav
 #: chrome) are deliberately out of scope for the domain graph.
@@ -505,3 +506,120 @@ def link_components(ds, html: str = "html", url: str = "url",
     out["component"] = out["cluster"].map(canon)
     return (out[["domain", "component"]]
             .sort_values("domain").reset_index(drop=True))
+
+
+def hits(ds=None, html: str = "html", url: str = "url", iters: int = 2,
+         max_domains: int = 50_000_000, edges=None,
+         edge_budget: int = 2_000_000):
+    """HITS hubs & authorities over the directed domain graph
+    (Kleinberg 1999, public literature), link-multiplicity weighted.
+
+    Same broadcast-iterate shape as :func:`pagerank`: the hub/authority
+    vectors are driver-resident (summary-sized by the same
+    ``max_domains`` contract) and broadcast into one edge-stream combine
+    per half-step; edges never leave their partitions.  Per iteration:
+    ``a = normalize(Aᵀ h)`` then ``h = normalize(A a)`` (L1).  Hubs
+    start uniform at 1.0.  Returns ``(domain, hub, authority)`` raw
+    float64 — callers round (the pagerank float contract).
+    """
+    from ..agg import combine_partials
+
+    if edges is None:
+        edges = extract_links(ds, html=html, url=url, mode="hash")
+    edges = edges.materialize()
+
+    # fast path: the combined edge table is domains x avg-degree —
+    # summary-sized for domain graphs.  Under the budget, pull it ONCE
+    # and run the iterations in NumPy on the driver (4 distributed
+    # combine rounds -> 0; the round-6 caller contract absorbs the
+    # summation-order ulps).  Above it, the distributed half-steps below.
+    if edges.count() <= edge_budget:
+        df = edges.to_pandas()
+        if "src_domain" not in df.columns or not len(df):
+            return pd.DataFrame({"domain": pd.Series([], dtype=object),
+                                 "hub": pd.Series([], dtype=np.float64),
+                                 "authority": pd.Series([], dtype=np.float64)})
+        domains = np.union1d(df["src_domain"].to_numpy(),
+                             df["dst_domain"].to_numpy())
+        si = np.searchsorted(domains, df["src_domain"].to_numpy())
+        di = np.searchsorted(domains, df["dst_domain"].to_numpy())
+        n = df["n"].to_numpy().astype(np.float64)
+        hub = np.ones(len(domains), dtype=np.float64)
+        auth = np.zeros(len(domains), dtype=np.float64)
+        for _ in range(iters):
+            auth = np.zeros(len(domains), dtype=np.float64)
+            np.add.at(auth, di, hub[si] * n)
+            tot = auth.sum()
+            if tot > 0:
+                auth /= tot
+            hub = np.zeros(len(domains), dtype=np.float64)
+            np.add.at(hub, si, auth[di] * n)
+            tot = hub.sum()
+            if tot > 0:
+                hub /= tot
+        return pd.DataFrame({"domain": domains, "hub": hub,
+                             "authority": auth})
+
+    def side_ones(col):
+        def fn(b: pa.Table) -> pa.Table:
+            v = (b[col] if col in b.column_names
+                 else pa.array([], pa.string()))
+            return pa.table({col: v, "one": pa.array(
+                np.ones(len(v), dtype=np.int64))})
+        return fn
+
+    srcs = combine_partials(
+        edges.map_batches(side_ones("src_domain"), batch_format="pyarrow"),
+        keys=["src_domain"], value_cols=["one"], mode="tree").to_pandas()
+    dsts = combine_partials(
+        edges.map_batches(side_ones("dst_domain"), batch_format="pyarrow"),
+        keys=["dst_domain"], value_cols=["one"], mode="tree").to_pandas()
+    s_col = (srcs["src_domain"].to_numpy() if "src_domain" in srcs.columns
+             else np.array([], dtype=object))
+    d_col = (dsts["dst_domain"].to_numpy() if "dst_domain" in dsts.columns
+             else np.array([], dtype=object))
+    domains = np.union1d(s_col, d_col)
+    n_dom = len(domains)
+    if n_dom > max_domains:
+        raise ValueError(f"hits: {n_dom} domains exceeds the "
+                         f"{max_domains} driver budget")
+    if n_dom == 0:
+        return pd.DataFrame({"domain": pd.Series([], dtype=object),
+                             "hub": pd.Series([], dtype=np.float64),
+                             "authority": pd.Series([], dtype=np.float64)})
+
+    def half_step(vec, from_col, to_col):
+        """combine over edges: out(to) = Σ vec[from] * n, L1-normalized."""
+        v, dom = vec, domains
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            if from_col not in df.columns:  # schemaless empty block
+                return pa.table({to_col: pa.array([], pa.string()),
+                                 "w": pa.array([], pa.float64())})
+            fi = np.searchsorted(dom, df[from_col].to_numpy())
+            w = v[fi] * df["n"].to_numpy()
+            out = (pd.DataFrame({to_col: df[to_col], "w": w})
+                   .groupby(to_col, sort=False)["w"].sum().reset_index())
+            return pa.Table.from_pandas(
+                out, preserve_index=False,
+                schema=pa.schema([(to_col, pa.string()),
+                                  ("w", pa.float64())]))
+
+        agg = combine_partials(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            keys=[to_col], value_cols=["w"], mode="tree").to_pandas()
+        new = np.zeros(n_dom, dtype=np.float64)
+        if to_col in agg.columns and len(agg):
+            ti = np.searchsorted(domains, agg[to_col].to_numpy())
+            new[ti] = agg["w"].to_numpy()
+        tot = new.sum()
+        return new / tot if tot > 0 else new
+
+    hub = np.ones(n_dom, dtype=np.float64)
+    auth = np.zeros(n_dom, dtype=np.float64)
+    for _ in range(iters):
+        auth = half_step(hub, "src_domain", "dst_domain")
+        hub = half_step(auth, "dst_domain", "src_domain")
+
+    return pd.DataFrame({"domain": domains, "hub": hub, "authority": auth})

@@ -254,3 +254,36 @@ def test_clustering_coefficients_random_vs_brute(ray_session):
         want = (row["n_tri"] / row["n_wedges"]) if row["n_wedges"] else 0.0
         assert row["coeff"] == want
     assert set(got["domain"]) == set(deg)
+
+
+def test_hits_star_graph(ray_session):
+    from fast_carpenter_ray.stages.linkgraph import hits
+
+    # hub h points at authorities a1, a2, a3; plus one reverse edge
+    pairs = [("h", "a1"), ("h", "a2"), ("h", "a3"), ("a1", "h")]
+    got = hits(edges=_edge_ds(pairs)).set_index("domain")
+    # h is the dominant hub, a1..a3 the authorities
+    assert got.loc["h", "hub"] > got.loc["a1", "hub"]
+    for a in ("a1", "a2", "a3"):
+        assert got.loc[a, "authority"] > got.loc["h", "authority"] or \
+            got.loc["h", "authority"] < 0.5
+    # L1 normalization
+    assert got["hub"].sum() == pytest.approx(1.0)
+    assert got["authority"].sum() == pytest.approx(1.0)
+
+
+def test_hits_distributed_matches_driver(ray_session):
+    from fast_carpenter_ray.stages.linkgraph import hits
+
+    rng = np.random.default_rng(17)
+    nodes = [f"n{i}" for i in range(15)]
+    pairs = [(nodes[int(i)], nodes[int(j)])
+             for i, j in rng.integers(0, 15, size=(80, 2)) if i != j]
+    fast = hits(edges=_edge_ds(pairs)).set_index("domain")
+    slow = hits(edges=_edge_ds(pairs), edge_budget=0).set_index("domain")
+    assert set(fast.index) == set(slow.index)
+    for d in fast.index:
+        assert fast.loc[d, "hub"] == pytest.approx(slow.loc[d, "hub"],
+                                                   abs=1e-9)
+        assert fast.loc[d, "authority"] == pytest.approx(
+            slow.loc[d, "authority"], abs=1e-9)
