@@ -775,6 +775,25 @@ def q_grid_bfs(sf_dir: str):
     return grid_bfs_distance(ds, seed, res=RES - 2, max_dist=6)
 
 
+def q_grid_dijkstra(sf_dir: str):
+    """Congestion-weighted isochrone (stages/griddist.py
+    grid_dijkstra_distance): minimum total enter-cost from the nearest
+    site-occupied cell through occupied page-cells, dense cells
+    (>= 4 pages) costing 2 — Bellman-Ford shifted-min sweeps on the
+    bounded driver grid, exact integers.  Oracle: cost-bounded
+    recursive min-reachability CTE over the identical adjacency."""
+    from ..fixtures import sites_table
+    from ..geo.cells import cell_id
+    from ..stages.griddist import grid_dijkstra_distance
+
+    sites = sites_table()
+    seed = np.unique(cell_id(sites["lat"].to_numpy(),
+                             sites["lng"].to_numpy(), RES - 2))
+    ds = _pages_geo(sf_dir)
+    return grid_dijkstra_distance(ds, seed, res=RES - 2,
+                                  dense_threshold=4, max_cost=8)
+
+
 def q_radius_of_gyration(sf_dir: str):
     """Per-user radius of gyration on the synthetic 1024-grid positions
     (stages/trajectory.py radius_of_gyration): exact int64 moment
@@ -5179,6 +5198,28 @@ def build_oracles() -> Dict[str, str]:
             "AND o.cell <> r.cell WHERE r.d < 6) "
             "SELECT cell, CAST(min(d) AS BIGINT) AS dist "
             "FROM r GROUP BY cell"),
+        "grid_dijkstra": (
+            f"WITH RECURSIVE base AS ({geo}), "
+            "occ AS (SELECT "
+            "(CAST(least(greatest(floor((lat + 90.0) / 180.0 * 16), 0), 15) AS BIGINT) * 16 "
+            "+ CAST(least(greatest(floor((lng + 180.0) / 360.0 * 16), 0), 15) AS BIGINT)) AS cell, "
+            "count(*) AS n FROM base WHERE lat IS NOT NULL GROUP BY 1), "
+            "c AS (SELECT cell, CASE WHEN n >= 4 THEN 2 ELSE 1 END AS cost "
+            "FROM occ), "
+            "sc AS (SELECT DISTINCT "
+            "(CAST(least(greatest(floor((CAST(site_lat AS DOUBLE) + 90.0) / 180.0 * 16), 0), 15) AS BIGINT) * 16 "
+            "+ CAST(least(greatest(floor((CAST(site_lng AS DOUBLE) + 180.0) / 360.0 * 16), 0), 15) AS BIGINT)) AS cell "
+            f"FROM {sites}), "
+            "r(cell, d) AS ("
+            "SELECT cell, 0 FROM c WHERE cell IN (SELECT cell FROM sc) "
+            "UNION "
+            "SELECT o.cell, r.d + o.cost FROM r JOIN c o "
+            "ON abs(o.cell // 16 - r.cell // 16) <= 1 "
+            "AND least(((o.cell % 16) - (r.cell % 16) + 16) % 16, "
+            "((r.cell % 16) - (o.cell % 16) + 16) % 16) <= 1 "
+            "AND o.cell <> r.cell WHERE r.d + o.cost <= 8) "
+            "SELECT cell, CAST(min(d) AS BIGINT) AS dist "
+            "FROM r GROUP BY cell"),
         "radius_of_gyration": (
             "WITH p AS (SELECT user_id, "
             "(event_id * 2654435761) % 1024 AS x, "
@@ -6834,6 +6875,7 @@ def build_queries() -> Dict[str, Callable]:
         "crawl_pipeline": q_crawl_pipeline,
         "areal_interp": q_areal_interp,
         "hits": q_hits,
+        "grid_dijkstra": q_grid_dijkstra,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

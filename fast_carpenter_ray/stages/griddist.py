@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["grid_bfs_distance"]
+__all__ = ["grid_bfs_distance", "grid_dijkstra_distance"]
 
 
 def grid_bfs_distance(ds, seed_cells: np.ndarray, res: int,
@@ -95,3 +95,92 @@ def grid_bfs_distance(ds, seed_cells: np.ndarray, res: int,
         "cell": pd.Series(occ_cells[keep], dtype="int64"),
         "dist": pd.Series(dv[keep], dtype="int64"),
     }).sort_values("cell").reset_index(drop=True)
+
+
+def grid_dijkstra_distance(ds, seed_cells: np.ndarray, res: int,
+                           lat_col: str = "lat", lng_col: str = "lng",
+                           dense_threshold: int = 4, max_cost: int = 12,
+                           num_partitions: Optional[int] = None) -> pd.DataFrame:
+    """Weighted isochrone: minimum total ENTER-cost from the nearest
+    occupied seed cell through occupied cells, where entering a cell
+    costs ``1`` normally and ``2`` when the cell holds at least
+    ``dense_threshold`` points (congestion).  King-move adjacency with
+    longitude wrap — the same graph as :func:`grid_bfs_distance`; with
+    ``dense_threshold = inf`` the two coincide.
+
+    Exact integers throughout.  The relaxation is Bellman-Ford over the
+    driver grid (same 65536-cell budget as the BFS): ``max_cost`` sweeps
+    suffice because every edge costs >= 1, each a vectorized 8-direction
+    shifted-min — no heap, no per-cell Python.  Cells whose best cost
+    exceeds ``max_cost`` are excluded (the SQL recursion bound).
+
+    Returns a pandas frame ``(cell, dist)`` over occupied cells.
+    """
+    from ..agg import combine_partials
+    from ..geo.cells import cell_id
+
+    n_grid = 1 << res
+    if (1 << (2 * res)) > 65536:
+        raise ValueError(
+            "grid_dijkstra_distance: 4^res exceeds the 65536-cell "
+            "driver-grid budget — coarsen res")
+    if max_cost < 0:
+        raise ValueError("grid_dijkstra_distance: max_cost must be >= 0")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = cell_id(batch[lat_col].to_numpy(zero_copy_only=False),
+                        batch[lng_col].to_numpy(zero_copy_only=False), res)
+        cells = cells[cells >= 0]
+        items, counts = np.unique(cells, return_counts=True)
+        return pa.table({
+            "cell": pa.array(items, type=pa.int64()),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    occ_df = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["cell"], value_cols=["n"], mode="tree").to_pandas()
+    occ_cells = occ_df["cell"].to_numpy()
+    occ_n = occ_df["n"].to_numpy()
+    passable = np.zeros((n_grid, n_grid), dtype=bool)
+    passable[occ_cells // n_grid, occ_cells % n_grid] = True
+    cost = np.ones((n_grid, n_grid), dtype=np.int64)
+    dense = occ_n >= dense_threshold
+    cost[occ_cells[dense] // n_grid, occ_cells[dense] % n_grid] = 2
+
+    seeds = np.asarray(seed_cells, dtype=np.int64)
+    seeds = seeds[np.isin(seeds, occ_cells)]
+    big = np.int64(np.iinfo(np.int64).max // 4)
+    dist = np.full((n_grid, n_grid), big, dtype=np.int64)
+    dist[seeds // n_grid, seeds % n_grid] = 0
+
+    for _ in range(max_cost):
+        prev = dist
+        best_nb = np.full_like(dist, big)
+        for dy in (-1, 0, 1):
+            rolled = [dist, np.roll(dist, -1, axis=1),
+                      np.roll(dist, 1, axis=1)]
+            for src in rolled:
+                if dy == 0:
+                    if src is dist:
+                        continue  # self is not a neighbor
+                    cand = src
+                elif dy > 0:
+                    cand = np.full_like(dist, big)
+                    cand[dy:, :] = src[:-dy, :]
+                else:
+                    cand = np.full_like(dist, big)
+                    cand[:dy, :] = src[-dy:, :]
+                best_nb = np.minimum(best_nb, cand)
+        relaxed = np.minimum(dist, best_nb + cost)
+        dist = np.where(passable, relaxed, big)
+        dist[seeds // n_grid, seeds % n_grid] = 0
+        if np.array_equal(dist, prev):
+            break
+
+    iy, ix = occ_cells // n_grid, occ_cells % n_grid
+    dv = dist[iy, ix]
+    keep = dv <= max_cost
+    return (pd.DataFrame({"cell": occ_cells[keep],
+                          "dist": dv[keep].astype(np.int64)})
+            .sort_values("cell").reset_index(drop=True))
