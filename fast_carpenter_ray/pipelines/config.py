@@ -40,6 +40,8 @@ STAGE_REGISTRY: Dict[str, str] = {
     "Fingerprint": "fast_carpenter_ray.stages.Fingerprint",
     "ParseURL": "fast_carpenter_ray.stages.ParseURL",
     "BlocklistFilter": "fast_carpenter_ray.stages.BlocklistFilter",
+    "CanonicalizeURL": "fast_carpenter_ray.stages.CanonicalizeURL",
+    "RobotsRules": "fast_carpenter_ray.stages.RobotsRules",
     "ExactDedup": "fast_carpenter_ray.stages.ExactDedup",
     "MinHashDedup": "fast_carpenter_ray.stages.MinHashDedup",
     "SimHashDedup": "fast_carpenter_ray.stages.SimHashDedup",

@@ -19,7 +19,8 @@ from .raster import WorldRaster, raster_sample, raster_zonal, make_test_raster  
 from .sample import hash_sample, group_topk  # noqa: F401
 from .text import vocab_count, doc_frequency  # noqa: F401
 from .profile import profile_columns  # noqa: F401
-from .urls import ParseURL, BlocklistFilter  # noqa: F401
+from .urls import ParseURL, BlocklistFilter, CanonicalizeURL  # noqa: F401
+from .crawl import RobotsRules  # noqa: F401
 from .compact_cells import compact_cells, uncompact_cells, tile_pyramid  # noqa: F401
 from .cluster import cluster_cells  # noqa: F401
 from .hotspot import hotspot_cells  # noqa: F401
