@@ -84,18 +84,13 @@ def target_encode(ds, key: str, target: str,
         keys=[key], value_cols=["_te_s", "_te_n"], mode="hash",
         num_partitions=num_partitions).materialize()
 
-    from ray.data.aggregate import Sum
-
-    tot = stats.aggregate(Sum("_te_s", alias_name="s"),
-                          Sum("_te_n", alias_name="n"))
-    gs, gn = float(tot["s"]), int(tot["n"])
-
     # budget-guarded broadcast (the simjoin contract): the stats table is
     # one row per distinct key — broadcast it under the budget so the row
     # stream never shuffles; above it, a partitioned hash join (dense key
     # spaces fill every partition at that scale; Ray 2.49's join crashes
     # on partitions whose right side got zero blocks, a sparse/toy-input
-    # artifact).
+    # artifact).  The global (sum, n) totals come from whichever copy is
+    # cheapest: the pulled broadcast table, or one Ray aggregate.
     if stats.count() <= broadcast_budget:
         import ray
 
@@ -108,10 +103,17 @@ def target_encode(ds, key: str, target: str,
                     out, pa.nulls(len(t), pa.float64())),
                 batch_format="pyarrow")
         small = pa.concat_tables(tbls)
+        gs = float(np.sum(small["_te_s"].to_numpy(zero_copy_only=False)))
+        gn = int(np.sum(small["_te_n"].to_numpy(zero_copy_only=False)))
         from .joins import lookup_join
 
         joined = lookup_join(ds, small, key, how="inner")
     else:
+        from ray.data.aggregate import Sum
+
+        tot = stats.aggregate(Sum("_te_s", alias_name="s"),
+                              Sum("_te_n", alias_name="n"))
+        gs, gn = float(tot["s"]), int(tot["n"])
         joined = hash_join(ds, stats, key, num_partitions=num_partitions)
 
     def finish(batch: pa.Table) -> pa.Table:
