@@ -4714,8 +4714,8 @@ def _canon_chain_sql(src: str, id_col: str = "doc_id") -> str:
         "'[?&](?:utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g') AS u FROM t1), "
         f"t3 AS (SELECT {id_col}, regexp_replace(u, '^([^?]*)&', '\\1?') "
         "AS u FROM t2), "
-        f"s1 AS (SELECT {id_col}, regexp_replace(u, '/\\?', '?', 'g') "
-        "AS u FROM t3), "
+        f"s1 AS (SELECT {id_col}, regexp_replace(u, '^([^?]*)/\\?', "
+        "'\\1?') AS u FROM t3), "
         f"canon AS (SELECT {id_col}, regexp_replace(u, '([^:/])/$', '\\1') "
         "AS u FROM s1)")
 
@@ -4733,8 +4733,11 @@ def build_oracles() -> Dict[str, str]:
     from ..stages.mapmatch import boundary_segments
 
     _segs = boundary_segments(RECT_ZONES)
+    # float() before !r: np.float64 reprs as 'np.float64(x)' under
+    # NumPy >= 2 and would be invalid SQL
     segs_values = ("(VALUES " + ", ".join(
-        f"({int(s)}, {ax!r}, {ay!r}, {bx!r}, {by!r})"
+        f"({int(s)}, {float(ax)!r}, {float(ay)!r}, "
+        f"{float(bx)!r}, {float(by)!r})"
         for s, ax, ay, bx, by in _segs)
         + ") AS s(seg_id, ax, ay, bx, by)")
     oracles = {

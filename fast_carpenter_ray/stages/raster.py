@@ -256,7 +256,9 @@ def areal_interpolate(ds, zones, res: int, cell_col: str = "cell",
     point stream shuffles only its cell ids.
 
     ``zones``: iterable of ``(poly_id, lat0, lat1, lng0, lng1)``.
-    Returns a pandas DataFrame (poly_id, num, est), one row per zone.
+    Returns a pandas DataFrame (poly_id, num, est), one row per zone
+    that overlaps at least one occupied cell (zones with no overlap are
+    omitted, matching the SQL oracle's inner-join semantics).
     """
     from ..agg import combine_partials
 

@@ -123,8 +123,13 @@ class CanonicalizeURL:
             u, pattern=r"[?&]" + TRACKING_PARAMS + r"=[^&]*", replacement="")
         u = pc.replace_substring_regex(
             u, pattern=r"^([^?]*)&", replacement=r"\1?", max_replacements=1)
-        # 5. trailing slash (before a query, or at the end of the path)
-        u = pc.replace_substring_regex(u, pattern=r"/\?", replacement="?")
+        # 5. trailing slash (before a query, or at the end of the path).
+        # Only the FIRST '?' is the path/query boundary — the anchored
+        # [^?]* prefix guarantees the matched '/?' is that boundary, so
+        # a '/?' inside a query VALUE survives untouched.
+        u = pc.replace_substring_regex(u, pattern=r"^([^?]*)/\?",
+                                       replacement=r"\1?",
+                                       max_replacements=1)
         u = pc.replace_substring_regex(
             u, pattern=r"([^:/])/$", replacement=r"\1", max_replacements=1)
         return u

@@ -72,6 +72,11 @@ def test_canonicalize_url_rules():
         "https://h.example/a/": "https://h.example/a",
         "https://h.example/a/?b=1": "https://h.example/a?b=1",
         "https://h.example/": "https://h.example",
+        # '/?' inside a query VALUE is NOT the path boundary and survives
+        "https://h.example/a?next=/path/?x=1":
+            "https://h.example/a?next=/path/?x=1",
+        "https://h.example/a/?next=/p/?x=1":
+            "https://h.example/a?next=/p/?x=1",
         # unparseable passes through
         "not-a-url": "not-a-url",
     }
