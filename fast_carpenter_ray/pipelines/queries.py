@@ -794,6 +794,21 @@ def q_grid_dijkstra(sf_dir: str):
                                   dense_threshold=4, max_cost=8)
 
 
+def q_bot_scores(sf_dir: str):
+    """Bot-likeness per user (stages/bots.py): high event volume +
+    unnaturally regular inter-arrival gaps (cv² < 0.1 via exact integer
+    cross-multiplication — no floats anywhere).  One slim hash shuffle;
+    SQL window replay is bit-exact."""
+    import ray.data as rd
+
+    from ..stages.bots import bot_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    out = bot_scores(ds, rate_threshold=50).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_radius_of_gyration(sf_dir: str):
     """Per-user radius of gyration on the synthetic 1024-grid positions
     (stages/trajectory.py radius_of_gyration): exact int64 moment
@@ -5201,6 +5216,23 @@ def build_oracles() -> Dict[str, str]:
             "AND o.cell <> r.cell WHERE r.d < 6) "
             "SELECT cell, CAST(min(d) AS BIGINT) AS dist "
             "FROM r GROUP BY cell"),
+        "bot_scores": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id "
+            "FROM events), "
+            "g AS (SELECT user_id, (t - lag(t) OVER (PARTITION BY user_id "
+            "ORDER BY t, event_id)) // 1000000 AS gap FROM e), "
+            "s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap, "
+            "CAST(coalesce(sum(gap * gap), 0) AS BIGINT) AS sum_gap2, "
+            "CAST(count(gap) AS BIGINT) AS m FROM g GROUP BY 1) "
+            "SELECT user_id, n, sum_gap, sum_gap2, "
+            "CAST(n >= 50 AS BIGINT) AS high_rate, "
+            "CAST(m >= 3 AND sum_gap > 0 AND "
+            "(m * sum_gap2 - sum_gap * sum_gap) * 10 < "
+            "sum_gap * sum_gap * 1 AS BIGINT) AS regular, "
+            "CAST(n >= 50 AND m >= 3 AND sum_gap > 0 AND "
+            "(m * sum_gap2 - sum_gap * sum_gap) * 10 < "
+            "sum_gap * sum_gap * 1 AS BIGINT) AS is_bot FROM s"),
         "grid_dijkstra": (
             f"WITH RECURSIVE base AS ({geo}), "
             "occ AS (SELECT "
@@ -6879,6 +6911,7 @@ def build_queries() -> Dict[str, Callable]:
         "areal_interp": q_areal_interp,
         "hits": q_hits,
         "grid_dijkstra": q_grid_dijkstra,
+        "bot_scores": q_bot_scores,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,
