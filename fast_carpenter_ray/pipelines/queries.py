@@ -2687,6 +2687,29 @@ def q_term_trends(sf_dir: str):
     return out.sort_values(["token", "day"]).reset_index(drop=True)
 
 
+def q_vocab_drift(sf_dir: str):
+    """Per-token chi-squared vocabulary drift between alternating 4-hour
+    crawl periods (stages/text.py vocab_drift, Kilgarriff corpus-
+    comparison chi²): exact int64 signed numerator, one fixed float
+    chain mirrored in SQL, min-support 5."""
+    import ray.data as rd
+
+    from ..stages.text import vocab_drift
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def add_period(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = WARC_EPOCH_US + did * (WARC_STEP_S * 1_000_000)
+        return batch.append_column(
+            "period", pa.array((ts // 14_400_000_000) % 2))
+
+    out = vocab_drift(ds.map_batches(add_period, batch_format="pyarrow"),
+                      min_support=5).to_pandas()
+    return out.sort_values("token").reset_index(drop=True)
+
+
 def q_redirects(sf_dir: str):
     """Redirect-chain canonicalization (stages/redirects.py): synthetic
     301 chains (doc_id -> doc_id-3 while doc_id%3==0 and (doc_id//3)%7!=0)
@@ -6422,6 +6445,29 @@ def build_oracles() -> Dict[str, str]:
             "SELECT token, day, CAST(n AS BIGINT) AS n, "
             "CAST(n AS DOUBLE) / p AS ratio FROM l WHERE p IS NOT NULL "
             "ORDER BY token, day"),
+        "vocab_drift": (
+            f"WITH d AS (SELECT (({WARC_EPOCH_US} + doc_id * "
+            f"{WARC_STEP_S * 1_000_000}) // 14400000000) % 2 AS period, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents), "
+            "c AS (SELECT token, period, CAST(count(*) AS BIGINT) AS n "
+            "FROM d WHERE token != '' GROUP BY 1, 2), "
+            "t AS (SELECT CAST(coalesce(sum(CASE WHEN period = 0 THEN n "
+            "END), 0) AS BIGINT) AS na, "
+            "CAST(coalesce(sum(CASE WHEN period = 1 THEN n END), 0) "
+            "AS BIGINT) AS nb FROM c), "
+            "p AS (SELECT token, "
+            "CAST(coalesce(sum(CASE WHEN period = 0 THEN n END), 0) "
+            "AS BIGINT) AS a, "
+            "CAST(coalesce(sum(CASE WHEN period = 1 THEN n END), 0) "
+            "AS BIGINT) AS b FROM c GROUP BY 1) "
+            "SELECT token, a, b, "
+            "CAST(na + nb AS DOUBLE) * (a * (nb - b) - b * (na - a)) "
+            "* (a * (nb - b) - b * (na - a)) "
+            "/ (CAST(na AS DOUBLE) * nb * (a + b) * (na + nb - a - b)) "
+            "AS chi2 "
+            "FROM p CROSS JOIN t "
+            "WHERE a + b >= 5 AND na + nb - a - b > 0"),
         "redirects": (
             "WITH RECURSIVE r AS ("
             "SELECT doc_id AS start, doc_id AS cur FROM documents "
@@ -6912,6 +6958,7 @@ def build_queries() -> Dict[str, Callable]:
         "hits": q_hits,
         "grid_dijkstra": q_grid_dijkstra,
         "bot_scores": q_bot_scores,
+        "vocab_drift": q_vocab_drift,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

@@ -682,3 +682,76 @@ def cell_terms(ds, cell_col: str = "cell", text_col: str = "text",
     return (counts.map_batches(partial_topk, batch_format="pandas")
             .groupby("cell", num_partitions=default_partitions())
             .map_groups(final_topk, batch_format="pandas"))
+
+
+def vocab_drift(ds, text_col: str = "text", period_col: str = "period",
+                min_support: int = 5, mode: str = "hash"):
+    """Per-token chi-squared drift between two corpus periods — the
+    vocabulary-shift diagnostic of a rolling crawl (Kilgarriff 2001
+    corpus-comparison chi², public literature).
+
+    For token counts ``a`` (period 0) and ``b`` (period 1) with period
+    totals ``Na``/``Nb``, the 2x2 chi² statistic is
+
+        chi2 = N * (a*(Nb-b) - b*(Na-a))² / (Na*Nb*(a+b)*(N-a-b))
+
+    The signed numerator root ``a*(Nb-b) - b*(Na-a)`` is exact int64;
+    the remaining chain is a FIXED float64 op order mirrored in the SQL
+    oracle, so results hash bit-identically.  Tokens with
+    ``a + b < min_support`` are dropped (chi² is meaningless there).
+
+    Shape: per-batch (token, period) occurrence partials -> ONE hash
+    combine -> per-token pivot in token-keyed group tasks; the period
+    totals are a two-row aggregate broadcast in the closure.
+    Returns ``token, a, b, chi2``.
+    """
+    from ..agg import combine_partials, default_partitions
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        toks = s.str.split(r"[ \t\n\r\f]+", regex=True)
+        out = pd.DataFrame({"period": batch[period_col].astype(np.int64),
+                            "token": toks}).explode("token")
+        out = out[(out["token"] != "") & out["token"].notna()]
+        out = (out.groupby(["token", "period"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["token", "period"], value_cols=["n"], mode=mode).materialize()
+
+    from ray.data.aggregate import Sum
+
+    def period_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        na = np.int64(df.loc[df["period"] == 0, "n"].sum())
+        nb = np.int64(df.loc[df["period"] == 1, "n"].sum())
+        return pa.table({"na": pa.array([na]), "nb": pa.array([nb])})
+
+    tot = counts.map_batches(period_partial, batch_format="pyarrow") \
+        .aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"))
+    na, nb = np.int64(tot["na"]), np.int64(tot["nb"])
+    n_total = na + nb
+
+    def chi2(group: pd.DataFrame) -> pd.DataFrame:
+        a = np.int64(group.loc[group["period"] == 0, "n"].sum())
+        b = np.int64(group.loc[group["period"] == 1, "n"].sum())
+        if a + b < min_support or n_total - a - b <= 0:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "chi2": pd.Series([], dtype=np.float64)})
+        num = a * (nb - b) - b * (na - a)  # exact int64
+        # fixed float chain, mirrored verbatim in the SQL oracle
+        c = (np.float64(n_total) * np.float64(num) * np.float64(num)
+             / (np.float64(na) * np.float64(nb) * np.float64(a + b)
+                * np.float64(n_total - a - b)))
+        return pd.DataFrame({"token": [group["token"].iloc[0]],
+                             "a": np.array([a], dtype=np.int64),
+                             "b": np.array([b], dtype=np.int64),
+                             "chi2": np.array([c], dtype=np.float64)})
+
+    return counts.groupby("token", num_partitions=default_partitions()) \
+        .map_groups(chi2, batch_format="pandas")

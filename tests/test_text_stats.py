@@ -88,3 +88,43 @@ def test_repetition_stats(ray_session):
     assert out["dup_token_ratio"].tolist() == [0.5, 0.0, 0.0, 0.5]
     assert out["top_token_ratio"].tolist() == [0.75, 1/3, 0.0, 1.0]
     assert out["dup_bigram_ratio"].tolist() == [1/3, 0.0, 0.0, 0.0]
+
+
+def test_vocab_drift_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.text import vocab_drift
+
+    # 'stable'/'filler' appear 10x in each period; 'burst' only in
+    # period 1 (the filler keeps the two tables from being complements)
+    docs = (["stable " * 10 + "filler " * 10]
+            + ["stable " * 10 + "filler " * 10 + "burst " * 8])
+    t = pa.table({"text": pa.array(docs),
+                  "period": pa.array([0, 1], type=pa.int64())})
+    out = vocab_drift(rd.from_arrow(t), min_support=5).to_pandas()
+    out = out.set_index("token")
+    # totals: na=20, nb=28, N=48
+    na, nb = 20, 28
+    for tok, a, b in [("stable", 10, 10), ("burst", 0, 8)]:
+        num = a * (nb - b) - b * (na - a)
+        want = (float(na + nb) * num * num
+                / (float(na) * nb * (a + b) * (na + nb - a - b)))
+        assert out.loc[tok, "a"] == a and out.loc[tok, "b"] == b
+        assert out.loc[tok, "chi2"] == want
+    # a balanced token drifts less than the bursting one
+    assert out.loc["burst", "chi2"] > out.loc["stable", "chi2"]
+
+
+def test_vocab_drift_min_support(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.text import vocab_drift
+
+    t = pa.table({"text": pa.array(["rare word word word word word",
+                                    "word word word word word"]),
+                  "period": pa.array([0, 1], type=pa.int64())})
+    out = vocab_drift(rd.from_arrow(t), min_support=5).to_pandas()
+    assert "rare" not in set(out["token"])
+    assert "word" in set(out["token"])
