@@ -2710,6 +2710,21 @@ def q_vocab_drift(sf_dir: str):
     return out.sort_values("token").reset_index(drop=True)
 
 
+def q_mad_outliers(sf_dir: str):
+    """Robust per-type outlier flags via exact integer medians
+    (stages/stats.py mad_outliers, Hampel MAD rule): |x - med| * k_den >
+    k_num * mad on floor(value*64) ints — zero float arithmetic, two
+    quantile-shrink combines, raw rows never shuffle."""
+    import ray.data as rd
+
+    from ..stages.stats import mad_outliers
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    out = mad_outliers(ds).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_redirects(sf_dir: str):
     """Redirect-chain canonicalization (stages/redirects.py): synthetic
     301 chains (doc_id -> doc_id-3 while doc_id%3==0 and (doc_id//3)%7!=0)
@@ -6445,6 +6460,26 @@ def build_oracles() -> Dict[str, str]:
             "SELECT token, day, CAST(n AS BIGINT) AS n, "
             "CAST(n AS DOUBLE) / p AS ratio FROM l WHERE p IS NOT NULL "
             "ORDER BY token, day"),
+        "mad_outliers": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "CAST(floor(value * 64) AS BIGINT) AS x FROM events), "
+            "c1 AS (SELECT event_type, x AS v, "
+            "count(*) OVER (PARTITION BY event_type ORDER BY x "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM e), "
+            "m1 AS (SELECT event_type, CAST(min(v) AS BIGINT) AS med "
+            "FROM c1 WHERE cum >= ceil(0.5 * n) GROUP BY 1), "
+            "d AS (SELECT e.event_id, e.event_type, e.x, m1.med "
+            "FROM e JOIN m1 USING (event_type)), "
+            "c2 AS (SELECT event_type, abs(x - med) AS v, "
+            "count(*) OVER (PARTITION BY event_type ORDER BY abs(x - med) "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM d), "
+            "m2 AS (SELECT event_type, CAST(min(v) AS BIGINT) AS mad "
+            "FROM c2 WHERE cum >= ceil(0.5 * n) GROUP BY 1) "
+            "SELECT d.event_id, d.event_type, d.x, d.med, m2.mad, "
+            "CAST(abs(d.x - d.med) * 1 > 3 * m2.mad AS BIGINT) AS is_out "
+            "FROM d JOIN m2 USING (event_type)"),
         "vocab_drift": (
             f"WITH d AS (SELECT (({WARC_EPOCH_US} + doc_id * "
             f"{WARC_STEP_S * 1_000_000}) // 14400000000) % 2 AS period, "
@@ -6959,6 +6994,7 @@ def build_queries() -> Dict[str, Callable]:
         "grid_dijkstra": q_grid_dijkstra,
         "bot_scores": q_bot_scores,
         "vocab_drift": q_vocab_drift,
+        "mad_outliers": q_mad_outliers,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

@@ -25,7 +25,7 @@ import pyarrow as pa
 
 __all__ = ["grouped_corr", "grouped_entropy", "grouped_mode",
            "zipf_slope", "grouped_collect_set", "pivot_counts", "grouped_ols",
-           "zscore_outliers", "grouped_theil_sen"]
+           "zscore_outliers", "grouped_theil_sen", "mad_outliers"]
 
 
 def grouped_theil_sen(ds, group: str, t: str, v: str,
@@ -502,3 +502,64 @@ def zscore_outliers(ds, group: str, value: str, k: float = 2.0,
         return sub.append_column("zscore", pa.array(z, type=pa.float64()))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def mad_outliers(ds, group: str = "event_type", value_col: str = "value",
+                 id_col: str = "event_id", scale: int = 64,
+                 k_num: int = 3, k_den: int = 1):
+    """Robust per-group outlier flags via the median absolute deviation
+    (Hampel's MAD rule, public literature) — the heavy-tail-safe cousin
+    of :func:`zscore_outliers`.
+
+    All-integer formulation: on ``x = floor(value * scale)`` int64,
+    ``med`` is the exact type-1 per-group median (the grouped_quantiles
+    definition), ``mad`` the same median of ``|x − med|``, and a row is
+    an outlier iff ``|x − med| * k_den > k_num * mad`` — pure integer
+    comparisons, no float anywhere, so a SQL replay is bit-exact.
+    (When mad == 0, any deviation flags — the documented degenerate-MAD
+    convention.)
+
+    Shape: two (group, value)-count combines (the quantile shrink —
+    raw rows never shuffle for the statistics), both medians broadcast
+    as a per-group dict, one final stateless flag pass over the stream.
+    Returns ``id_col, group, x, med, mad, is_out`` per row.
+    """
+    from .quantile import grouped_quantiles
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        x = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+                     * scale).astype(np.int64)
+        return pa.table({id_col: batch[id_col], group: batch[group],
+                         "_x": pa.array(x, type=pa.int64())})
+
+    slim = ds.map_batches(to_int, batch_format="pyarrow")
+
+    med_df = grouped_quantiles(slim, group, "_x", [0.5]).to_pandas()
+    med = dict(zip(med_df[group], med_df["value"].astype(np.int64)))
+
+    def add_dev(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_pandas()
+        m = g.map(med).to_numpy(dtype=np.int64)
+        d = np.abs(batch["_x"].to_numpy(zero_copy_only=False) - m)
+        return batch.append_column("_d", pa.array(d, type=pa.int64()))
+
+    dev = slim.map_batches(add_dev, batch_format="pyarrow")
+    mad_df = grouped_quantiles(dev, group, "_d", [0.5]).to_pandas()
+    mad = dict(zip(mad_df[group], mad_df["value"].astype(np.int64)))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_pandas()
+        m = g.map(med).to_numpy(dtype=np.int64)
+        md = g.map(mad).to_numpy(dtype=np.int64)
+        x = batch["_x"].to_numpy(zero_copy_only=False)
+        d = np.abs(x - m)
+        is_out = (d * k_den > k_num * md).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col], group: batch[group],
+            "x": pa.array(x, type=pa.int64()),
+            "med": pa.array(m, type=pa.int64()),
+            "mad": pa.array(md, type=pa.int64()),
+            "is_out": pa.array(is_out, type=pa.int64()),
+        })
+
+    return slim.map_batches(flag, batch_format="pyarrow")

@@ -65,3 +65,59 @@ def test_obvious_outlier_flagged(ray_session):
 def test_k_large_emits_nothing(ray_session):
     out = _run(["g"] * 20, list(range(20)), 100.0)
     assert len(out) == 0
+
+
+def test_mad_outliers_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import mad_outliers
+
+    # group 'a': tight cluster around 10 with one wild point;
+    # scale=1 keeps the integers human-readable
+    vals = [9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 10.0, 100.0]
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(vals)), type=pa.int64()),
+        "event_type": pa.array(["a"] * len(vals)),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+    out = mad_outliers(rd.from_arrow(t).repartition(2),
+                       scale=1).to_pandas().sort_values("event_id")
+    # type-1 median of [9,10,10,10,10,11,11,100] = 10; |d| sorted
+    # [0,0,0,0,1,1,1,90] -> mad = 0: any deviation flags
+    assert (out["med"] == 10).all() and (out["mad"] == 0).all()
+    assert out["is_out"].tolist() == [1, 0, 0, 0, 1, 1, 0, 1]
+
+
+def test_mad_outliers_matches_brute(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import mad_outliers
+
+    rng = np.random.default_rng(12)
+    n = 400
+    types = rng.choice(["a", "b", "c"], n)
+    vals = rng.normal(50, 10, n)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "event_type": pa.array(types),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+    out = mad_outliers(rd.from_arrow(t).repartition(3)).to_pandas()
+    out = out.set_index("event_id").sort_index()
+
+    def t1_median(a):
+        a = np.sort(a)
+        return a[int(np.ceil(0.5 * len(a))) - 1]
+
+    x = np.floor(vals * 64).astype(np.int64)
+    for g in "abc":
+        m = types == g
+        med = t1_median(x[m])
+        mad = t1_median(np.abs(x[m] - med))
+        sel = out[out["event_type"] == g]
+        assert (sel["med"] == med).all() and (sel["mad"] == mad).all()
+        want = (np.abs(x[m] - med) > 3 * mad).astype(int)
+        got = sel.sort_index()["is_out"].to_numpy()
+        np.testing.assert_array_equal(got, want)
