@@ -2997,6 +2997,16 @@ def q_hits(sf_dir: str):
     return out.sort_values("domain").reset_index(drop=True)
 
 
+def q_bib_coupling(sf_dir: str):
+    """Bibliographic coupling of source domains (stages/linkgraph.py
+    bib_coupling, Kessler 1963): pairs of domains ranked by the number
+    of distinct targets both link to.  groupby(dst) pair emission with
+    in-degree caps, one pair-keyed combine of pre-aggregated partials."""
+    from ..stages.linkgraph import bib_coupling
+
+    return bib_coupling(pages_dataset(sf_dir), min_shared=2)
+
+
 def q_rollup(sf_dir: str):
     """Hierarchical ROLLUP over (day, hour) of the events stream
     (stages/rollup.py): one scan, finest-level combine, coarser levels
@@ -6718,6 +6728,14 @@ def build_oracles() -> Dict[str, str]:
             "FROM o FULL OUTER JOIN i ON o.domain = i.domain "
             "ORDER BY domain"),
         "pagerank": _PAGERANK_SQL,
+        "bib_coupling": (
+            f"WITH l AS ({_LINK_EDGES_SQL}), "
+            "e AS (SELECT DISTINCT src_domain, dst_domain FROM l), "
+            "p AS (SELECT e1.src_domain AS src_a, e2.src_domain AS src_b, "
+            "CAST(count(*) AS BIGINT) AS shared FROM e e1 "
+            "JOIN e e2 ON e1.dst_domain = e2.dst_domain "
+            "AND e1.src_domain < e2.src_domain GROUP BY 1, 2) "
+            "SELECT src_a, src_b, shared FROM p WHERE shared >= 2"),
         "hits": (
             f"WITH l AS ({_LINK_EDGES_SQL}), "
             "e AS (SELECT src_domain, dst_domain, "
@@ -6995,6 +7013,7 @@ def build_queries() -> Dict[str, Callable]:
         "bot_scores": q_bot_scores,
         "vocab_drift": q_vocab_drift,
         "mad_outliers": q_mad_outliers,
+        "bib_coupling": q_bib_coupling,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

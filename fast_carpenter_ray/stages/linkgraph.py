@@ -38,7 +38,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["extract_links", "domain_degrees", "pagerank", "count_triangles",
-           "link_components", "hits", "clustering_coefficients"]
+           "link_components", "hits", "clustering_coefficients",
+           "bib_coupling"]
 
 #: absolute http(s) links only; captures the host. Relative links (nav
 #: chrome) are deliberately out of scope for the domain graph.
@@ -623,3 +624,61 @@ def hits(ds=None, html: str = "html", url: str = "url", iters: int = 2,
         hub = half_step(auth, "dst_domain", "src_domain")
 
     return pd.DataFrame({"domain": domains, "hub": hub, "authority": auth})
+
+
+def bib_coupling(ds=None, html: str = "html", url: str = "url",
+                 min_shared: int = 2, max_in: int = 10_000,
+                 num_partitions=None, edges=None):
+    """Bibliographic coupling over the domain graph (Kessler 1963,
+    public literature): two source domains are coupled by the number of
+    DISTINCT targets they both link to — the classic "related sites"
+    signal.
+
+    Shape: the combined edge table is already distinct (src, dst); a
+    ``groupby(dst)`` emits the citing-source pairs of each target
+    (vectorized triu, in-degree capped at ``max_in`` with a logged
+    drop), pre-aggregated per group task, then ONE hash combine keyed
+    on the (a, b) pair — the pair key space is domains x coupling
+    degree, the same summary-size contract as ``domain_degrees``.
+    Returns ``(src_a, src_b, shared)`` with ``shared >= min_shared``,
+    ``src_a < src_b``.
+    """
+    from ..agg import combine_partials, default_partitions
+
+    if num_partitions is None:
+        num_partitions = default_partitions(4)
+    if edges is None:
+        edges = extract_links(ds, html=html, url=url, mode="hash")
+
+    _pair_schema = pa.schema([("src_a", pa.string()),
+                              ("src_b", pa.string()),
+                              ("shared", pa.int64())])
+
+    def pairs(group: pd.DataFrame) -> pa.Table:
+        srcs = np.unique(group["src_domain"].to_numpy())
+        if len(srcs) < 2:
+            return _pair_schema.empty_table()
+        if len(srcs) > max_in:
+            logging.getLogger("fast_carpenter_ray.linkgraph").warning(
+                "bib_coupling: in-list capped at %d of %d", max_in,
+                len(srcs))
+            srcs = srcs[:max_in]
+        iu = np.triu_indices(len(srcs), k=1)
+        return pa.table({
+            "src_a": pa.array(srcs[iu[0]]),
+            "src_b": pa.array(srcs[iu[1]]),
+            "shared": pa.array(np.ones(len(iu[0]), dtype=np.int64)),
+        }).cast(_pair_schema)
+
+    pair_parts = edges.groupby("dst_domain", num_partitions=num_partitions) \
+        .map_groups(pairs, batch_format="pandas")
+    out = combine_partials(pair_parts, keys=["src_a", "src_b"],
+                           value_cols=["shared"], mode="hash",
+                           num_partitions=num_partitions).to_pandas()
+    if "src_a" not in out.columns:
+        return pd.DataFrame({"src_a": pd.Series([], dtype=object),
+                             "src_b": pd.Series([], dtype=object),
+                             "shared": pd.Series([], dtype=np.int64)})
+    out["shared"] = out["shared"].astype(np.int64)
+    out = out[out["shared"] >= min_shared]
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)

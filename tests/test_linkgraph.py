@@ -287,3 +287,40 @@ def test_hits_distributed_matches_driver(ray_session):
                                                    abs=1e-9)
         assert fast.loc[d, "authority"] == pytest.approx(
             slow.loc[d, "authority"], abs=1e-9)
+
+
+def test_bib_coupling_planted(ray_session):
+    from fast_carpenter_ray.stages.linkgraph import bib_coupling
+
+    # a and b both cite x, y, z (coupling 3); c cites x only (couplings
+    # of 1 drop below min_shared=2); duplicate edges collapse
+    pairs = [("a", "x"), ("a", "y"), ("a", "z"),
+             ("b", "x"), ("b", "y"), ("b", "z"), ("b", "x"),
+             ("c", "x")]
+    out = bib_coupling(edges=_edge_ds(pairs), min_shared=2)
+    assert out.to_dict("records") == [
+        {"src_a": "a", "src_b": "b", "shared": 3}]
+
+
+def test_bib_coupling_matches_brute(ray_session):
+    import collections
+
+    from fast_carpenter_ray.stages.linkgraph import bib_coupling
+
+    rng = np.random.default_rng(21)
+    nodes = [f"n{i}" for i in range(12)]
+    pairs = [(nodes[int(i)], nodes[int(j)])
+             for i, j in rng.integers(0, 12, size=(120, 2))]
+    out = bib_coupling(edges=_edge_ds(pairs), min_shared=1)
+    cited = collections.defaultdict(set)
+    for s, d in pairs:
+        cited[d].add(s)
+    want = collections.Counter()
+    for d, srcs in cited.items():
+        srcs = sorted(srcs)
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                want[(srcs[i], srcs[j])] += 1
+    got = {(r["src_a"], r["src_b"]): r["shared"]
+           for r in out.to_dict("records")}
+    assert got == dict(want)
