@@ -2710,6 +2710,21 @@ def q_vocab_drift(sf_dir: str):
     return out.sort_values("token").reset_index(drop=True)
 
 
+def q_rolling_median(sf_dir: str):
+    """Rolling-median smoothing of per-type daily event counts
+    (stages/windows.py rolling_median_counts): trailing 4-bucket median
+    over exact int counts — even-width medians are exact x.5 float64,
+    bit-equal to the SQL median window."""
+    import ray.data as rd
+
+    from ..stages.windows import rolling_median_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    out = rolling_median_counts(ds, bucket_us=14_400_000_000).to_pandas()
+    return out.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+
+
 def q_mad_outliers(sf_dir: str):
     """Robust per-type outlier flags via exact integer medians
     (stages/stats.py mad_outliers, Hampel MAD rule): |x - med| * k_den >
@@ -6470,6 +6485,14 @@ def build_oracles() -> Dict[str, str]:
             "SELECT token, day, CAST(n AS BIGINT) AS n, "
             "CAST(n AS DOUBLE) / p AS ratio FROM l WHERE p IS NOT NULL "
             "ORDER BY token, day"),
+        "rolling_median": (
+            "WITH e AS (SELECT event_type, "
+            "epoch_us(ts) // 14400000000 AS bucket FROM events), "
+            "c AS (SELECT event_type, bucket, "
+            "CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2) "
+            "SELECT event_type, bucket, n, "
+            "median(n) OVER (PARTITION BY event_type ORDER BY bucket "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS med FROM c"),
         "mad_outliers": (
             "WITH e AS (SELECT event_id, event_type, "
             "CAST(floor(value * 64) AS BIGINT) AS x FROM events), "
@@ -7014,6 +7037,7 @@ def build_queries() -> Dict[str, Callable]:
         "vocab_drift": q_vocab_drift,
         "mad_outliers": q_mad_outliers,
         "bib_coupling": q_bib_coupling,
+        "rolling_median": q_rolling_median,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

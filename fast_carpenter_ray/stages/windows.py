@@ -26,7 +26,7 @@ import pyarrow as pa
 
 __all__ = ["session_windows", "session_windows_bucketed", "hop_windows", "ewma",
            "funnel", "window_funcs", "window_funcs_bucketed", "transitions",
-           "cusum_changepoints"]
+           "cusum_changepoints", "rolling_median_counts"]
 
 
 def hop_windows(ds, ts: str = "ts", width_us: int = 3_600_000_000,
@@ -612,3 +612,51 @@ def cusum_changepoints(ds, key: str = "user_id", ts: str = "ts",
     return (ds.map_batches(slim, batch_format="pyarrow")
             .groupby(key, num_partitions=default_partitions())
             .map_groups(per_key, batch_format="pandas"))
+
+
+def rolling_median_counts(ds, key: str = "event_type", ts: str = "ts",
+                          bucket_us: int = 86_400_000_000, window: int = 4):
+    """Trailing rolling-median smoothing of the per-key bucket-count
+    series — the robust denoiser for spiky activity time series (median
+    filters, classic signal processing).
+
+    Per (key, bucket) counts shrink via one hash combine; each key's
+    ordered series then takes the median of the last ``window`` buckets
+    (partial windows included, the SQL ``ROWS window-1 PRECEDING``
+    frame).  Counts are exact int64; an even-width median is the exact
+    average of two ints (an x.5 float64, exactly representable), so the
+    SQL window replay is bit-identical.
+
+    Returns ``(key, bucket, n, med)`` rows.
+    """
+    from ..agg import combine_partials, default_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch[ts]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        b = t.to_numpy(zero_copy_only=False) // bucket_us
+        df = pd.DataFrame({key: batch[key].to_pandas(), "bucket": b})
+        out = (df.groupby([key, "bucket"], sort=False).size()
+               .reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        out["bucket"] = out["bucket"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[key, "bucket"], value_cols=["n"], mode="hash")
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values("bucket", kind="stable")
+        med = (s["n"].rolling(window, min_periods=1).median()
+               .to_numpy().astype(np.float64))
+        return pd.DataFrame({
+            key: s[key].to_numpy(),
+            "bucket": s["bucket"].to_numpy().astype(np.int64),
+            "n": s["n"].to_numpy().astype(np.int64),
+            "med": med,
+        })
+
+    return counts.groupby(key, num_partitions=default_partitions()) \
+        .map_groups(smooth, batch_format="pandas")

@@ -594,3 +594,48 @@ def test_cusum_matches_brute(ray_session):
         assert row["n"] == m
         assert row["d_max"] == d.max()
         assert row["change_idx"] == int(np.argmax(d)) + 1
+
+
+def test_rolling_median_counts_planted(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import rolling_median_counts
+
+    # type 'a': one event in bucket 0, three in bucket 1, one in 2,
+    # nine in 3 — counts [1, 3, 1, 9]
+    buckets = [0] + [1] * 3 + [2] + [3] * 9
+    t = pa.table({
+        "event_type": pa.array(["a"] * len(buckets)),
+        "ts": pa.array(np.array(buckets, dtype=np.int64) * 100 + 5),
+    })
+    out = rolling_median_counts(rd.from_arrow(t).repartition(2),
+                                bucket_us=100, window=4).to_pandas()
+    out = out.sort_values("bucket")
+    assert out["n"].tolist() == [1, 3, 1, 9]
+    # trailing window medians: [1], [1,3]->2.0, [1,3,1]->1, [1,3,1,9]->2.0
+    assert out["med"].tolist() == [1.0, 2.0, 1.0, 2.0]
+
+
+def test_rolling_median_counts_partial_windows(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.windows import rolling_median_counts
+
+    rng = np.random.default_rng(14)
+    n = 500
+    t = pa.table({
+        "event_type": pa.array(rng.choice(["x", "y"], n)),
+        "ts": pa.array(rng.integers(0, 40, n) * 1000 + 1),
+    })
+    out = rolling_median_counts(rd.from_arrow(t).repartition(3),
+                                bucket_us=1000, window=4).to_pandas()
+    import pandas as pd
+
+    df = t.to_pandas()
+    df["bucket"] = df["ts"] // 1000
+    for k, g in df.groupby("event_type"):
+        cnt = g.groupby("bucket").size().sort_index()
+        want = cnt.rolling(4, min_periods=1).median().to_numpy()
+        got = out[out["event_type"] == k].sort_values("bucket")
+        np.testing.assert_array_equal(got["n"].to_numpy(), cnt.to_numpy())
+        np.testing.assert_array_equal(got["med"].to_numpy(), want)
