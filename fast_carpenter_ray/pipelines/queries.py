@@ -2468,6 +2468,20 @@ def q_trajectory_bucketed(sf_dir: str):
             bucket_width=86_400_000_000))
 
 
+def q_teleports(sf_dir: str):
+    """Impossible-travel detection (stages/trajectory.py
+    impossible_travel): transitions whose implied speed exceeds 5
+    units/s via the exact integer cross-multiplied gate
+    d2 * t_den^2 > (v_num * gap_s)^2 — zero floats, lag-window SQL
+    replay."""
+    from ..stages.trajectory import impossible_travel
+
+    out = _trajectory_events(
+        sf_dir,
+        lambda ds: impossible_travel(ds, v_num=5, t_den=1)).to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def _docs_with_tokens(sf_dir: str):
     import ray.data as rd
 
@@ -6389,6 +6403,19 @@ def build_oracles() -> Dict[str, str]:
         "window_funcs_bucketed": _WINDOW_FUNCS_SQL,
         "trajectory": _TRAJECTORY_SQL,
         "trajectory_bucketed": _TRAJECTORY_SQL,
+        "teleports": (
+            "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+            "(event_id * 2654435761) % 1024 AS x, "
+            "(event_id * 40503 + 12345) % 1024 AS y FROM events), "
+            "o AS (SELECT user_id, event_id, "
+            "(t - lag(t) OVER w) // 1000000 AS gap_s, "
+            "(x - lag(x) OVER w) * (x - lag(x) OVER w) "
+            "+ (y - lag(y) OVER w) * (y - lag(y) OVER w) AS d2 "
+            "FROM p WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY t, event_id)) "
+            "SELECT user_id, event_id, CAST(gap_s AS BIGINT) AS gap_s, "
+            "CAST(d2 AS BIGINT) AS d2 FROM o "
+            "WHERE d2 IS NOT NULL AND d2 * 1 > (5 * gap_s) * (5 * gap_s)"),
         "zipf": (
             "WITH w AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) "
             "AS token FROM documents), "
@@ -7038,6 +7065,7 @@ def build_queries() -> Dict[str, Callable]:
         "mad_outliers": q_mad_outliers,
         "bib_coupling": q_bib_coupling,
         "rolling_median": q_rolling_median,
+        "teleports": q_teleports,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

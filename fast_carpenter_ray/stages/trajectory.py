@@ -26,7 +26,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["trajectory_stats", "trajectory_stats_bucketed", "radius_of_gyration"]
+__all__ = ["trajectory_stats", "trajectory_stats_bucketed", "radius_of_gyration",
+           "impossible_travel"]
 
 _OUT_COLS = ["n_points", "path_d2", "net_dx", "net_dy",
              "min_x", "max_x", "min_y", "max_y"]
@@ -200,3 +201,54 @@ def radius_of_gyration(ds, key: str = "user_id", x: str = "x",
         })
 
     return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def impossible_travel(ds, key: str = "user_id", ts: str = "ts",
+                      x: str = "x", y: str = "y", id_col: str = "event_id",
+                      v_num: int = 5, t_den: int = 1):
+    """Impossible-travel (teleport) detection: consecutive observations
+    of the same entity whose implied speed exceeds ``v_num / t_den``
+    distance-units per second — the account-compromise / GPS-glitch
+    staple of security analytics.
+
+    Exact integers end to end: squared planar displacement
+    ``d2 = Δx² + Δy²`` (int64), whole-second gap, and the speed gate
+    cross-multiplied to ``d2 · t_den² > (v_num · gap_s)²`` — a zero-gap
+    pair flags on ANY movement.  One slim hash shuffle; the SQL lag
+    window replays it bit-exactly.
+
+    Returns one row per flagged transition: ``(key, id_col [arriving
+    event], gap_s, d2)``.
+    """
+    from ..agg import default_partitions
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch[ts]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        return pa.table({key: batch[key], "_t": t, "_i": batch[id_col],
+                         "_x": batch[x], "_y": batch[y]})
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_t", "_i"], kind="stable")
+        t = g["_t"].to_numpy()
+        xs = g["_x"].to_numpy().astype(np.int64)
+        ys = g["_y"].to_numpy().astype(np.int64)
+        if len(t) < 2:
+            return pd.DataFrame({key: pd.Series([], dtype=g[key].dtype),
+                                 id_col: pd.Series([], dtype=np.int64),
+                                 "gap_s": pd.Series([], dtype=np.int64),
+                                 "d2": pd.Series([], dtype=np.int64)})
+        gap = np.diff(t) // 1_000_000
+        d2 = np.diff(xs) ** 2 + np.diff(ys) ** 2
+        hit = d2 * (t_den * t_den) > (v_num * gap) ** 2
+        return pd.DataFrame({
+            key: g[key].to_numpy()[1:][hit],
+            id_col: g["_i"].to_numpy()[1:][hit].astype(np.int64),
+            "gap_s": gap[hit].astype(np.int64),
+            "d2": d2[hit].astype(np.int64),
+        })
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby(key, num_partitions=default_partitions())
+            .map_groups(per_key, batch_format="pandas"))

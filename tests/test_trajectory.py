@@ -1,4 +1,5 @@
 """Trajectory statistics: flat vs brute force, bucketed vs flat."""
+import pyarrow as pa
 
 import numpy as np
 import pandas as pd
@@ -116,3 +117,56 @@ def test_radius_of_gyration_degenerate(ray_session):
     # single point and co-located points: rog exactly 0
     assert got["rog"].tolist() == [0.0, 0.0]
     assert got["rog2_num"].tolist() == [0, 0]
+
+
+def test_impossible_travel_planted(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.trajectory import impossible_travel
+
+    us = 1_000_000
+    # user 1: walks 3 units over 10 s (ok), then jumps 100 units in 2 s
+    # (flag), then zero-gap move (flag on any movement)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1], type=pa.int64()),
+        "ts": pa.array([0, 10 * us, 12 * us, 12 * us], type=pa.int64()),
+        "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "x": pa.array([0, 3, 103, 104], type=pa.int64()),
+        "y": pa.array([0, 0, 0, 0], type=pa.int64()),
+    })
+    out = impossible_travel(rd.from_arrow(t).repartition(2),
+                            v_num=5, t_den=1).to_pandas()
+    out = out.sort_values("event_id")
+    assert out["event_id"].tolist() == [2, 3]
+    assert out[out["event_id"] == 2]["d2"].iloc[0] == 100 * 100
+    assert out[out["event_id"] == 3]["gap_s"].iloc[0] == 0
+
+
+def test_impossible_travel_matches_brute(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.trajectory import impossible_travel
+
+    rng = np.random.default_rng(19)
+    n = 300
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 6, n), type=pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**7, n) * 100, type=pa.int64()),
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "x": pa.array(rng.integers(0, 1024, n), type=pa.int64()),
+        "y": pa.array(rng.integers(0, 1024, n), type=pa.int64()),
+    })
+    out = impossible_travel(rd.from_arrow(t).repartition(3),
+                            v_num=5, t_den=1).to_pandas()
+    df = t.to_pandas()
+    want = set()
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        tt = g["ts"].to_numpy()
+        xs, ys = g["x"].to_numpy(), g["y"].to_numpy()
+        for i in range(1, len(g)):
+            gap = (tt[i] - tt[i - 1]) // 1_000_000
+            d2 = (xs[i] - xs[i - 1]) ** 2 + (ys[i] - ys[i - 1]) ** 2
+            if d2 > (5 * gap) ** 2:
+                want.add(int(g["event_id"].iloc[i]))
+    assert set(out["event_id"]) == want
