@@ -3036,6 +3036,16 @@ def q_bib_coupling(sf_dir: str):
     return bib_coupling(pages_dataset(sf_dir), min_shared=2)
 
 
+def q_reciprocity(sf_dir: str):
+    """Per-domain link reciprocity (stages/linkgraph.py reciprocity):
+    distinct out-neighbors vs how many link back; bounded-bucket pair
+    co-location (never a raw-pair-keyed group), exact ints + one IEEE
+    ratio."""
+    from ..stages.linkgraph import reciprocity
+
+    return reciprocity(pages_dataset(sf_dir))
+
+
 def q_rollup(sf_dir: str):
     """Hierarchical ROLLUP over (day, hour) of the events stream
     (stages/rollup.py): one scan, finest-level combine, coarser levels
@@ -6778,6 +6788,17 @@ def build_oracles() -> Dict[str, str]:
             "FROM o FULL OUTER JOIN i ON o.domain = i.domain "
             "ORDER BY domain"),
         "pagerank": _PAGERANK_SQL,
+        "reciprocity": (
+            f"WITH l AS ({_LINK_EDGES_SQL}), "
+            "e AS (SELECT DISTINCT src_domain AS s, dst_domain AS d "
+            "FROM l WHERE src_domain != dst_domain), "
+            "m AS (SELECT e1.s, e1.d, CASE WHEN EXISTS(SELECT 1 FROM e e2 "
+            "WHERE e2.s = e1.d AND e2.d = e1.s) THEN 1 ELSE 0 END AS mut "
+            "FROM e e1) "
+            "SELECT s AS domain, CAST(count(*) AS BIGINT) AS n_out, "
+            "CAST(sum(mut) AS BIGINT) AS n_mutual, "
+            "CAST(sum(mut) AS DOUBLE) / count(*) AS ratio "
+            "FROM m GROUP BY s"),
         "bib_coupling": (
             f"WITH l AS ({_LINK_EDGES_SQL}), "
             "e AS (SELECT DISTINCT src_domain, dst_domain FROM l), "
@@ -7066,6 +7087,7 @@ def build_queries() -> Dict[str, Callable]:
         "bib_coupling": q_bib_coupling,
         "rolling_median": q_rolling_median,
         "teleports": q_teleports,
+        "reciprocity": q_reciprocity,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

@@ -324,3 +324,37 @@ def test_bib_coupling_matches_brute(ray_session):
     got = {(r["src_a"], r["src_b"]): r["shared"]
            for r in out.to_dict("records")}
     assert got == dict(want)
+
+
+def test_reciprocity_planted(ray_session):
+    from fast_carpenter_ray.stages.linkgraph import reciprocity
+
+    # a<->b mutual; a->c one-way; c->a means a-c IS mutual; b->d one-way;
+    # self-loop dropped
+    pairs = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+             ("b", "d"), ("d", "d")]
+    out = reciprocity(edges=_edge_ds(pairs)).set_index("domain")
+    assert out.loc["a", "n_out"] == 2 and out.loc["a", "n_mutual"] == 2
+    assert out.loc["a", "ratio"] == 1.0
+    assert out.loc["b", "n_out"] == 2 and out.loc["b", "n_mutual"] == 1
+    assert out.loc["b", "ratio"] == 0.5
+    assert out.loc["c", "n_out"] == 1 and out.loc["c", "ratio"] == 1.0
+    # d has no out-edges after the self-loop drop -> absent
+    assert "d" not in out.index
+
+
+def test_reciprocity_matches_brute(ray_session):
+    from fast_carpenter_ray.stages.linkgraph import reciprocity
+
+    rng = np.random.default_rng(31)
+    nodes = [f"n{i}" for i in range(10)]
+    pairs = [(nodes[int(i)], nodes[int(j)])
+             for i, j in rng.integers(0, 10, size=(100, 2)) if i != j]
+    out = reciprocity(edges=_edge_ds(pairs))
+    eset = set(pairs)
+    for _, r in out.iterrows():
+        outs = {d for s, d in eset if s == r["domain"]}
+        mut = {d for d in outs if (d, r["domain"]) in eset}
+        assert r["n_out"] == len(outs) and r["n_mutual"] == len(mut)
+        assert r["ratio"] == len(mut) / len(outs)
+    assert set(out["domain"]) == {s for s, _ in eset}
