@@ -2739,6 +2739,21 @@ def q_rolling_median(sf_dir: str):
     return out.sort_values(["event_type", "bucket"]).reset_index(drop=True)
 
 
+def q_burstiness(sf_dir: str):
+    """Goh-Barabási burstiness per user (stages/bots.py burstiness):
+    B = (sqrt(V) - sum_gap)/(sqrt(V) + sum_gap) with V = m*sum_gap2 -
+    sum_gap^2 exact int64 — one correctly-rounded sqrt + fixed float
+    chain, bit-equal to the SQL replay."""
+    import ray.data as rd
+
+    from ..stages.bots import burstiness
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    out = burstiness(ds).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_mad_outliers(sf_dir: str):
     """Robust per-type outlier flags via exact integer medians
     (stages/stats.py mad_outliers, Hampel MAD rule): |x - med| * k_den >
@@ -5320,6 +5335,21 @@ def build_oracles() -> Dict[str, str]:
             "CAST(n >= 50 AND m >= 3 AND sum_gap > 0 AND "
             "(m * sum_gap2 - sum_gap * sum_gap) * 10 < "
             "sum_gap * sum_gap * 1 AS BIGINT) AS is_bot FROM s"),
+        "burstiness": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id "
+            "FROM events), "
+            "g AS (SELECT user_id, (t - lag(t) OVER (PARTITION BY user_id "
+            "ORDER BY t, event_id)) // 1000000 AS gap FROM e), "
+            "s AS (SELECT user_id, CAST(count(gap) AS BIGINT) AS m, "
+            "CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap, "
+            "CAST(coalesce(sum(gap * gap), 0) AS BIGINT) AS sum_gap2 "
+            "FROM g GROUP BY 1) "
+            "SELECT user_id, m, sum_gap, sum_gap2, "
+            "(sqrt(CAST(m * sum_gap2 - sum_gap * sum_gap AS DOUBLE)) "
+            "- sum_gap) / "
+            "(sqrt(CAST(m * sum_gap2 - sum_gap * sum_gap AS DOUBLE)) "
+            "+ sum_gap) AS burstiness "
+            "FROM s WHERE m >= 2 AND sum_gap > 0"),
         "grid_dijkstra": (
             f"WITH RECURSIVE base AS ({geo}), "
             "occ AS (SELECT "
@@ -7088,6 +7118,7 @@ def build_queries() -> Dict[str, Callable]:
         "rolling_median": q_rolling_median,
         "teleports": q_teleports,
         "reciprocity": q_reciprocity,
+        "burstiness": q_burstiness,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

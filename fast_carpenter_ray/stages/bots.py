@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["bot_scores"]
+__all__ = ["bot_scores", "burstiness"]
 
 
 def bot_scores(ds, key: str = "user_id", ts: str = "ts",
@@ -69,6 +69,59 @@ def bot_scores(ds, key: str = "user_id", ts: str = "ts",
             "high_rate": np.array([high_rate], dtype=np.int64),
             "regular": np.array([regular], dtype=np.int64),
             "is_bot": np.array([high_rate & regular], dtype=np.int64),
+        })
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby(key, num_partitions=default_partitions())
+            .map_groups(per_key, batch_format="pandas"))
+
+
+def burstiness(ds, key: str = "user_id", ts: str = "ts",
+               id_col: str = "event_id"):
+    """Goh-Barabási burstiness of each entity's inter-event gaps
+    (Goh & Barabási 2008, public literature): ``B = (σ − μ)/(σ + μ)``
+    ∈ [−1, 1] — −1 for a metronome, 0 for Poisson, → 1 for extreme
+    bursts.
+
+    With whole-second gaps, m = gap count, ``Σg``/``Σg²`` exact int64
+    and ``V = m·Σg² − (Σg)²``, the m's cancel:
+    ``B = (sqrt(V) − Σg) / (sqrt(V) + Σg)`` — one correctly-rounded
+    IEEE sqrt plus two additions and a division, mirrored verbatim in
+    SQL, so the replay is bit-exact.  Entities need m >= 2 gaps and a
+    positive total gap.
+
+    Returns ``(key, m, sum_gap, sum_gap2, burstiness)``; same slim
+    one-shuffle shape as :func:`bot_scores`.
+    """
+    from ..agg import default_partitions
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch[ts]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        return pa.table({key: batch[key], "_t": t, "_i": batch[id_col]})
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_t", "_i"], kind="stable")
+        gaps = np.diff(g["_t"].to_numpy()) // 1_000_000
+        m = np.int64(len(gaps))
+        sg = np.int64(gaps.sum())
+        sg2 = np.int64((gaps * gaps).sum())
+        if m < 2 or sg <= 0:
+            return pd.DataFrame({key: pd.Series([], dtype=g[key].dtype),
+                                 "m": pd.Series([], dtype=np.int64),
+                                 "sum_gap": pd.Series([], dtype=np.int64),
+                                 "sum_gap2": pd.Series([], dtype=np.int64),
+                                 "burstiness": pd.Series([], dtype=np.float64)})
+        v = m * sg2 - sg * sg
+        root = np.sqrt(np.float64(v))
+        b = (root - np.float64(sg)) / (root + np.float64(sg))
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "m": np.array([m], dtype=np.int64),
+            "sum_gap": np.array([sg], dtype=np.int64),
+            "sum_gap2": np.array([sg2], dtype=np.int64),
+            "burstiness": np.array([b], dtype=np.float64),
         })
 
     return (ds.map_batches(slim, batch_format="pyarrow")

@@ -64,3 +64,30 @@ def test_bot_scores_matches_brute(ray_session):
         want_reg = int(m >= 3 and sg > 0 and (m * sg2 - sg * sg) * 10 < sg * sg)
         assert row["regular"] == want_reg
         assert row["is_bot"] == int(want_reg and len(g) >= 30)
+
+
+def test_burstiness_metronome_and_bursty(ray_session):
+    from fast_carpenter_ray.stages.bots import burstiness
+
+    us = 1_000_000
+    rows = [(1, i * 10 * us) for i in range(20)]          # metronome
+    rows += [(2, 0), (2, 1 * us), (2, 2 * us), (2, 3600 * us)]  # bursty
+    out = burstiness(_events(rows)).to_pandas().set_index("user_id")
+    # metronome: V = 0 -> B = (0 - sg)/(0 + sg) = -1 exactly
+    assert out.loc[1, "burstiness"] == -1.0
+    # bursty user: B > 0 (σ exceeds μ)
+    assert out.loc[2, "burstiness"] > 0.0
+    # hand-check user 2: gaps [1, 1, 3598]
+    m, sg, sg2 = 3, 3600, 1 + 1 + 3598 * 3598
+    v = m * sg2 - sg * sg
+    want = (np.sqrt(float(v)) - sg) / (np.sqrt(float(v)) + sg)
+    assert out.loc[2, "burstiness"] == want
+
+
+def test_burstiness_skips_degenerate(ray_session):
+    from fast_carpenter_ray.stages.bots import burstiness
+
+    # one gap only, and a zero-total-gap user: both dropped
+    rows = [(1, 0), (1, 5_000_000), (2, 7), (2, 7), (2, 7)]
+    out = burstiness(_events(rows)).to_pandas()
+    assert len(out) == 0
