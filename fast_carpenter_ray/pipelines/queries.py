@@ -2739,6 +2739,19 @@ def q_rolling_median(sf_dir: str):
     return out.sort_values(["event_type", "bucket"]).reset_index(drop=True)
 
 
+def q_gini(sf_dir: str):
+    """Gini concentration of page volume across sources
+    (stages/stats.py gini): exact int64 numerator
+    2*sum(i*c_i) - (n+1)*sum(c) over rank-sorted per-source counts,
+    one IEEE quotient — hash-exact vs the row_number window replay."""
+    import ray.data as rd
+
+    from ..stages.stats import gini
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    return gini(ds, key="source")
+
+
 def q_burstiness(sf_dir: str):
     """Goh-Barabási burstiness per user (stages/bots.py burstiness):
     B = (sqrt(V) - sum_gap)/(sqrt(V) + sum_gap) with V = m*sum_gap2 -
@@ -5335,6 +5348,18 @@ def build_oracles() -> Dict[str, str]:
             "CAST(n >= 50 AND m >= 3 AND sum_gap > 0 AND "
             "(m * sum_gap2 - sum_gap * sum_gap) * 10 < "
             "sum_gap * sum_gap * 1 AS BIGINT) AS is_bot FROM s"),
+        "gini": (
+            "WITH c AS (SELECT source AS k, CAST(count(*) AS BIGINT) AS c "
+            "FROM documents GROUP BY 1), "
+            "r AS (SELECT c, CAST(row_number() OVER (ORDER BY c, k) "
+            "AS BIGINT) AS i FROM c), "
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(c) AS BIGINT) AS total, "
+            "CAST(2 * sum(i * c) - (count(*) + 1) * sum(c) AS BIGINT) "
+            "AS num FROM r) "
+            "SELECT n AS n_keys, total, num, "
+            "CAST(num AS DOUBLE) / CAST(n * total AS DOUBLE) AS gini "
+            "FROM s"),
         "burstiness": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id "
             "FROM events), "
@@ -7119,6 +7144,7 @@ def build_queries() -> Dict[str, Callable]:
         "teleports": q_teleports,
         "reciprocity": q_reciprocity,
         "burstiness": q_burstiness,
+        "gini": q_gini,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

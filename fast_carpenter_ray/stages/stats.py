@@ -25,7 +25,7 @@ import pyarrow as pa
 
 __all__ = ["grouped_corr", "grouped_entropy", "grouped_mode",
            "zipf_slope", "grouped_collect_set", "pivot_counts", "grouped_ols",
-           "zscore_outliers", "grouped_theil_sen", "mad_outliers"]
+           "zscore_outliers", "grouped_theil_sen", "mad_outliers", "gini"]
 
 
 def grouped_theil_sen(ds, group: str, t: str, v: str,
@@ -563,3 +563,59 @@ def mad_outliers(ds, group: str = "event_type", value_col: str = "value",
         })
 
     return slim.map_batches(flag, batch_format="pyarrow")
+
+
+def gini(ds, key: str = "source", weight: Optional[str] = None):
+    """Gini coefficient of concentration over per-key masses — how
+    unequally traffic / page volume distributes across domains (the
+    standard inequality index; Gini 1912, public literature).
+
+    Exact rational formulation on the sorted per-key counts
+    ``c_1 <= ... <= c_n``:
+
+        G = (2 * Σ i·c_i − (n + 1) · Σc) / (n · Σc)
+
+    Numerator and denominator are exact int64 (one summary-sized
+    combine shrinks rows to per-key counts first; the sort touches only
+    n keys), and ``G`` is their single IEEE quotient — bit-equal to a
+    row_number window replay in SQL.
+
+    Returns a one-row DataFrame ``(n_keys, total, num, gini)``.
+    """
+    from ..agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": batch[key].to_pandas()})
+        if weight is not None:
+            df["w"] = batch[weight].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            df["w"] = np.int64(1)
+        out = df.groupby("k", sort=False)["w"].sum().reset_index(name="c")
+        out["c"] = out["c"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out, preserve_index=False,
+            schema=pa.schema([("k", batch.schema.field(key).type),
+                              ("c", pa.int64())]))
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["k"], value_cols=["c"], mode="hash").to_pandas()
+    if "k" not in counts.columns or not len(counts):
+        return pd.DataFrame({"n_keys": pd.Series([], dtype=np.int64),
+                             "total": pd.Series([], dtype=np.int64),
+                             "num": pd.Series([], dtype=np.int64),
+                             "gini": pd.Series([], dtype=np.float64)})
+    # ties broken by key so the rank assignment is deterministic (any
+    # tie order yields the same Σ i·c_i when the tied c are equal, but
+    # the SQL row_number needs a total order)
+    c = counts.sort_values(["c", "k"], kind="stable")["c"].to_numpy() \
+        .astype(np.int64)
+    n = np.int64(len(c))
+    tot = np.int64(c.sum())
+    i = np.arange(1, len(c) + 1, dtype=np.int64)
+    num = np.int64(2 * np.int64((i * c).sum()) - (n + 1) * tot)
+    g = np.float64(num) / np.float64(n * tot) if tot > 0 else np.float64(0)
+    return pd.DataFrame({"n_keys": np.array([n]), "total": np.array([tot]),
+                         "num": np.array([num]),
+                         "gini": np.array([g], dtype=np.float64)})

@@ -121,3 +121,43 @@ def test_mad_outliers_matches_brute(ray_session):
         want = (np.abs(x[m] - med) > 3 * mad).astype(int)
         got = sel.sort_index()["is_out"].to_numpy()
         np.testing.assert_array_equal(got, want)
+
+
+def test_gini_exact_cases(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import gini
+
+    # perfectly equal: 4 keys x 3 rows -> G = 0 exactly
+    eq = pa.table({"source": pa.array(
+        [f"s{i}" for i in range(4) for _ in range(3)])})
+    out = gini(rd.from_arrow(eq).repartition(2), key="source")
+    assert out["gini"].iloc[0] == 0.0
+    assert out["n_keys"].iloc[0] == 4 and out["total"].iloc[0] == 12
+
+    # total concentration: one key holds everything but singletons;
+    # check against the closed form
+    vals = ["big"] * 96 + ["a", "b", "c", "d"]
+    cc = pa.table({"source": pa.array(vals)})
+    out = gini(rd.from_arrow(cc).repartition(3), key="source")
+    c = np.array([1, 1, 1, 1, 96], dtype=np.int64)
+    i = np.arange(1, 6)
+    n, tot = 5, c.sum()
+    num = 2 * (i * c).sum() - (n + 1) * tot
+    assert out["num"].iloc[0] == num
+    assert out["gini"].iloc[0] == num / float(n * tot)
+    assert out["gini"].iloc[0] > 0.7
+
+
+def test_gini_weighted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import gini
+
+    t = pa.table({"source": pa.array(["a", "a", "b"]),
+                  "w": pa.array([1, 2, 3], type=pa.int64())})
+    out = gini(rd.from_arrow(t), key="source", weight="w")
+    # masses: a=3, b=3 -> equal -> 0
+    assert out["gini"].iloc[0] == 0.0
