@@ -2739,6 +2739,21 @@ def q_rolling_median(sf_dir: str):
     return out.sort_values(["event_type", "bucket"]).reset_index(drop=True)
 
 
+def q_ks_test(sf_dir: str):
+    """Two-sample KS distance between click and view value
+    distributions (stages/stats.py ks_two_sample): exact int64 max
+    |A_v*n2 - B_v*n1| over the merged value grid, one IEEE quotient —
+    hash-exact vs the cumulative-window SQL replay."""
+    import ray.data as rd
+
+    from ..stages.stats import ks_two_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return ks_two_sample(ds, group="event_type", value_col="value",
+                         a="click", b="view")
+
+
 def q_gini(sf_dir: str):
     """Gini concentration of page volume across sources
     (stages/stats.py gini): exact int64 numerator
@@ -5348,6 +5363,23 @@ def build_oracles() -> Dict[str, str]:
             "CAST(n >= 50 AND m >= 3 AND sum_gap > 0 AND "
             "(m * sum_gap2 - sum_gap * sum_gap) * 10 < "
             "sum_gap * sum_gap * 1 AS BIGINT) AS is_bot FROM s"),
+        "ks_test": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(floor(value * 64) AS BIGINT) AS v FROM events "
+            "WHERE event_type IN ('click', 'view')), "
+            "c AS (SELECT v, CAST(sum(CASE WHEN event_type = 'click' "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS ca, "
+            "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS cb FROM e GROUP BY v), "
+            "w AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma, "
+            "sum(cb) OVER (ORDER BY v) AS cumb, "
+            "(SELECT sum(ca) FROM c) AS n1, "
+            "(SELECT sum(cb) FROM c) AS n2 FROM c) "
+            "SELECT CAST(max(n1) AS BIGINT) AS n1, "
+            "CAST(max(n2) AS BIGINT) AS n2, "
+            "CAST(max(abs(cuma * n2 - cumb * n1)) AS BIGINT) AS num, "
+            "CAST(max(abs(cuma * n2 - cumb * n1)) AS DOUBLE) "
+            "/ CAST(max(n1) * max(n2) AS DOUBLE) AS d FROM w"),
         "gini": (
             "WITH c AS (SELECT source AS k, CAST(count(*) AS BIGINT) AS c "
             "FROM documents GROUP BY 1), "
@@ -7145,6 +7177,7 @@ def build_queries() -> Dict[str, Callable]:
         "reciprocity": q_reciprocity,
         "burstiness": q_burstiness,
         "gini": q_gini,
+        "ks_test": q_ks_test,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

@@ -25,7 +25,8 @@ import pyarrow as pa
 
 __all__ = ["grouped_corr", "grouped_entropy", "grouped_mode",
            "zipf_slope", "grouped_collect_set", "pivot_counts", "grouped_ols",
-           "zscore_outliers", "grouped_theil_sen", "mad_outliers", "gini"]
+           "zscore_outliers", "grouped_theil_sen", "mad_outliers", "gini",
+           "ks_two_sample"]
 
 
 def grouped_theil_sen(ds, group: str, t: str, v: str,
@@ -619,3 +620,62 @@ def gini(ds, key: str = "source", weight: Optional[str] = None):
     return pd.DataFrame({"n_keys": np.array([n]), "total": np.array([tot]),
                          "num": np.array([num]),
                          "gini": np.array([g], dtype=np.float64)})
+
+
+def ks_two_sample(ds, group: str, value_col: str, a, b, scale: int = 64,
+                  max_driver_rows: int = 5_000_000):
+    """Two-sample Kolmogorov-Smirnov distance between the ``value``
+    distributions of groups ``a`` and ``b`` — the classic drift test
+    between cohorts.
+
+    Exact rational formulation on ``x = floor(value * scale)`` int64:
+    with per-value cumulative counts ``A_v``/``B_v`` and totals
+    ``n1``/``n2``, ``D = max_v |A_v·n2 − B_v·n1| / (n1·n2)`` — the
+    numerator is an exact int64 max and ``D`` one IEEE quotient, so the
+    cumulative-window SQL replay is bit-exact.
+
+    Shape: rows shrink to per-value count pairs in one hash combine
+    (distinct-value space, the exact_quantiles budget); the read-off is
+    a driver cumsum over that shrunken table.  Returns one row
+    ``(n1, n2, num, d)``.
+    """
+    from ..agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_pandas().to_numpy(dtype=object)
+        x = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+                     * scale).astype(np.int64)
+        in_a, in_b = g == a, g == b
+        keep = in_a | in_b
+        df = pd.DataFrame({"v": x[keep],
+                           "ca": in_a[keep].astype(np.int64),
+                           "cb": in_b[keep].astype(np.int64)})
+        out = df.groupby("v", sort=False).sum().reset_index()
+        for c in ("ca", "cb"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["v"], value_cols=["ca", "cb"], mode="hash").to_pandas()
+    if len(counts) > max_driver_rows:
+        raise ValueError(
+            f"ks_two_sample: {len(counts)} distinct values exceed the "
+            f"{max_driver_rows}-row driver budget — coarsen scale")
+    empty = pd.DataFrame({"n1": pd.Series([], dtype=np.int64),
+                          "n2": pd.Series([], dtype=np.int64),
+                          "num": pd.Series([], dtype=np.int64),
+                          "d": pd.Series([], dtype=np.float64)})
+    if "v" not in counts.columns or not len(counts):
+        return empty
+    counts = counts.sort_values("v")
+    cuma = counts["ca"].cumsum().to_numpy().astype(np.int64)
+    cumb = counts["cb"].cumsum().to_numpy().astype(np.int64)
+    n1, n2 = np.int64(cuma[-1]), np.int64(cumb[-1])
+    if n1 == 0 or n2 == 0:
+        return empty
+    num = np.int64(np.abs(cuma * n2 - cumb * n1).max())
+    d = np.float64(num) / np.float64(n1 * n2)
+    return pd.DataFrame({"n1": np.array([n1]), "n2": np.array([n2]),
+                         "num": np.array([num]),
+                         "d": np.array([d], dtype=np.float64)})

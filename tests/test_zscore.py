@@ -161,3 +161,48 @@ def test_gini_weighted(ray_session):
     out = gini(rd.from_arrow(t), key="source", weight="w")
     # masses: a=3, b=3 -> equal -> 0
     assert out["gini"].iloc[0] == 0.0
+
+
+def test_ks_two_sample_identical_and_disjoint(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import ks_two_sample
+
+    # identical distributions -> D = 0
+    vals = list(range(10)) * 2
+    t = pa.table({"g": pa.array(["a"] * 10 + ["b"] * 10),
+                  "v": pa.array(np.array(vals, dtype=np.float64))})
+    out = ks_two_sample(rd.from_arrow(t).repartition(2), group="g",
+                        value_col="v", a="a", b="b", scale=1)
+    assert out["d"].iloc[0] == 0.0
+    # fully disjoint supports -> D = 1
+    t = pa.table({"g": pa.array(["a"] * 5 + ["b"] * 5),
+                  "v": pa.array([1.0] * 5 + [100.0] * 5)})
+    out = ks_two_sample(rd.from_arrow(t).repartition(2), group="g",
+                        value_col="v", a="a", b="b", scale=1)
+    assert out["d"].iloc[0] == 1.0
+    assert out["num"].iloc[0] == 25  # max |5*5 - 0*5|
+
+
+def test_ks_two_sample_matches_scipy_formula(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import ks_two_sample
+
+    rng = np.random.default_rng(3)
+    va = rng.normal(0, 1, 200)
+    vb = rng.normal(0.5, 1.2, 150)
+    t = pa.table({"g": pa.array(["a"] * 200 + ["b"] * 150),
+                  "v": pa.array(np.concatenate([va, vb]))})
+    out = ks_two_sample(rd.from_arrow(t).repartition(3), group="g",
+                        value_col="v", a="a", b="b", scale=64)
+    xa = np.floor(va * 64).astype(np.int64)
+    xb = np.floor(vb * 64).astype(np.int64)
+    grid = np.unique(np.concatenate([xa, xb]))
+    fa = np.searchsorted(np.sort(xa), grid, side="right")
+    fb = np.searchsorted(np.sort(xb), grid, side="right")
+    num = np.abs(fa * 150 - fb * 200).max()
+    assert out["num"].iloc[0] == num
+    assert out["d"].iloc[0] == num / float(200 * 150)
