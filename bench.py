@@ -128,7 +128,8 @@ def run_bench() -> dict:
                  "quadtree", "hilbert", "cms_users",
                  # this session's additions: web curation + geo/graph/ML
                  "crawl_pipeline", "snap_segments", "clustering_coeff",
-                 "target_encode", "quantile_bucket", "cusum"):
+                 "target_encode", "quantile_bucket", "cusum",
+                 "vocab_drift", "mad_outliers", "teleports", "reciprocity"):
         best = float("inf")
         for _ in range(2):
             import gc
