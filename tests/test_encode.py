@@ -49,3 +49,16 @@ def test_target_encode_keeps_all_columns_without_idcols(ray_session):
                         target="x").to_pandas()
     assert set(out.columns) == {"rid", "k", "x", "loo_mean"}
     assert sorted(out["loo_mean"]) == [1.0, 3.0]
+
+
+def test_target_encode_join_fallback_matches_broadcast(ray_session):
+    rng = np.random.default_rng(13)
+    keys = [f"k{int(i)}" for i in rng.integers(0, 30, 500)]
+    vals = rng.integers(0, 50, 500).astype(np.float64)
+    ds = _ds(keys, vals)
+    bc = target_encode(ds, key="k", target="x", id_cols=["rid"]).to_pandas()
+    jn = target_encode(ds, key="k", target="x", id_cols=["rid"],
+                       broadcast_budget=0).to_pandas()
+    bc = bc.sort_values("rid").reset_index(drop=True)
+    jn = jn.sort_values("rid").reset_index(drop=True)
+    assert (bc["loo_mean"] == jn["loo_mean"]).all()
