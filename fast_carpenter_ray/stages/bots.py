@@ -31,6 +31,28 @@ import pyarrow as pa
 __all__ = ["bot_scores", "burstiness"]
 
 
+def _make_slim(key, ts, id_col):
+    """(key, _t int64 µs, _i) projection — shared by both operators so
+    a timestamp-handling change can never desynchronize them (and their
+    SQL oracles)."""
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch[ts]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        return pa.table({key: batch[key], "_t": t, "_i": batch[id_col]})
+    return slim
+
+
+def _gap_moments(group: pd.DataFrame) -> tuple:
+    """(n, m, Σg, Σg²) of a key's (ts, id)-ordered whole-second gaps —
+    the shared exact-integer sufficient statistics."""
+    g = group.sort_values(["_t", "_i"], kind="stable")
+    t = g["_t"].to_numpy()
+    gaps = np.diff(t) // 1_000_000  # whole seconds
+    return (g, np.int64(len(t)), np.int64(len(gaps)),
+            np.int64(gaps.sum()), np.int64((gaps * gaps).sum()))
+
+
 def bot_scores(ds, key: str = "user_id", ts: str = "ts",
                id_col: str = "event_id", rate_threshold: int = 50,
                cv2_num: int = 1, cv2_den: int = 10):
@@ -43,20 +65,10 @@ def bot_scores(ds, key: str = "user_id", ts: str = "ts",
     """
     from ..agg import default_partitions
 
-    def slim(batch: pa.Table) -> pa.Table:
-        t = batch[ts]
-        if pa.types.is_timestamp(t.type):
-            t = t.cast(pa.int64())
-        return pa.table({key: batch[key], "_t": t, "_i": batch[id_col]})
+    slim = _make_slim(key, ts, id_col)
 
     def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["_t", "_i"], kind="stable")
-        t = g["_t"].to_numpy()
-        n = np.int64(len(t))
-        gaps = np.diff(t) // 1_000_000  # whole seconds
-        m = np.int64(len(gaps))
-        sg = np.int64(gaps.sum())
-        sg2 = np.int64((gaps * gaps).sum())
+        g, n, m, sg, sg2 = _gap_moments(group)
         high_rate = np.int64(n >= rate_threshold)
         v = m * sg2 - sg * sg
         regular = np.int64(m >= 3 and sg > 0
@@ -95,18 +107,10 @@ def burstiness(ds, key: str = "user_id", ts: str = "ts",
     """
     from ..agg import default_partitions
 
-    def slim(batch: pa.Table) -> pa.Table:
-        t = batch[ts]
-        if pa.types.is_timestamp(t.type):
-            t = t.cast(pa.int64())
-        return pa.table({key: batch[key], "_t": t, "_i": batch[id_col]})
+    slim = _make_slim(key, ts, id_col)
 
     def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["_t", "_i"], kind="stable")
-        gaps = np.diff(g["_t"].to_numpy()) // 1_000_000
-        m = np.int64(len(gaps))
-        sg = np.int64(gaps.sum())
-        sg2 = np.int64((gaps * gaps).sum())
+        g, _n, m, sg, sg2 = _gap_moments(group)
         if m < 2 or sg <= 0:
             return pd.DataFrame({key: pd.Series([], dtype=g[key].dtype),
                                  "m": pd.Series([], dtype=np.int64),

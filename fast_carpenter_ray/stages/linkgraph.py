@@ -627,8 +627,8 @@ def hits(ds=None, html: str = "html", url: str = "url", iters: int = 2,
 
 
 def bib_coupling(ds=None, html: str = "html", url: str = "url",
-                 min_shared: int = 2, max_in: int = 10_000,
-                 num_partitions=None, edges=None):
+                 min_shared: int = 2, max_in: int = 2_000,
+                 on_cap: str = "raise", num_partitions=None, edges=None):
     """Bibliographic coupling over the domain graph (Kessler 1963,
     public literature): two source domains are coupled by the number of
     DISTINCT targets they both link to — the classic "related sites"
@@ -636,12 +636,15 @@ def bib_coupling(ds=None, html: str = "html", url: str = "url",
 
     Shape: the combined edge table is already distinct (src, dst); a
     ``groupby(dst)`` emits the citing-source pairs of each target
-    (vectorized triu, in-degree capped at ``max_in`` with a logged
-    drop), pre-aggregated per group task, then ONE hash combine keyed
-    on the (a, b) pair — the pair key space is domains x coupling
-    degree, the same summary-size contract as ``domain_degrees``.
-    Returns ``(src_a, src_b, shared)`` with ``shared >= min_shared``,
-    ``src_a < src_b``.
+    (vectorized triu), pre-aggregated per group task, then ONE hash
+    combine keyed on the (a, b) pair — the pair key space is domains x
+    coupling degree, the same summary-size contract as
+    ``domain_degrees``.  A target's in-degree is bounded by ``max_in``
+    (default 2000 -> <= ~2M pairs per group task): exceeding it RAISES
+    by default, because silently truncating would break the exact
+    coupling counts — pass ``on_cap="warn"`` to accept a documented
+    lexicographic truncation instead.  Returns ``(src_a, src_b,
+    shared)`` with ``shared >= min_shared``, ``src_a < src_b``.
     """
     from ..agg import combine_partials, default_partitions
 
@@ -659,8 +662,15 @@ def bib_coupling(ds=None, html: str = "html", url: str = "url",
         if len(srcs) < 2:
             return _pair_schema.empty_table()
         if len(srcs) > max_in:
+            if on_cap != "warn":
+                raise ValueError(
+                    f"bib_coupling: a target has {len(srcs)} citing "
+                    f"sources (> max_in={max_in}); its pair table would "
+                    f"be O(max_in^2) — raise max_in deliberately or pass "
+                    f"on_cap='warn' to accept truncated counts")
             logging.getLogger("fast_carpenter_ray.linkgraph").warning(
-                "bib_coupling: in-list capped at %d of %d", max_in,
+                "bib_coupling: in-list capped at %d of %d (coupling "
+                "counts for the dropped sources are LOST)", max_in,
                 len(srcs))
             srcs = srcs[:max_in]
         iu = np.triu_indices(len(srcs), k=1)

@@ -527,31 +527,40 @@ def mad_outliers(ds, group: str = "event_type", value_col: str = "value",
     """
     from .quantile import grouped_quantiles
 
+    import ray
+
     def to_int(batch: pa.Table) -> pa.Table:
         x = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
                      * scale).astype(np.int64)
         return pa.table({id_col: batch[id_col], group: batch[group],
                          "_x": pa.array(x, type=pa.int64())})
 
-    slim = ds.map_batches(to_int, batch_format="pyarrow")
+    # materialize the 3-int-column slim stream ONCE: three consumers
+    # (median pass, MAD pass, flag pass) would otherwise re-run the
+    # parquet scan + floor map three times
+    slim = ds.map_batches(to_int, batch_format="pyarrow").materialize()
 
     med_df = grouped_quantiles(slim, group, "_x", [0.5]).to_pandas()
     med = dict(zip(med_df[group], med_df["value"].astype(np.int64)))
+    # object-store broadcast (the zscore_outliers pattern): ship the
+    # per-group dicts once, not with every task's function payload
+    med_ref = ray.put(med)
 
     def add_dev(batch: pa.Table) -> pa.Table:
-        g = batch[group].to_pandas()
-        m = g.map(med).to_numpy(dtype=np.int64)
+        m = batch[group].to_pandas().map(
+            ray.get(med_ref)).to_numpy(dtype=np.int64)
         d = np.abs(batch["_x"].to_numpy(zero_copy_only=False) - m)
         return batch.append_column("_d", pa.array(d, type=pa.int64()))
 
     dev = slim.map_batches(add_dev, batch_format="pyarrow")
     mad_df = grouped_quantiles(dev, group, "_d", [0.5]).to_pandas()
     mad = dict(zip(mad_df[group], mad_df["value"].astype(np.int64)))
+    mad_ref = ray.put(mad)
 
     def flag(batch: pa.Table) -> pa.Table:
         g = batch[group].to_pandas()
-        m = g.map(med).to_numpy(dtype=np.int64)
-        md = g.map(mad).to_numpy(dtype=np.int64)
+        m = g.map(ray.get(med_ref)).to_numpy(dtype=np.int64)
+        md = g.map(ray.get(mad_ref)).to_numpy(dtype=np.int64)
         x = batch["_x"].to_numpy(zero_copy_only=False)
         d = np.abs(x - m)
         is_out = (d * k_den > k_num * md).astype(np.int64)
@@ -671,10 +680,17 @@ def ks_two_sample(ds, group: str, value_col: str, a, b, scale: int = 64,
     counts = counts.sort_values("v")
     cuma = counts["ca"].cumsum().to_numpy().astype(np.int64)
     cumb = counts["cb"].cumsum().to_numpy().astype(np.int64)
-    n1, n2 = np.int64(cuma[-1]), np.int64(cumb[-1])
+    n1, n2 = int(cuma[-1]), int(cumb[-1])
     if n1 == 0 or n2 == 0:
         return empty
-    num = np.int64(np.abs(cuma * n2 - cumb * n1).max())
+    if n1 * n2 < 2**62:  # |cum*n| <= n1*n2: int64-safe fast path
+        num = int(np.abs(cuma * np.int64(n2) - cumb * np.int64(n1)).max())
+    else:
+        # arbitrary-precision slow path (matches the oracle's HUGEINT):
+        # cohorts past ~2^31 rows each would silently wrap int64
+        num = max(abs(int(a) * n2 - int(b) * n1)
+                  for a, b in zip(cuma.tolist(), cumb.tolist()))
+    num = np.int64(num)
     d = np.float64(num) / np.float64(n1 * n2)
     return pd.DataFrame({"n1": np.array([n1]), "n2": np.array([n2]),
                          "num": np.array([num]),
