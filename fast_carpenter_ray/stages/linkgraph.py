@@ -213,7 +213,8 @@ def pagerank(ds, html: str = "html", url: str = "url",
 
 def count_triangles(ds=None, html: str = "html", url: str = "url",
                     num_partitions=None, max_out: int = 100_000,
-                    edges=None, return_degrees: bool = False):
+                    edges=None, return_degrees: bool = False,
+                    edge_budget: int = 50_000):
     """Per-domain triangle participation counts over the UNDIRECTED
     domain graph: ``(domain, n_tri)``, each triangle counted once at
     each of its three vertices.
@@ -284,13 +285,57 @@ def count_triangles(ds=None, html: str = "html", url: str = "url",
         "_bkt", num_partitions=num_partitions).map_groups(
         dedup_bucket, batch_format="pandas").materialize()
 
-    if und.count() == 0:
+    n_edges = und.count()
+    if n_edges == 0:
         empty = pd.DataFrame({"domain": pd.Series([], dtype=object),
                               "n_tri": pd.Series([], dtype=np.int64)})
         if return_degrees:
             return empty, pd.DataFrame({"domain": pd.Series([], dtype=object),
                                         "deg": pd.Series([], dtype=np.int64)})
         return empty
+
+    if n_edges <= edge_budget:
+        # driver fast path (the hits contract): the deduped undirected
+        # edge set is summary-sized — pull it once and run the same
+        # degree-ordered compact-forward count in NumPy, skipping four
+        # distributed rounds.  Identical integer outputs by construction.
+        df = und.to_pandas()
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        domains, inv = np.unique(np.concatenate([a, b]),
+                                 return_inverse=True)
+        ai, bi = inv[:len(a)], inv[len(a):]
+        deg = np.bincount(np.concatenate([ai, bi]),
+                          minlength=len(domains)).astype(np.int64)
+        # orient apex -> leaf by (deg, name); domains sorted => index
+        # order IS name order
+        a_first = (deg[ai] < deg[bi]) | ((deg[ai] == deg[bi]) & (ai < bi))
+        apex = np.where(a_first, ai, bi)
+        leaf = np.where(a_first, bi, ai)
+        adj = {}
+        order = np.argsort(apex, kind="stable")
+        edge_set = set(zip(ai.tolist(), bi.tolist()))
+        for x, y in zip(apex[order].tolist(), leaf[order].tolist()):
+            adj.setdefault(x, []).append(y)
+        tri = np.zeros(len(domains), dtype=np.int64)
+        for x, leaves in adj.items():
+            leaves = sorted(set(leaves))
+            for i2 in range(len(leaves)):
+                for j2 in range(i2 + 1, len(leaves)):
+                    v, w = leaves[i2], leaves[j2]
+                    if (min(v, w), max(v, w)) in edge_set:
+                        tri[x] += 1
+                        tri[v] += 1
+                        tri[w] += 1
+        keep = tri > 0
+        out = pd.DataFrame({"domain": domains[keep],
+                            "n_tri": tri[keep]}).sort_values(
+            "domain").reset_index(drop=True)
+        if return_degrees:
+            degs = pd.DataFrame({"domain": domains, "deg": deg}) \
+                .sort_values("domain").reset_index(drop=True)
+            return out, degs
+        return out
 
     # degree table (summary-sized): one hash combine over both endpoints
     def deg_partials(batch: pa.Table) -> pa.Table:

@@ -358,3 +358,22 @@ def test_reciprocity_matches_brute(ray_session):
         assert r["n_out"] == len(outs) and r["n_mutual"] == len(mut)
         assert r["ratio"] == len(mut) / len(outs)
     assert set(out["domain"]) == {s for s, _ in eset}
+
+
+def test_count_triangles_distributed_matches_driver(ray_session):
+    from fast_carpenter_ray.stages.linkgraph import count_triangles
+
+    rng = np.random.default_rng(29)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    pairs = [(nodes[int(i)], nodes[int(j)])
+             for i, j in rng.integers(0, 25, size=(200, 2)) if i != j]
+    fast = count_triangles(edges=_edge_ds(pairs))
+    slow = count_triangles(edges=_edge_ds(pairs), edge_budget=0)
+    assert dict(zip(fast["domain"], fast["n_tri"])) == dict(
+        zip(slow["domain"], slow["n_tri"]))
+    # degrees agree too
+    ft, fd = count_triangles(edges=_edge_ds(pairs), return_degrees=True)
+    st, sd = count_triangles(edges=_edge_ds(pairs), return_degrees=True,
+                             edge_budget=0)
+    assert dict(zip(fd["domain"], fd["deg"])) == dict(
+        zip(sd["domain"], sd["deg"]))
