@@ -3089,6 +3089,28 @@ def q_reciprocity(sf_dir: str):
     return reciprocity(pages_dataset(sf_dir))
 
 
+def q_attack_tolerance(sf_dir: str):
+    """Attack-tolerance components: connected components of the domain
+    graph AFTER removing the top-2 out-degree hubs (ties by name) —
+    the scale-free-network robustness probe (Albert, Jeong & Barabási
+    2000, public literature).  Composes extract_links (summary-sized
+    pull, the link_components contract) + hub filter +
+    link_components(edges=...)."""
+    import ray.data as rd
+
+    from ..stages.linkgraph import extract_links, link_components
+
+    edf = extract_links(pages_dataset(sf_dir)).to_pandas()
+    deg = (edf.groupby("src_domain")["dst_domain"].nunique()
+           .rename("od").reset_index())
+    hubs = set(deg.sort_values(["od", "src_domain"],
+                               ascending=[False, True])
+               .head(2)["src_domain"])
+    keep = (~edf["src_domain"].isin(hubs)) & (~edf["dst_domain"].isin(hubs))
+    filtered = edf[keep].reset_index(drop=True)
+    return link_components(edges=rd.from_pandas(filtered))
+
+
 def q_rollup(sf_dir: str):
     """Hierarchical ROLLUP over (day, hour) of the events stream
     (stages/rollup.py): one scan, finest-level combine, coarser levels
@@ -6772,6 +6794,22 @@ def build_oracles() -> Dict[str, str]:
             "ON s.a = r.id) "
             "SELECT id AS domain, min(root) AS component "
             "FROM reach GROUP BY id"),
+        "attack_tolerance": (
+            f"WITH RECURSIVE l AS ({_LINK_EDGES_SQL}), "
+            "ed0 AS (SELECT DISTINCT src_domain AS a, dst_domain AS b "
+            "FROM l), "
+            "degs AS (SELECT a AS s, count(*) AS od FROM ed0 GROUP BY a), "
+            "hubs AS (SELECT s FROM degs "
+            "QUALIFY row_number() OVER (ORDER BY od DESC, s) <= 2), "
+            "ed AS (SELECT a, b FROM ed0 "
+            "WHERE a NOT IN (SELECT s FROM hubs) "
+            "AND b NOT IN (SELECT s FROM hubs)), "
+            "sym AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed), "
+            "reach(id, root) AS (SELECT DISTINCT a, a FROM sym "
+            "UNION SELECT s.b, r.root FROM reach r JOIN sym s "
+            "ON s.a = r.id) "
+            "SELECT id AS domain, min(root) AS component "
+            "FROM reach GROUP BY id"),
         "link_graph": (
             f"WITH l AS ({_LINK_EDGES_SQL}) "
             "SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n "
@@ -7178,6 +7216,7 @@ def build_queries() -> Dict[str, Callable]:
         "burstiness": q_burstiness,
         "gini": q_gini,
         "ks_test": q_ks_test,
+        "attack_tolerance": q_attack_tolerance,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

@@ -495,8 +495,8 @@ def clustering_coefficients(ds=None, html: str = "html", url: str = "url",
     return out.sort_values("domain").reset_index(drop=True)
 
 
-def link_components(ds, html: str = "html", url: str = "url",
-                    max_domains: int = 50_000_000):
+def link_components(ds=None, html: str = "html", url: str = "url",
+                    max_domains: int = 50_000_000, edges=None):
     """Connected components of the (undirected) domain link graph:
     pandas frame ``(domain, component)`` with ``component`` = the
     lexicographically smallest domain in the component — isolated
@@ -513,7 +513,8 @@ def link_components(ds, html: str = "html", url: str = "url",
     from .dedup import (_stable_token_hash, cluster_pairs,
                         distributed_components)
 
-    edges = extract_links(ds, html=html, url=url, mode="hash")
+    if edges is None:
+        edges = extract_links(ds, html=html, url=url, mode="hash")
     edf = edges.to_pandas()
     if len(edf) == 0:
         return pd.DataFrame({"domain": pd.Series([], dtype="object"),

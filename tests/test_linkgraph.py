@@ -377,3 +377,36 @@ def test_count_triangles_distributed_matches_driver(ray_session):
                              edge_budget=0)
     assert dict(zip(fd["domain"], fd["deg"])) == dict(
         zip(sd["domain"], sd["deg"]))
+
+
+def test_link_components_accepts_prebuilt_edges(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.linkgraph import link_components
+
+    edf = pd.DataFrame({
+        "src_domain": ["a", "b", "x"],
+        "dst_domain": ["b", "c", "y"],
+        "n": np.ones(3, dtype=np.int64),
+    })
+    out = link_components(edges=rd.from_pandas(edf))
+    comp = dict(zip(out["domain"], out["component"]))
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_attack_tolerance_splits_hub_graph(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.linkgraph import link_components
+
+    # star through hub h: removing h separates the leaves
+    edf = pd.DataFrame({
+        "src_domain": ["h", "h", "h", "l1"],
+        "dst_domain": ["l1", "l2", "l3", "l2"],
+        "n": np.ones(4, dtype=np.int64),
+    })
+    keep = edf[(edf.src_domain != "h") & (edf.dst_domain != "h")]
+    out = link_components(edges=rd.from_pandas(keep.reset_index(drop=True)))
+    comp = dict(zip(out["domain"], out["component"]))
+    assert comp == {"l1": "l1", "l2": "l1"}  # l3 isolated -> absent
