@@ -2754,6 +2754,16 @@ def q_ks_test(sf_dir: str):
                          a="click", b="view")
 
 
+def q_join_counts(sf_dir: str):
+    """Black-white join counts (stages/autocorr.py join_counts): binary
+    spatial autocorrelation of en-majority cells over queen adjacency —
+    exact int64 BB/BW/WW, one IEEE ratio."""
+    from ..stages.autocorr import join_counts
+
+    ds = _pages_geo(sf_dir)
+    return join_counts(ds, res=RES)
+
+
 def q_gini(sf_dir: str):
     """Gini concentration of page volume across sources
     (stages/stats.py gini): exact int64 numerator
@@ -5402,6 +5412,30 @@ def build_oracles() -> Dict[str, str]:
             "CAST(max(abs(cuma * n2 - cumb * n1)) AS BIGINT) AS num, "
             "CAST(max(abs(cuma * n2 - cumb * n1)) AS DOUBLE) "
             "/ CAST(max(n1) * max(n2) AS DOUBLE) AS d FROM w"),
+        "join_counts": (
+            f"WITH base AS ({geo}), "
+            f"p AS (SELECT {cell} AS cell, lang FROM base "
+            "WHERE lat IS NOT NULL), "
+            "c AS (SELECT cell, CAST(count(*) AS BIGINT) AS nt, "
+            "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS ne FROM p GROUP BY cell), "
+            "lbl AS (SELECT cell, CASE WHEN 2 * ne > nt THEN 1 ELSE 0 END "
+            "AS b FROM c), "
+            "adj AS (SELECT l1.b AS b1, l2.b AS b2 FROM lbl l1 "
+            "JOIN lbl l2 ON l1.cell < l2.cell "
+            f"AND abs(l1.cell // {_N} - l2.cell // {_N}) <= 1 "
+            f"AND least(((l1.cell % {_N}) - (l2.cell % {_N}) + {_N}) % {_N}, "
+            f"((l2.cell % {_N}) - (l1.cell % {_N}) + {_N}) % {_N}) <= 1) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM lbl) AS n_cells, "
+            "(SELECT CAST(sum(b) AS BIGINT) FROM lbl) AS n_black, "
+            "CAST(count(*) AS BIGINT) AS n_edges, "
+            "CAST(sum(b1 * b2) AS BIGINT) AS bb, "
+            "CAST(sum(CASE WHEN b1 != b2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS bw, "
+            "CAST(sum(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS ww, "
+            "CAST(sum(CASE WHEN b1 != b2 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ CAST(count(*) AS DOUBLE) AS bw_ratio FROM adj"),
         "gini": (
             "WITH c AS (SELECT source AS k, CAST(count(*) AS BIGINT) AS c "
             "FROM documents GROUP BY 1), "
@@ -7217,6 +7251,7 @@ def build_queries() -> Dict[str, Callable]:
         "gini": q_gini,
         "ks_test": q_ks_test,
         "attack_tolerance": q_attack_tolerance,
+        "join_counts": q_join_counts,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

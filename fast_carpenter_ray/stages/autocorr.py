@@ -45,7 +45,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["spatial_autocorr", "local_autocorr"]
+__all__ = ["spatial_autocorr", "local_autocorr", "join_counts"]
 
 #: queen-adjacency offsets (center excluded — w_ii = 0 by definition)
 _OFFS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
@@ -368,3 +368,86 @@ def local_autocorr(ds, res: int, lat_col: str = "lat",
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def join_counts(ds, res: int, lat_col: str = "lat", lng_col: str = "lng",
+                lang_col: str = "lang", target: str = "en") -> pd.DataFrame:
+    """Black-white join-count statistics (Cliff & Ord 1973, public
+    literature): the binary-attribute counterpart of Moran's I.  A cell
+    is "black" when a strict majority of its pages carry ``target``'s
+    language; adjacent occupied cell pairs are then classified BB / BW /
+    WW — clustered attributes show high BB+WW, dispersed ones high BW.
+
+    Adjacency is the queen ring with longitude wrap and latitude drop
+    (identical to spatial_autocorr / grid_bfs), each unordered pair
+    counted ONCE (four forward directions on the driver grid — exact
+    for grids wider than 2, guarded).  All counts are exact int64; the
+    per-cell label is the integer test ``2·n_target > n_total``; the
+    only float is the final ``bw_ratio`` IEEE quotient.  One
+    (cell, n, n_target) combine; the grid finish is driver-side under
+    the 4^res <= 65536 summary-size contract.
+
+    Returns one row: ``(n_cells, n_black, n_edges, bb, bw, ww,
+    bw_ratio)``.
+    """
+    from ..agg import combine_partials
+    from ..geo.cells import cell_id
+
+    n_grid = 1 << res
+    if (1 << (2 * res)) > 65536:
+        raise ValueError("join_counts: 4^res exceeds the 65536-cell "
+                         "driver-grid budget — coarsen res")
+    if n_grid <= 2:
+        raise ValueError("join_counts: grid too narrow — the forward-"
+                         "direction pair enumeration double-counts at "
+                         "width <= 2")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lng = batch[lng_col].to_numpy(zero_copy_only=False)
+        cell = cell_id(lat, lng, res)
+        is_t = (batch[lang_col].to_pandas().to_numpy(dtype=object)
+                == target).astype(np.int64)
+        keep = cell >= 0
+        df = pd.DataFrame({"cell": cell[keep], "nt": 1,
+                           "ne": is_t[keep]})
+        out = df.groupby("cell", sort=False).sum().reset_index()
+        for c in ("nt", "ne"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cc = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["cell"], value_cols=["nt", "ne"], mode="tree").to_pandas()
+
+    lab = np.full((n_grid, n_grid), -1, dtype=np.int64)  # -1 unoccupied
+    cells = cc["cell"].to_numpy()
+    black = (2 * cc["ne"].to_numpy() > cc["nt"].to_numpy()).astype(np.int64)
+    lab[cells // n_grid, cells % n_grid] = black
+
+    bb = bw = ww = edges = 0
+    # forward directions (dy, dx): E, SE, S, SW — each unordered queen
+    # pair exactly once; lng wraps via roll, lat rows drop
+    for dy, dx in ((0, 1), (1, 1), (1, 0), (1, -1)):
+        nb = np.roll(lab, -dx, axis=1) if dx else lab
+        if dy:
+            a = lab[:-dy, :]
+            b = nb[dy:, :]
+        else:
+            a, b = lab, nb
+        both = (a >= 0) & (b >= 0)
+        edges += int(both.sum())
+        bb += int(((a == 1) & (b == 1) & both).sum())
+        ww += int(((a == 0) & (b == 0) & both).sum())
+        bw += int(((a != b) & both).sum())
+
+    ratio = (np.float64(bw) / np.float64(edges)) if edges else np.float64(0)
+    return pd.DataFrame({
+        "n_cells": np.array([len(cells)], dtype=np.int64),
+        "n_black": np.array([int(black.sum())], dtype=np.int64),
+        "n_edges": np.array([edges], dtype=np.int64),
+        "bb": np.array([bb], dtype=np.int64),
+        "bw": np.array([bw], dtype=np.int64),
+        "ww": np.array([ww], dtype=np.int64),
+        "bw_ratio": np.array([ratio], dtype=np.float64),
+    })

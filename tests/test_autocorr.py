@@ -208,3 +208,65 @@ def test_gi_star_hot_cell_positive(ray_session):
     assert (hot["gi_star"] > 0).all()
     cold = out[out["n"] == 1]
     assert (cold["gi_star"] < 0.5).all()
+
+
+def test_join_counts_planted(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.autocorr import join_counts
+
+    # res 2 -> 4x4 grid (90-deg lng columns). Two horizontally adjacent
+    # occupied cells: one all-'en' (black), one all-'de' (white)
+    # -> 1 edge, BW=1
+    t = pa.table({
+        "lat": pa.array([10.0, 10.0, 10.0], type=pa.float64()),
+        "lng": pa.array([10.0, 10.0, 100.0], type=pa.float64()),
+        "lang": pa.array(["en", "en", "de"]),
+    })
+    out = join_counts(rd.from_arrow(t).repartition(2), res=2)
+    assert out["n_cells"].iloc[0] == 2 and out["n_black"].iloc[0] == 1
+    assert out["n_edges"].iloc[0] == 1
+    assert out["bb"].iloc[0] == 0 and out["ww"].iloc[0] == 0
+    assert out["bw"].iloc[0] == 1 and out["bw_ratio"].iloc[0] == 1.0
+
+
+def test_join_counts_matches_brute(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.geo.cells import cell_id, k_ring
+    from fast_carpenter_ray.stages.autocorr import join_counts
+
+    rng = np.random.default_rng(41)
+    n = 400
+    lat = rng.uniform(-80, 80, n)
+    lng = rng.uniform(-170, 170, n)
+    lang = rng.choice(["en", "de", "fr"], n)
+    t = pa.table({"lat": pa.array(lat), "lng": pa.array(lng),
+                  "lang": pa.array(lang)})
+    res = 3
+    out = join_counts(rd.from_arrow(t).repartition(3), res=res)
+    cells = cell_id(lat, lng, res)
+    import collections
+
+    nt = collections.Counter(cells.tolist())
+    ne = collections.Counter(cells[lang == "en"].tolist())
+    label = {c: int(2 * ne.get(c, 0) > nt[c]) for c in nt}
+    seen, bb, bw, ww = set(), 0, 0, 0
+    for c in label:
+        for nb in k_ring(c, res, 1):
+            nb = int(nb)
+            if nb == c or nb not in label:
+                continue
+            key = (min(c, nb), max(c, nb))
+            if key in seen:
+                continue
+            seen.add(key)
+            if label[c] and label[nb]:
+                bb += 1
+            elif not label[c] and not label[nb]:
+                ww += 1
+            else:
+                bw += 1
+    assert out["bb"].iloc[0] == bb and out["bw"].iloc[0] == bw
+    assert out["ww"].iloc[0] == ww
+    assert out["n_edges"].iloc[0] == bb + bw + ww
