@@ -2754,6 +2754,17 @@ def q_ks_test(sf_dir: str):
                          a="click", b="view")
 
 
+def q_ripley(sf_dir: str):
+    """Ripley's K at r = 1 and 2 degrees (stages/ripley.py ripley_k):
+    exact unordered pair counts within radius via home/probe cell
+    co-location with canonical id attribution — no all-pairs scan; the
+    oracle is the brute self-join."""
+    from ..stages.ripley import ripley_k
+
+    ds = _pages_geo(sf_dir)
+    return ripley_k(ds, radii=[1.0, 2.0], res=RES)
+
+
 def q_join_counts(sf_dir: str):
     """Black-white join counts (stages/autocorr.py join_counts): binary
     spatial autocorrelation of en-majority cells over queen adjacency —
@@ -5412,6 +5423,25 @@ def build_oracles() -> Dict[str, str]:
             "CAST(max(abs(cuma * n2 - cumb * n1)) AS BIGINT) AS num, "
             "CAST(max(abs(cuma * n2 - cumb * n1)) AS DOUBLE) "
             "/ CAST(max(n1) * max(n2) AS DOUBLE) AS d FROM w"),
+        "ripley": (
+            f"WITH base AS ({geo}), "
+            "pts AS (SELECT doc_id, lat, lng FROM base "
+            "WHERE lat IS NOT NULL), "
+            "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts), "
+            "pairs AS (SELECT (a.lat - b.lat) * (a.lat - b.lat) "
+            "+ least(abs(a.lng - b.lng), 360.0 - abs(a.lng - b.lng)) "
+            "* least(abs(a.lng - b.lng), 360.0 - abs(a.lng - b.lng)) "
+            "AS d2 FROM pts a JOIN pts b ON a.doc_id < b.doc_id), "
+            "c AS (SELECT CAST(1.0 AS DOUBLE) AS r, "
+            "CAST(sum(CASE WHEN d2 <= 1.0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_pairs FROM pairs "
+            "UNION ALL SELECT CAST(2.0 AS DOUBLE), "
+            "CAST(sum(CASE WHEN d2 <= 4.0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM pairs) "
+            "SELECT c.r, c.n_pairs, "
+            "CAST(64800.0 AS DOUBLE) * (2 * c.n_pairs) "
+            "/ CAST(nn.n * (nn.n - 1) AS DOUBLE) AS k_hat "
+            "FROM c CROSS JOIN nn"),
         "join_counts": (
             f"WITH base AS ({geo}), "
             f"p AS (SELECT {cell} AS cell, lang FROM base "
@@ -7252,6 +7282,7 @@ def build_queries() -> Dict[str, Callable]:
         "ks_test": q_ks_test,
         "attack_tolerance": q_attack_tolerance,
         "join_counts": q_join_counts,
+        "ripley": q_ripley,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,
