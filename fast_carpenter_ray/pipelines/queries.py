@@ -2754,6 +2754,34 @@ def q_ks_test(sf_dir: str):
                          a="click", b="view")
 
 
+def q_group_split(sf_dir: str):
+    """Leakage-safe train/val/test split by domain (stages/sample.py
+    group_split): every page of a host lands in one split via the
+    sha256-prefix stable hash mod 1e6 against cumulative integer
+    thresholds — hash-exact SQL replay."""
+    import ray.data as rd
+
+    from ..stages.sample import group_split
+    from ..stages.urls import ParseURL
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+
+    def make(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = pd.Series(batch["lang"].to_pylist(), dtype=object)
+        url = ("https://site" + pd.Series(d % 20).astype(str)
+               + ".example/" + lang + "/p" + pd.Series(d).astype(str))
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "url": pa.array(url.to_numpy(dtype=object),
+                                         type=pa.string())})
+
+    ds = docs.map_batches(make, batch_format="pyarrow")
+    ds = ParseURL(keep=("host",)).apply(ds)
+    ds = group_split(ds, group_col="host")
+    return ds.select_columns(["doc_id", "host", "bucket", "split"])
+
+
 def q_ripley(sf_dir: str):
     """Ripley's K at r = 1 and 2 degrees (stages/ripley.py ripley_k):
     exact unordered pair counts within radius via home/probe cell
@@ -5423,6 +5451,17 @@ def build_oracles() -> Dict[str, str]:
             "CAST(max(abs(cuma * n2 - cumb * n1)) AS BIGINT) AS num, "
             "CAST(max(abs(cuma * n2 - cumb * n1)) AS DOUBLE) "
             "/ CAST(max(n1) * max(n2) AS DOUBLE) AS d FROM w"),
+        "group_split": (
+            "WITH u AS (SELECT doc_id, "
+            "'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host "
+            "FROM documents), "
+            "h AS (SELECT doc_id, host, "
+            "CAST(('0x' || substring(sha256(host || '#0'), 1, 16))::UBIGINT "
+            "% 1000000 AS BIGINT) AS bucket FROM u) "
+            "SELECT doc_id, host, bucket, "
+            "CASE WHEN bucket < 800000 THEN 'train' "
+            "WHEN bucket < 900000 THEN 'val' ELSE 'test' END AS split "
+            "FROM h"),
         "ripley": (
             f"WITH base AS ({geo}), "
             "pts AS (SELECT doc_id, lat, lng FROM base "
@@ -7283,6 +7322,7 @@ def build_queries() -> Dict[str, Callable]:
         "attack_tolerance": q_attack_tolerance,
         "join_counts": q_join_counts,
         "ripley": q_ripley,
+        "group_split": q_group_split,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

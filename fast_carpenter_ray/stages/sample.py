@@ -35,7 +35,7 @@ import pyarrow as pa
 
 __all__ = ["hash_sample", "stratified_sample", "group_topk", "count_distinct",
            "weighted_sample", "train_order", "mixture_sample",
-           "mix64", "mix64_sql", "mix_hash", "mix_hash_sql"]
+           "mix64", "mix64_sql", "mix_hash", "mix_hash_sql", "group_split"]
 
 _M = 1_000_000
 _M64 = 1 << 64
@@ -306,3 +306,44 @@ def mixture_sample_sql(table: str, group_col: str, cap: int, id_col: str,
         f"SELECT t.* FROM {table} t JOIN n USING ({group_col}) "
         f"WHERE {mix_hash_sql('t.' + id_col, seed)} < "
         f"least({_M}, {int(cap)} * {_M} // n.n)")
+
+
+def group_split(ds, group_col: str, fractions=None, seed: int = 0,
+                out: str = "split"):
+    """Leakage-safe train/val/test assignment by GROUP: every row of a
+    group (e.g. a URL domain) lands in the same split, so near-duplicate
+    pages from one site can never straddle the train/eval boundary —
+    the GroupShuffleSplit discipline of ML evaluation hygiene.
+
+    Deterministic + SQL-replayable: the group key is hashed with the
+    sha256-prefix stable hash (the MinHash oracle contract —
+    ``('0x' || substring(sha256(g || '#' || seed), 1, 16))::UBIGINT``)
+    and reduced mod 1e6; cumulative integer thresholds of ``fractions``
+    pick the split.  Pure per-batch map, sha256 evaluated once per
+    DISTINCT group per batch; no shuffle.
+
+    Appends ``bucket`` (int64) and ``out`` (string) columns.
+    """
+    from .dedup import _stable_token_hash
+
+    fractions = dict(fractions or
+                     {"train": 0.8, "val": 0.1, "test": 0.1})
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("group_split: fractions must sum to 1")
+    names = list(fractions)
+    edges = np.cumsum([int(round(f * 1_000_000))
+                       for f in fractions.values()])[:-1]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_pandas().to_numpy(dtype=object)
+        uniq, inv = np.unique(g, return_inverse=True)
+        hb = np.array([_stable_token_hash(f"{u}#{seed}") % 1_000_000
+                       for u in uniq], dtype=np.int64)
+        bucket = hb[inv]
+        split_idx = np.searchsorted(edges, bucket, side="right")
+        split = np.array(names, dtype=object)[split_idx]
+        return (batch
+                .append_column("bucket", pa.array(bucket, type=pa.int64()))
+                .append_column(out, pa.array(split, type=pa.string())))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
