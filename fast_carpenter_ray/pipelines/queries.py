@@ -2803,6 +2803,19 @@ def q_join_counts(sf_dir: str):
     return join_counts(ds, res=RES)
 
 
+def q_benford(sf_dir: str):
+    """Benford first-digit screen over order totals (stages/stats.py
+    benford): exact string-based digit extraction on integer cents —
+    no float log near the counts; one 9-key combine."""
+    import ray.data as rd
+
+    from ..stages.stats import benford
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice"])
+    return benford(ds, value_col="o_totalprice")
+
+
 def q_gini(sf_dir: str):
     """Gini concentration of page volume across sources
     (stages/stats.py gini): exact int64 numerator
@@ -5505,6 +5518,20 @@ def build_oracles() -> Dict[str, str]:
             "AS BIGINT) AS ww, "
             "CAST(sum(CASE WHEN b1 != b2 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ CAST(count(*) AS DOUBLE) AS bw_ratio FROM adj"),
+        "benford": (
+            "WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) "
+            "AS c FROM orders WHERE floor(o_totalprice * 100) > 0), "
+            "d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) "
+            "AS BIGINT) AS digit FROM c), "
+            "n AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d "
+            "GROUP BY digit), "
+            "f AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS digit), "
+            "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM n) "
+            "SELECT CAST(f.digit AS BIGINT) AS digit, "
+            "CAST(coalesce(n.n, 0) AS BIGINT) AS n, "
+            "CAST(coalesce(n.n, 0) AS DOUBLE) / t.total AS frac, "
+            "round(log10(1.0 + 1.0 / f.digit), 6) AS benford "
+            "FROM f LEFT JOIN n ON n.digit = f.digit CROSS JOIN t"),
         "gini": (
             "WITH c AS (SELECT source AS k, CAST(count(*) AS BIGINT) AS c "
             "FROM documents GROUP BY 1), "
@@ -7323,6 +7350,7 @@ def build_queries() -> Dict[str, Callable]:
         "join_counts": q_join_counts,
         "ripley": q_ripley,
         "group_split": q_group_split,
+        "benford": q_benford,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

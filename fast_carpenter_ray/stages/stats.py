@@ -26,7 +26,7 @@ import pyarrow as pa
 __all__ = ["grouped_corr", "grouped_entropy", "grouped_mode",
            "zipf_slope", "grouped_collect_set", "pivot_counts", "grouped_ols",
            "zscore_outliers", "grouped_theil_sen", "mad_outliers", "gini",
-           "ks_two_sample"]
+           "ks_two_sample", "benford"]
 
 
 def grouped_theil_sen(ds, group: str, t: str, v: str,
@@ -695,3 +695,45 @@ def ks_two_sample(ds, group: str, value_col: str, a, b, scale: int = 64,
     return pd.DataFrame({"n1": np.array([n1]), "n2": np.array([n2]),
                          "num": np.array([num]),
                          "d": np.array([d], dtype=np.float64)})
+
+
+def benford(ds, value_col: str, scale: int = 100):
+    """First-significant-digit distribution vs Benford's law (Newcomb
+    1881 / Benford 1938, public literature) — the classic forensic
+    screen for fabricated numeric data.
+
+    Exact digit extraction: values become integers ``c = floor(v *
+    scale)`` and the first digit is the leading character of the
+    decimal string — no float log10 anywhere near the counts.  Counts
+    are exact int64 from one tiny combine (9 keys); ``frac`` is one
+    IEEE division and ``benford`` the round-6 ``log10(1 + 1/d)``
+    expectation (the zipf float contract).  Non-positive values are
+    excluded.
+
+    Returns 9 rows ``(digit, n, frac, benford)``.
+    """
+    from ..agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        c = np.floor(v * scale).astype(np.int64)
+        c = c[c > 0]
+        first = pd.Series(c).astype(str).str[0].astype(np.int64)
+        out = first.value_counts().rename_axis("digit").reset_index(name="n")
+        out["digit"] = out["digit"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False, schema=pa.schema(
+            [("digit", pa.int64()), ("n", pa.int64())]))
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["digit"], value_cols=["n"], mode="tree").to_pandas()
+    full = pd.DataFrame({"digit": np.arange(1, 10, dtype=np.int64)})
+    out = full.merge(counts, on="digit", how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    total = int(out["n"].sum())
+    out["frac"] = (out["n"].to_numpy().astype(np.float64)
+                   / np.float64(total)) if total else np.float64(0)
+    d = out["digit"].to_numpy().astype(np.float64)
+    out["benford"] = np.round(np.log10(1.0 + 1.0 / d), 6)
+    return out.sort_values("digit").reset_index(drop=True)

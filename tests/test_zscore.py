@@ -206,3 +206,24 @@ def test_ks_two_sample_matches_scipy_formula(ray_session):
     num = np.abs(fa * 150 - fb * 200).max()
     assert out["num"].iloc[0] == num
     assert out["d"].iloc[0] == num / float(200 * 150)
+
+
+def test_benford_exact_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import benford
+
+    # cents: 123 (digit 1), 19 (1), 250 (2), 3 (3), 999 (9); 0 excluded
+    vals = np.array([1.23, 0.19, 2.50, 0.03, 9.99, 0.0])
+    t = pa.table({"v": pa.array(vals, type=pa.float64())})
+    out = benford(rd.from_arrow(t).repartition(2), value_col="v")
+    assert len(out) == 9
+    got = dict(zip(out["digit"], out["n"]))
+    assert got == {1: 2, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}
+    assert out["n"].sum() == 5
+    # expectation column matches the closed form
+    for _, r in out.iterrows():
+        assert r["benford"] == round(np.log10(1 + 1 / r["digit"]), 6)
+    # fractions sum to 1 over observed digits
+    assert out["frac"].sum() == pytest.approx(1.0)
