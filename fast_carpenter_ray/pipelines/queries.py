@@ -2803,6 +2803,20 @@ def q_join_counts(sf_dir: str):
     return join_counts(ds, res=RES)
 
 
+def q_mannwhitney(sf_dir: str):
+    """Mann-Whitney U / AUC between click and view value distributions
+    (stages/stats.py mannwhitney_u): exact doubled-midrank int64
+    arithmetic, one IEEE AUC quotient — hash-exact SQL window replay."""
+    import ray.data as rd
+
+    from ..stages.stats import mannwhitney_u
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return mannwhitney_u(ds, group="event_type", value_col="value",
+                         a="click", b="view")
+
+
 def q_benford(sf_dir: str):
     """Benford first-digit screen over order totals (stages/stats.py
     benford): exact string-based digit extraction on integer cents —
@@ -5518,6 +5532,24 @@ def build_oracles() -> Dict[str, str]:
             "AS BIGINT) AS ww, "
             "CAST(sum(CASE WHEN b1 != b2 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ CAST(count(*) AS DOUBLE) AS bw_ratio FROM adj"),
+        "mannwhitney": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(floor(value * 64) AS BIGINT) AS v FROM events "
+            "WHERE event_type IN ('click', 'view')), "
+            "c AS (SELECT v, CAST(sum(CASE WHEN event_type = 'click' "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS ca, "
+            "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS cb FROM e GROUP BY v), "
+            "w AS (SELECT ca, cb, ca + cb AS ct, "
+            "CAST(coalesce(sum(ca + cb) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS cum FROM c), "
+            "s AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, "
+            "CAST(sum(cb) AS BIGINT) AS n2, "
+            "CAST(sum(ca * (2 * cum + ct + 1)) AS BIGINT) AS r1d FROM w) "
+            "SELECT n1, n2, CAST(r1d - n1 * (n1 + 1) AS BIGINT) AS u2, "
+            "CAST(r1d - n1 * (n1 + 1) AS DOUBLE) "
+            "/ CAST(2 * n1 * n2 AS DOUBLE) AS auc FROM s"),
         "benford": (
             "WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) "
             "AS c FROM orders WHERE floor(o_totalprice * 100) > 0), "
@@ -7351,6 +7383,7 @@ def build_queries() -> Dict[str, Callable]:
         "ripley": q_ripley,
         "group_split": q_group_split,
         "benford": q_benford,
+        "mannwhitney": q_mannwhitney,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

@@ -26,7 +26,7 @@ import pyarrow as pa
 __all__ = ["grouped_corr", "grouped_entropy", "grouped_mode",
            "zipf_slope", "grouped_collect_set", "pivot_counts", "grouped_ols",
            "zscore_outliers", "grouped_theil_sen", "mad_outliers", "gini",
-           "ks_two_sample", "benford"]
+           "ks_two_sample", "benford", "mannwhitney_u"]
 
 
 def grouped_theil_sen(ds, group: str, t: str, v: str,
@@ -737,3 +737,63 @@ def benford(ds, value_col: str, scale: int = 100):
     d = out["digit"].to_numpy().astype(np.float64)
     out["benford"] = np.round(np.log10(1.0 + 1.0 / d), 6)
     return out.sort_values("digit").reset_index(drop=True)
+
+
+def mannwhitney_u(ds, group: str, value_col: str, a, b, scale: int = 64):
+    """Mann-Whitney U (Wilcoxon rank-sum) between two cohorts — the
+    rank-based companion of :func:`ks_two_sample`, and its ``auc``
+    output is the common-language effect size P(X_a > X_b) + ½P(=).
+
+    Exact doubled-midrank formulation on ``x = floor(value * scale)``
+    int64: for each distinct value with cohort counts ``ca``/``cb`` and
+    exclusive merged cumulative ``cum``, the doubled midrank is
+    ``2·cum + (ca + cb) + 1`` (an integer — doubling absorbs the tie
+    half-ranks), so ``2·U1 = Σ ca·(2·cum + ct + 1) − n1·(n1 + 1)`` is
+    exact int64 and ``auc = 2U1 / (2·n1·n2)`` one IEEE quotient —
+    bit-exact under the SQL window replay.  (int64-safe to ~2·10⁹ rows
+    per cohort, the ks_two_sample bound.)
+
+    Same shape as the KS test: one per-value count combine, driver
+    read-off over the distinct-value shrink.  Returns one row
+    ``(n1, n2, u2, auc)``.
+    """
+    from ..agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_pandas().to_numpy(dtype=object)
+        x = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+                     * scale).astype(np.int64)
+        in_a, in_b = g == a, g == b
+        keep = in_a | in_b
+        df = pd.DataFrame({"v": x[keep],
+                           "ca": in_a[keep].astype(np.int64),
+                           "cb": in_b[keep].astype(np.int64)})
+        out = df.groupby("v", sort=False).sum().reset_index()
+        for c in ("ca", "cb"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["v"], value_cols=["ca", "cb"], mode="hash").to_pandas()
+    empty = pd.DataFrame({"n1": pd.Series([], dtype=np.int64),
+                          "n2": pd.Series([], dtype=np.int64),
+                          "u2": pd.Series([], dtype=np.int64),
+                          "auc": pd.Series([], dtype=np.float64)})
+    if "v" not in counts.columns or not len(counts):
+        return empty
+    counts = counts.sort_values("v")
+    ca = counts["ca"].to_numpy().astype(np.int64)
+    cb = counts["cb"].to_numpy().astype(np.int64)
+    ct = ca + cb
+    cum_excl = np.concatenate([[0], np.cumsum(ct)[:-1]]).astype(np.int64)
+    n1, n2 = int(ca.sum()), int(cb.sum())
+    if n1 == 0 or n2 == 0:
+        return empty
+    r1d = int((ca * (2 * cum_excl + ct + 1)).sum())
+    u2 = np.int64(r1d - n1 * (n1 + 1))
+    auc = np.float64(u2) / np.float64(2 * n1 * n2)
+    return pd.DataFrame({"n1": np.array([n1], dtype=np.int64),
+                         "n2": np.array([n2], dtype=np.int64),
+                         "u2": np.array([u2]),
+                         "auc": np.array([auc], dtype=np.float64)})

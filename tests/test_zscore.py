@@ -227,3 +227,44 @@ def test_benford_exact_counts(ray_session):
         assert r["benford"] == round(np.log10(1 + 1 / r["digit"]), 6)
     # fractions sum to 1 over observed digits
     assert out["frac"].sum() == pytest.approx(1.0)
+
+
+def test_mannwhitney_matches_scipy_convention(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import mannwhitney_u
+
+    rng = np.random.default_rng(7)
+    va = rng.normal(0.5, 1, 120)
+    vb = rng.normal(0.0, 1, 100)
+    t = pa.table({"g": pa.array(["a"] * 120 + ["b"] * 100),
+                  "v": pa.array(np.concatenate([va, vb]))})
+    out = mannwhitney_u(rd.from_arrow(t).repartition(3), group="g",
+                        value_col="v", a="a", b="b", scale=64)
+    # brute-force U1 with midranks
+    xa = np.floor(va * 64).astype(np.int64)
+    xb = np.floor(vb * 64).astype(np.int64)
+    allv = np.concatenate([xa, xb])
+    import pandas as _pd
+
+    ranks = _pd.Series(allv).rank(method="average").to_numpy()
+    r1 = ranks[:120].sum()
+    u1 = r1 - 120 * 121 / 2
+    assert out["u2"].iloc[0] == int(round(2 * u1))
+    assert out["auc"].iloc[0] == out["u2"].iloc[0] / float(2 * 120 * 100)
+    # distribution a is shifted up: AUC > 0.5
+    assert out["auc"].iloc[0] > 0.5
+
+
+def test_mannwhitney_identical_is_half(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.stats import mannwhitney_u
+
+    t = pa.table({"g": pa.array(["a"] * 50 + ["b"] * 50),
+                  "v": pa.array(list(range(50)) * 2, type=pa.float64())})
+    out = mannwhitney_u(rd.from_arrow(t), group="g", value_col="v",
+                        a="a", b="b", scale=1)
+    assert out["auc"].iloc[0] == 0.5
