@@ -129,7 +129,8 @@ def run_bench() -> dict:
                  # this session's additions: web curation + geo/graph/ML
                  "crawl_pipeline", "snap_segments", "clustering_coeff",
                  "target_encode", "quantile_bucket", "cusum",
-                 "vocab_drift", "mad_outliers", "teleports", "reciprocity"):
+                 "vocab_drift", "mad_outliers", "teleports", "reciprocity",
+                 "join_counts", "ripley", "gini", "group_split"):
         best = float("inf")
         for _ in range(2):
             import gc
