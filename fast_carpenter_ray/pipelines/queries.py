@@ -2803,6 +2803,19 @@ def q_join_counts(sf_dir: str):
     return join_counts(ds, res=RES)
 
 
+def q_crawl_budget(sf_dir: str):
+    """Hamilton largest-remainder crawl-budget apportionment
+    (stages/crawl.py crawl_budget): 1000 fetch slots split across
+    sources proportional to page counts — exact integer quotas, floors
+    first, leftovers to the largest remainders with a name tie-break."""
+    import ray.data as rd
+
+    from ..stages.crawl import crawl_budget
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    return crawl_budget(ds, key="source", slots=1000)
+
+
 def q_mannwhitney(sf_dir: str):
     """Mann-Whitney U / AUC between click and view value distributions
     (stages/stats.py mannwhitney_u): exact doubled-midrank int64
@@ -5532,6 +5545,20 @@ def build_oracles() -> Dict[str, str]:
             "AS BIGINT) AS ww, "
             "CAST(sum(CASE WHEN b1 != b2 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ CAST(count(*) AS DOUBLE) AS bw_ratio FROM adj"),
+        "crawl_budget": (
+            "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY source), "
+            "t AS (SELECT CAST(sum(n) AS BIGINT) AS total, "
+            "CAST(sum((1000 * n) // (SELECT sum(n) FROM c)) AS BIGINT) "
+            "AS base_sum FROM c), "
+            "q AS (SELECT source, n, (1000 * n) // t.total AS base, "
+            "(1000 * n) % t.total AS rem, t.base_sum FROM c CROSS JOIN t), "
+            "r AS (SELECT source, n, base, "
+            "CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) "
+            "AS rk, 1000 - base_sum AS give FROM q) "
+            "SELECT source, n AS n_pages, "
+            "CAST(base + CASE WHEN rk <= give THEN 1 ELSE 0 END AS BIGINT) "
+            "AS alloc FROM r"),
         "mannwhitney": (
             "WITH e AS (SELECT event_type, "
             "CAST(floor(value * 64) AS BIGINT) AS v FROM events "
@@ -7384,6 +7411,7 @@ def build_queries() -> Dict[str, Callable]:
         "group_split": q_group_split,
         "benford": q_benford,
         "mannwhitney": q_mannwhitney,
+        "crawl_budget": q_crawl_budget,
         "near_dedup_quality": q_near_dedup_quality,
         "decontam": q_decontam,
         "decontam_clean": q_decontam_clean,

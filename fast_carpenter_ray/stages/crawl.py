@@ -37,7 +37,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["crawl_order", "RobotsRules"]
+__all__ = ["crawl_order", "RobotsRules", "crawl_budget"]
 
 
 def crawl_order(ds, domain: str = "source", id_col: str = "doc_id",
@@ -135,3 +135,53 @@ class RobotsRules:
 
     def apply(self, ds, **kw):
         return ds.map_batches(self, batch_format="pyarrow", **kw)
+
+
+def crawl_budget(ds, key: str = "source", slots: int = 1000,
+                 mode: str = "tree"):
+    """Proportional-fair crawl-budget apportionment: split ``slots``
+    fetch slots across domains proportional to their page counts using
+    Hamilton's largest-remainder method (public literature; the US-
+    census apportionment scheme) — exactly ``slots`` allocated, every
+    domain within one slot of its exact share.
+
+    Pure integers: quotas are ``slots·c_i`` over ``total``; floors get
+    assigned first and the leftover slots go to the largest remainders
+    (ties to the lexicographically smaller key, a total order).  One
+    summary-sized count combine; the apportionment itself is a
+    driver-side O(k log k) pass over per-key counts.  Returns
+    ``(key, n_pages, alloc)``; a SQL window replay is bit-exact.
+    """
+    from ..agg import combine_partials
+
+    if slots < 0:
+        raise ValueError("crawl_budget: slots must be >= 0")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch[key].to_pandas()
+        out = s.value_counts().rename_axis(key).reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False, schema=pa.schema(
+            [(key, batch.schema.field(key).type), ("n", pa.int64())]))
+
+    counts = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[key], value_cols=["n"], mode=mode).to_pandas()
+    if key not in counts.columns or not len(counts):
+        return pd.DataFrame({key: pd.Series([], dtype=object),
+                             "n_pages": pd.Series([], dtype=np.int64),
+                             "alloc": pd.Series([], dtype=np.int64)})
+    counts = counts.sort_values(key).reset_index(drop=True)
+    n = counts["n"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    base = (slots * n) // total
+    rem = (slots * n) % total
+    give = slots - int(base.sum())
+    # largest remainders first, ties to the smaller key (already key-
+    # sorted, so a stable sort on -rem realizes the tie-break)
+    order = np.argsort(-rem, kind="stable")
+    alloc = base.copy()
+    alloc[order[:give]] += 1
+    return pd.DataFrame({key: counts[key],
+                         "n_pages": n,
+                         "alloc": alloc.astype(np.int64)})

@@ -141,3 +141,38 @@ def test_crawl_pipeline_structure(ray_session):
     assert (out["keeper"] < 10_000_000).all()
     # schedule positions are 1..50 in order
     assert out["schedule_pos"].tolist() == list(range(1, 51))
+
+
+def test_crawl_budget_apportionment(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.crawl import crawl_budget
+
+    # counts 5, 3, 2 over 10 slots -> exact shares 5, 3, 2
+    t = pa.table({"source": pa.array(
+        ["a"] * 5 + ["b"] * 3 + ["c"] * 2)})
+    out = crawl_budget(rd.from_arrow(t).repartition(2), slots=10)
+    assert dict(zip(out["source"], out["alloc"])) == {"a": 5, "b": 3, "c": 2}
+
+    # counts 1,1,1 over 10 slots: base 3 each + 1 leftover to the
+    # lexicographically smallest (equal remainders)
+    t = pa.table({"source": pa.array(["x", "y", "z"])})
+    out = crawl_budget(rd.from_arrow(t), slots=10)
+    assert dict(zip(out["source"], out["alloc"])) == {"x": 4, "y": 3, "z": 3}
+    assert out["alloc"].sum() == 10
+
+
+def test_crawl_budget_always_sums_to_slots(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(33)
+    from fast_carpenter_ray.stages.crawl import crawl_budget
+
+    t = pa.table({"source": pa.array(
+        [f"s{int(i)}" for i in rng.integers(0, 23, 500)])})
+    for slots in (1, 7, 100, 999):
+        out = crawl_budget(rd.from_arrow(t).repartition(3), slots=slots)
+        assert out["alloc"].sum() == slots
+        # within one slot of the exact share
+        share = slots * out["n_pages"].to_numpy() / 500.0
+        assert (np.abs(out["alloc"].to_numpy() - share) < 1.0 + 1e-9).all()
