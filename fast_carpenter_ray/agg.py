@@ -59,14 +59,39 @@ MAX_DRIVER_ROWS = 5_000_000
 
 def _make_combiner(keys: Sequence[str], value_cols: Sequence[str],
                    agg: str = "sum"):
+    """Per-block shrink as a zero-copy Arrow ``group_by`` (no pandas
+    round-trip — this helper runs under every summary in the engine).
+
+    Matches the previous pandas ``groupby`` semantics: rows whose key is
+    null or float-NaN are dropped (pandas ``dropna=True``) before the
+    Arrow aggregate, which itself ignores nulls.
+    """
+    import pyarrow.compute as pc
+
     keys = list(keys)
     value_cols = list(value_cols)
 
     def combine(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        out = (df.groupby(keys, observed=True, sort=False)[value_cols]
-               .agg(agg).reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        if batch.num_rows == 0:
+            return batch.select([*keys, *value_cols])
+        mask = None
+        for k in keys:
+            col = batch[k]
+            valid = pc.is_valid(col)
+            if pa.types.is_floating(col.type):
+                valid = pc.and_(valid, pc.invert(
+                    pc.is_nan(pc.fill_null(col, 0.0))))
+            mask = valid if mask is None else pc.and_(mask, valid)
+        if not pc.all(mask).as_py():
+            batch = batch.filter(mask)
+        res = batch.select([*keys, *value_cols]).group_by(keys).aggregate(
+            [(c, agg) for c in value_cols])
+        # group_by names aggregates "{col}_{agg}": restore original names
+        # and the keys-first column order
+        return pa.table(
+            [res[k] for k in keys]
+            + [res[f"{c}_{agg}"] for c in value_cols],
+            names=[*keys, *value_cols])
 
     return combine
 

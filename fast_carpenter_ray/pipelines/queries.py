@@ -7230,7 +7230,160 @@ def build_oracles() -> Dict[str, str]:
 
 
 def build_queries() -> Dict[str, Callable]:
+    """Query registry, ordered for the driver's 50-row CORRECTNESS window.
+
+    The driver checks the FIRST 50 entries each round. Ordering policy
+    (round 4): slots 1-50 = oracle-backed queries never yet confirmed by
+    a driver round (rotating window); then the remaining unconfirmed
+    oracle-backed queries (next round's window: move the first 50 to the
+    back); then queries already driver-confirmed in rounds 1-3; the 7
+    rows-only (no-oracle) queries go last so they never burn a window
+    slot on an `err: no_oracle` row.
+    """
     return {
+        "near_dedup": q_near_dedup,
+        "llm_curation": q_llm_curation,
+        "crawl_pipeline": q_crawl_pipeline,
+        "similarity_join": q_similarity_join,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "jagged_reduce": q_jagged_reduce,
+        "binned_padded": q_binned_padded,
+        "quantiles": q_quantiles,
+        "pii_redact": q_pii_redact,
+        "pii_stats": q_pii_stats,
+        "decontam": q_decontam,
+        "decontam_clean": q_decontam_clean,
+        "bm25": q_bm25,
+        "classifier": q_classifier,
+        "pack_sequences": q_pack_sequences,
+        "pack_summary": q_pack_summary,
+        "mixture_sample": q_mixture_sample,
+        "train_order": q_train_order,
+        "url_dedup": q_url_dedup,
+        "url_canon_groups": q_url_canon_groups,
+        "robots_rules": q_robots_rules,
+        "crawl_budget": q_crawl_budget,
+        "near_dedup_quality": q_near_dedup_quality,
+        "incremental_dedup": q_incremental_dedup,
+        "chunk_dup": q_chunk_dup,
+        "dedup_spans": q_dedup_spans,
+        "jagged_explode": q_jagged_explode,
+        "reduce_cut": q_reduce_cut,
+        "polygon_cover": q_polygon_cover,
+        "containment_join": q_containment_join,
+        "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "lang_id": q_lang_id,
+        "lang_confusion": q_lang_confusion,
+        "vocab": q_vocab,
+        "top_terms": q_top_terms,
+        "pmi": q_pmi,
+        "doc_frequency": q_doc_frequency,
+        "bigrams": q_bigrams,
+        "quantile_bucket": q_quantile_bucket,
+        "target_encode": q_target_encode,
+        "snap_segments": q_snap_segments,
+        "cusum": q_cusum,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "pivot": q_pivot,
+        "collect_set": q_collect_set,
+        "profile": q_profile,
+        "curation_pipeline": q_curation_pipeline,
+        "clustering_coeff": q_clustering_coeff,
+        "domain_degrees": q_domain_degrees,
+        "pagerank": q_pagerank,
+        "retention": q_retention,
+        "cohort_retention": q_cohort_retention,
+        "od_matrix": q_od_matrix,
+        "od_matrix_bucketed": q_od_matrix_bucketed,
+        "compact_cells": q_compact_cells,
+        "spacetime": q_spacetime,
+        "outlier_cells": q_outlier_cells,
+        "domain_stats": q_domain_stats,
+        "domain_footprint": q_domain_footprint,
+        "blocklist": q_blocklist,
+        "cluster_cells": q_cluster_cells,
+        "site_visits": q_site_visits,
+        "uncompact_roundtrip": q_uncompact_roundtrip,
+        "tile_pyramid": q_tile_pyramid,
+        "lang_quantiles": q_lang_quantiles,
+        "weighted_median": q_weighted_median,
+        "crawl_order": q_crawl_order,
+        "theil_sen": q_theil_sen,
+        "percentile_rank": q_percentile_rank,
+        "distinct_users": q_distinct_users,
+        "hot_cells": q_hot_cells,
+        "doc_sample": q_doc_sample,
+        "stratified_sample": q_stratified_sample,
+        "top_docs": q_top_docs,
+        "familiarity": q_familiarity,
+        "hop_window": q_hop_window,
+        "raster_zonal": q_raster_zonal,
+        "focal_mean": q_focal_mean,
+        "spatial_autocorr": q_spatial_autocorr,
+        "geofence": q_geofence,
+        "hll_users": q_hll_users,
+        "cms_users": q_cms_users,
+        "geofence_dwell": q_geofence_dwell,
+        "geofence_bucketed": q_geofence_bucketed,
+        "zscore_outliers": q_zscore_outliers,
+        "interval_join": q_interval_join,
+        "colocation": q_colocation,
+        "zorder": q_zorder,
+        "hilbert": q_hilbert,
+        "local_autocorr": q_local_autocorr,
+        "attribution": q_attribution,
+        "stay_points": q_stay_points,
+        "od_gravity": q_od_gravity,
+        "knox": q_knox,
+        "radius_anti": q_radius_anti,
+        "knn_graph": q_knn_graph,
+        "link_components": q_link_components,
+        "fuzzy_join": q_fuzzy_join,
+        "gi_star": q_gi_star,
+        "dbscan": q_dbscan,
+        "bloom_decontam": q_bloom_decontam,
+        "local_hour": q_local_hour,
+        "emerging_hotspots": q_emerging_hotspots,
+        "lang_frontier": q_lang_frontier,
+        "cell_terms": q_cell_terms,
+        "quadtree": q_quadtree,
+        "k_anonymity": q_k_anonymity,
+        "k_anon_generalize": q_k_anon_generalize,
+        "geo_composite": q_geo_composite,
+        "radius_of_gyration": q_radius_of_gyration,
+        "grid_bfs": q_grid_bfs,
+        "cell_mixture": q_cell_mixture,
+        "user_entropy": q_user_entropy,
+        "cell_top_quality": q_cell_top_quality,
+        "time_autocorr": q_time_autocorr,
+        "convex_hulls": q_convex_hulls,
+        "range_join": q_range_join,
+        "range_join_big": q_range_join_big,
+        "ann_ivf_pruned": q_ann_ivf_pruned,
+        "lookup_semi": q_lookup_semi,
+        "lookup_anti": q_lookup_anti,
+        "areal_interp": q_areal_interp,
+        "hits": q_hits,
+        "grid_dijkstra": q_grid_dijkstra,
+        "bot_scores": q_bot_scores,
+        "vocab_drift": q_vocab_drift,
+        "mad_outliers": q_mad_outliers,
+        "bib_coupling": q_bib_coupling,
+        "rolling_median": q_rolling_median,
+        "teleports": q_teleports,
+        "reciprocity": q_reciprocity,
+        "burstiness": q_burstiness,
+        "gini": q_gini,
+        "ks_test": q_ks_test,
+        "attack_tolerance": q_attack_tolerance,
+        "join_counts": q_join_counts,
+        "ripley": q_ripley,
+        "group_split": q_group_split,
+        "benford": q_benford,
+        "mannwhitney": q_mannwhitney,
         "hash_invariant": q_hash_invariant,
         "cell_encode": q_cell_encode,
         "cell_parent": q_cell_parent,
@@ -7270,7 +7423,6 @@ def build_queries() -> Dict[str, Callable]:
         "skyline": q_skyline,
         "grouped_mode": q_grouped_mode,
         "kmeans_assign": q_kmeans_assign,
-        "kmeans": q_kmeans,
         "term_trends": q_term_trends,
         "redirects": q_redirects,
         "cell_entropy": q_cell_entropy,
@@ -7282,160 +7434,18 @@ def build_queries() -> Dict[str, Callable]:
         "dataset_diff": q_dataset_diff,
         "link_graph": q_link_graph,
         "triangles": q_triangles,
-        "clustering_coeff": q_clustering_coeff,
-        "rollup": q_rollup,
-        "collect_set": q_collect_set,
-        "cube": q_cube,
-        "pivot": q_pivot,
-        "domain_degrees": q_domain_degrees,
-        "pagerank": q_pagerank,
-        "retention": q_retention,
-        "cohort_retention": q_cohort_retention,
-        "od_matrix": q_od_matrix,
-        "od_matrix_bucketed": q_od_matrix_bucketed,
-        "compact_cells": q_compact_cells,
-        "spacetime": q_spacetime,
-        "outlier_cells": q_outlier_cells,
-        "domain_stats": q_domain_stats,
-        "domain_footprint": q_domain_footprint,
-        "blocklist": q_blocklist,
-        "cluster_cells": q_cluster_cells,
-        "site_visits": q_site_visits,
-        "uncompact_roundtrip": q_uncompact_roundtrip,
-        "tile_pyramid": q_tile_pyramid,
-        "quantiles": q_quantiles,
-        "lang_quantiles": q_lang_quantiles,
-        "weighted_median": q_weighted_median,
-        "crawl_order": q_crawl_order,
-        "theil_sen": q_theil_sen,
-        "percentile_rank": q_percentile_rank,
-        "distinct_users": q_distinct_users,
-        "curation_pipeline": q_curation_pipeline,
-        "hot_cells": q_hot_cells,
-        "profile": q_profile,
-        "doc_sample": q_doc_sample,
-        "stratified_sample": q_stratified_sample,
-        "top_docs": q_top_docs,
-        "bigrams": q_bigrams,
-        "familiarity": q_familiarity,
-        "vocab": q_vocab,
-        "top_terms": q_top_terms,
-        "pmi": q_pmi,
-        "doc_frequency": q_doc_frequency,
-        "hop_window": q_hop_window,
-        "raster_zonal": q_raster_zonal,
-        "focal_mean": q_focal_mean,
-        "spatial_autocorr": q_spatial_autocorr,
-        "geofence": q_geofence,
-        "hll_users": q_hll_users,
-        "cms_users": q_cms_users,
-        "geofence_dwell": q_geofence_dwell,
-        "geofence_bucketed": q_geofence_bucketed,
-        "zscore_outliers": q_zscore_outliers,
-        "interval_join": q_interval_join,
-        "colocation": q_colocation,
-        "rdp_simplify": q_rdp_simplify,
-        "zorder": q_zorder,
-        "hilbert": q_hilbert,
-        "local_autocorr": q_local_autocorr,
-        "attribution": q_attribution,
-        "stay_points": q_stay_points,
-        "od_gravity": q_od_gravity,
-        "knox": q_knox,
-        "radius_anti": q_radius_anti,
-        "knn_graph": q_knn_graph,
-        "link_components": q_link_components,
-        "approx_quantiles": q_approx_quantiles,
-        "fuzzy_join": q_fuzzy_join,
-        "gi_star": q_gi_star,
-        "dbscan": q_dbscan,
-        "bloom_decontam": q_bloom_decontam,
-        "local_hour": q_local_hour,
-        "emerging_hotspots": q_emerging_hotspots,
-        "lang_frontier": q_lang_frontier,
-        "cell_terms": q_cell_terms,
-        "quadtree": q_quadtree,
-        "k_anonymity": q_k_anonymity,
-        "k_anon_generalize": q_k_anon_generalize,
-        "compression_ratio": q_compression_ratio,
-        "geo_composite": q_geo_composite,
-        "incremental_dedup": q_incremental_dedup,
-        "radius_of_gyration": q_radius_of_gyration,
-        "grid_bfs": q_grid_bfs,
-        "cell_mixture": q_cell_mixture,
-        "user_entropy": q_user_entropy,
-        "cell_top_quality": q_cell_top_quality,
-        "time_autocorr": q_time_autocorr,
-        "convex_hulls": q_convex_hulls,
-        "range_join": q_range_join,
-        "range_join_big": q_range_join_big,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_pruned": q_ann_ivf_pruned,
         "lookup_join": q_lookup_join,
-        "lookup_semi": q_lookup_semi,
-        "lookup_anti": q_lookup_anti,
         "hash_join": q_hash_join,
         "dedup_exact": q_dedup_exact,
         "distinct_lang": q_distinct_lang,
         "token_count": q_token_count,
         "quality": q_quality,
-        "lang_id": q_lang_id,
-        "lang_confusion": q_lang_confusion,
-        "fingerprint": q_fingerprint,
-        "repetition": q_repetition,
-        "near_dedup": q_near_dedup,
-        "url_dedup": q_url_dedup,
-        "url_canon_groups": q_url_canon_groups,
-        "snap_segments": q_snap_segments,
-        "target_encode": q_target_encode,
-        "robots_rules": q_robots_rules,
-        "cusum": q_cusum,
-        "quantile_bucket": q_quantile_bucket,
-        "crawl_pipeline": q_crawl_pipeline,
-        "areal_interp": q_areal_interp,
-        "hits": q_hits,
-        "grid_dijkstra": q_grid_dijkstra,
-        "bot_scores": q_bot_scores,
-        "vocab_drift": q_vocab_drift,
-        "mad_outliers": q_mad_outliers,
-        "bib_coupling": q_bib_coupling,
-        "rolling_median": q_rolling_median,
-        "teleports": q_teleports,
-        "reciprocity": q_reciprocity,
-        "burstiness": q_burstiness,
-        "gini": q_gini,
-        "ks_test": q_ks_test,
-        "attack_tolerance": q_attack_tolerance,
-        "join_counts": q_join_counts,
-        "ripley": q_ripley,
-        "group_split": q_group_split,
-        "benford": q_benford,
-        "mannwhitney": q_mannwhitney,
-        "crawl_budget": q_crawl_budget,
-        "near_dedup_quality": q_near_dedup_quality,
-        "decontam": q_decontam,
-        "decontam_clean": q_decontam_clean,
-        "bm25": q_bm25,
-        "llm_curation": q_llm_curation,
-        "classifier": q_classifier,
-        "pii_stats": q_pii_stats,
-        "pii_redact": q_pii_redact,
-        "train_order": q_train_order,
-        "mixture_sample": q_mixture_sample,
-        "pack_sequences": q_pack_sequences,
-        "pack_summary": q_pack_summary,
-        "similarity_join": q_similarity_join,
-        "containment_join": q_containment_join,
-        "polygon_cover": q_polygon_cover,
-        "reduce_cut": q_reduce_cut,
-        "binned_padded": q_binned_padded,
-        "jagged_reduce": q_jagged_reduce,
-        "jagged_explode": q_jagged_explode,
-        "chunk_dup": q_chunk_dup,
-        "dedup_spans": q_dedup_spans,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,
+        "kmeans": q_kmeans,
+        "rdp_simplify": q_rdp_simplify,
+        "approx_quantiles": q_approx_quantiles,
+        "compression_ratio": q_compression_ratio,
+        "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "image_features": q_image_features,
     }

@@ -59,9 +59,10 @@ class PIPJoiner:
             all_pids = np.concatenate([pids.astype(np.float64), np.full(len(un), np.nan)])
             order = np.lexsort((all_pids, all_rows))
             out = batch.take(pa.array(all_rows[order]))
-            pid_col = pa.array(
-                [None if np.isnan(p) else int(p) for p in all_pids[order]],
-                type=pa.int64())
+            ordered = all_pids[order]
+            null_mask = np.isnan(ordered)
+            vals = np.where(null_mask, 0, ordered).astype(np.int64)
+            pid_col = pa.array(vals, type=pa.int64(), mask=null_mask)
             return out.append_column("poly_id", pid_col)
         matched = np.zeros(len(batch), dtype=bool)
         matched[rows] = True

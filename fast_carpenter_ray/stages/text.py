@@ -49,10 +49,15 @@ class TokenCount:
         toks = s.str.split()
         batch["n_tokens"] = toks.str.len().fillna(0).astype(np.int64)
         batch["n_chars"] = s.str.len().astype(np.int64)
-        # ceil(len(word)/4) summed ~ subword count, vectorized
-        batch["n_subwords"] = toks.map(
-            lambda ws: int(sum((len(w) + 3) // 4 for w in ws)) if isinstance(ws, list) else 0
-        ).astype(np.int64)
+        # ceil(len(word)/4) summed ~ subword count: explode once, bincount
+        # back by positional row index (no per-row Python)
+        ex = pd.Series(toks.to_numpy(), copy=False).explode().dropna()
+        out = np.zeros(len(batch), dtype=np.int64)
+        if len(ex):
+            sub = (ex.str.len().to_numpy(np.int64) + 3) // 4
+            out = np.bincount(ex.index.to_numpy(np.int64), weights=sub,
+                              minlength=len(batch)).astype(np.int64)
+        batch["n_subwords"] = out
         return batch
 
     def apply(self, ds):
@@ -76,8 +81,15 @@ class QualityScore:
         n_tok = toks.str.len().fillna(0).astype(np.int64)
         n_chars = s.str.len().astype(np.int64)
         n_spaces = s.str.count(" ").astype(np.int64)
-        stop = self.stop_all
-        n_stop = toks.map(lambda ws: sum(w in stop for w in ws) if isinstance(ws, list) else 0)
+        # stopword hits: explode once, isin against the frozen set, bincount
+        # back by positional row index (no per-row Python)
+        ex = pd.Series(toks.to_numpy(), copy=False).explode().dropna()
+        n_stop = np.zeros(len(batch), dtype=np.int64)
+        if len(ex):
+            hits = ex.isin(self.stop_all).to_numpy(np.float64)
+            n_stop = np.bincount(ex.index.to_numpy(np.int64), weights=hits,
+                                 minlength=len(batch)).astype(np.int64)
+        n_stop = pd.Series(n_stop, index=batch.index)
         n_alpha = s.str.count(r"[A-Za-z]").astype(np.int64)
         denom_tok = np.maximum(n_tok, 1)
         batch["mean_word_len"] = (n_chars - n_spaces) / denom_tok
@@ -112,16 +124,23 @@ class LangId:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         toks = (batch[self.text_col].fillna("").str.lower()
                 .str.split(r"[ \t\n\r\f]+", regex=True))
-        langs, tables = self.langs, self.tables
-
-        def best(ws) -> str:
-            if not isinstance(ws, list) or not ws:
-                return "und"
-            scores = [sum(w in t for w in ws) for t in tables]
-            m = max(scores)
-            return langs[scores.index(m)] if m > 0 else "und"
-
-        batch[self.out] = toks.map(best)
+        # one explode for all languages, then per-language isin + bincount:
+        # scores[(lang, row)] = stopword-occurrence count, argmax over the
+        # sorted-lang axis reproduces the original first-max tie-break
+        n = len(batch)
+        ex = pd.Series(toks.to_numpy(), copy=False).explode().dropna()
+        if len(ex):
+            idx = ex.index.to_numpy(np.int64)
+            scores = np.stack([
+                np.bincount(idx, weights=ex.isin(t).to_numpy(np.float64),
+                            minlength=n).astype(np.int64)
+                for t in self.tables])
+            m = scores.max(axis=0)
+            pred = np.where(m > 0, np.asarray(self.langs, dtype=object)[
+                scores.argmax(axis=0)], "und")
+        else:
+            pred = np.full(n, "und", dtype=object)
+        batch[self.out] = pred
         return batch
 
     def apply(self, ds, concurrency=(1, 4)):
