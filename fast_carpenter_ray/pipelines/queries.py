@@ -1581,6 +1581,22 @@ def q_near_dedup(sf_dir: str):
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_near_dedup_fast(sf_dir: str):
+    """near_dedup under ``hash_mode="fast"`` — the corpus-scale
+    throughput path (vectorized siphash token hashing + preallocated
+    permutation math; x200-stress 9.2s -> 6.1s vs sha256 mode).
+    Rows-only by declared design: the fast token hash is not
+    SQL-replayable and borderline pairs can differ from the sha256
+    oracle path; survivor parity on unambiguous corpora is pinned by
+    tests/test_dedup_fast.py."""
+    ds = _neardup_corpus(sf_dir)
+    from ..stages.dedup import near_dedup
+
+    mh = MinHashDedup("near_dedup_fast", threshold=0.5, hash_mode="fast")
+    out = near_dedup(ds, mh).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_url_dedup(sf_dir: str):
     """Syntactic URL canonicalization + canonical-key dedup
     (stages/redirects.py normalize_urls + stages/dedup.py ExactDedup):
@@ -7448,4 +7464,5 @@ def build_queries() -> Dict[str, Callable]:
         "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "image_features": q_image_features,
+        "near_dedup_fast": q_near_dedup_fast,
     }

@@ -63,6 +63,66 @@ def tokenize(text: str) -> List[str]:
     return text.lower().split()
 
 
+def _explode_tokens(texts: List[Optional[str]]):
+    """Vectorized per-batch tokenization: lowercase + whitespace split for
+    every doc at once.  Returns ``(doc_idx, flat_tokens, lens)`` where
+    ``flat_tokens`` is doc-major (every doc's tokens contiguous, in order)
+    and ``lens[i]`` is doc i's token count."""
+    toks = pd.Series(texts, dtype=object).fillna("").str.lower().str.split()
+    lens = toks.str.len().to_numpy(np.int64)
+    ex = toks.explode().dropna()
+    return (ex.index.to_numpy(np.int64), ex.to_numpy(dtype=object), lens)
+
+
+def _hash_tokens_fast(flat_tokens: np.ndarray) -> np.ndarray:
+    """Vectorized deterministic uint64 token hash: pandas' keyed siphash
+    (``hash_array`` with its fixed default key) — process- and
+    platform-stable like the sha256 path, ~40x faster, but NOT replayable
+    in SQL.  Used only under ``hash_mode="fast"``; the sha256 path stays
+    the oracle-mode default."""
+    if len(flat_tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(flat_tokens, categorize=True)
+
+
+def _shingle_fold_fast(texts: List[Optional[str]], width: int):
+    """Per-batch word-shingle hashes with the fast token hash: one explode,
+    one vectorized hash, one rolling polynomial fold — no per-doc Python.
+
+    Returns ``(shingles uint64, offsets int64)`` where doc i's shingles are
+    ``shingles[offsets[i]:offsets[i+1]]``; docs shorter than ``width`` are
+    padded with the same ``"\\x00"`` sentinel as :func:`shingle_hashes`, so
+    every doc has >= 1 shingle."""
+    doc_idx, flat, lens = _explode_tokens(texts)
+    short = np.nonzero(lens < width)[0]
+    if len(short):
+        pad_counts = (width - lens[short]).astype(np.int64)
+        pad_idx = np.repeat(short, pad_counts)
+        doc_idx = np.concatenate([doc_idx, pad_idx])
+        flat = np.concatenate(
+            [flat, np.full(len(pad_idx), "\x00", dtype=object)])
+        # stable sort: original tokens stay before their doc's pads,
+        # matching shingle_hashes' toks + pads ordering
+        order = np.argsort(doc_idx, kind="stable")
+        flat = flat[order]
+        lens = np.maximum(lens, width)
+    th = _hash_tokens_fast(flat)
+    n_sh = lens - width + 1
+    total = int(n_sh.sum())
+    sh_bounds = np.concatenate([[0], np.cumsum(n_sh)])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), sh_bounds.astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    within = (np.arange(total, dtype=np.int64)
+              - np.repeat(sh_bounds[:-1], n_sh))
+    pos = np.repeat(starts, n_sh) + within
+    out = np.zeros(total, dtype=np.uint64)
+    P = np.uint64(1099511628211)
+    for j in range(width):
+        out = out * P + th[pos + j]
+    return out, sh_bounds.astype(np.int64)
+
+
 def shingle_hashes(text: str, width: int = 3,
                    _cache: Optional[dict] = None) -> np.ndarray:
     """uint64 hashes of word w-shingles, vectorized over the token array."""
@@ -230,8 +290,16 @@ class MinHashDedup:
     def __init__(self, name: str, text_col: str = "text", id_col: str = "doc_id",
                  num_perm: int = 128, bands: int = 16, shingle_width: int = 3,
                  threshold: float = 0.7, seed: int = 42,
-                 max_bucket: int = 512, num_partitions: Optional[int] = None):
+                 max_bucket: int = 512, num_partitions: Optional[int] = None,
+                 hash_mode: str = "sha256"):
         assert num_perm % bands == 0
+        if hash_mode not in ("sha256", "fast"):
+            raise ValueError("hash_mode must be 'sha256' (bit-exact SQL "
+                             "oracle contract) or 'fast' (vectorized "
+                             "siphash token hashing — the corpus-scale "
+                             "throughput path; same LSH guarantees, not "
+                             "SQL-replayable)")
+        self.hash_mode = hash_mode
         self.name = name
         self.text_col = text_col
         self.id_col = id_col
@@ -261,16 +329,52 @@ class MinHashDedup:
         vals = (np.outer(self.a, x) + self.b[:, None]) % _MERSENNE31
         return vals.min(axis=1)
 
+    def _signatures_fast(self, texts: List[Optional[str]]) -> np.ndarray:
+        """[n, num_perm] int64 signatures for a whole batch with ZERO
+        per-doc Python: one vectorized shingle fold
+        (:func:`_shingle_fold_fast`), then the same exact universal-hash
+        family as :meth:`signature` applied to the flat shingle array in
+        permutation chunks, with per-doc mins via ``minimum.reduceat``.
+        Duplicate shingles within a doc don't change the min, so the
+        sha256 path's ``np.unique`` is skipped."""
+        n = len(texts)
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype=np.int64)
+        shingles, bounds = _shingle_fold_fast(texts, self.shingle_width)
+        x = shingles % _MERSENNE31
+        offsets = bounds[:-1]
+        sigs = np.empty((self.num_perm, n), dtype=np.uint64)
+        # CHUNK=16 + preallocated out= buffers: the perm math is memory-
+        # bandwidth bound; 16 x #shingles x 8 B stays cache-friendly and
+        # avoiding per-chunk temporaries measured 1.7x faster than the
+        # naive chunk=32 expression (uint64 '%' beats a shift-add Mersenne
+        # fold here — the fold's three temporaries cost more than the div)
+        CHUNK = 16
+        y = np.empty((CHUNK, len(x)), dtype=np.uint64)
+        for c0 in range(0, self.num_perm, CHUNK):
+            a = self.a[c0:c0 + CHUNK, None]
+            b = self.b[c0:c0 + CHUNK, None]
+            yc = y[:len(a)]
+            np.multiply(a, x[None, :], out=yc)  # < 2^62: exact in uint64
+            np.add(yc, b, out=yc)
+            np.mod(yc, _MERSENNE31, out=yc)
+            np.minimum.reduceat(yc, offsets, axis=1,
+                                out=sigs[c0:c0 + len(a)])
+        return np.ascontiguousarray(sigs.T).astype(np.int64)
+
     def signature_batch(self, batch: pa.Table) -> pa.Table:
         """(doc_id, sig) rows; one per doc.  ``sig`` is fixed-size BINARY
         (num_perm little-endian int64s): Arrow's join kernel rejects
         (fixed-size-)list payload columns, and fixed-width binary decodes
         back to a [n, num_perm] matrix zero-copy."""
         texts = batch[self.text_col].to_pylist()
-        cache: dict = {}
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.int64)
-        for i, t in enumerate(texts):
-            sigs[i] = self.signature(t, cache).astype(np.int64)
+        if self.hash_mode == "fast":
+            sigs = self._signatures_fast(texts)
+        else:
+            cache: dict = {}
+            sigs = np.empty((len(texts), self.num_perm), dtype=np.int64)
+            for i, t in enumerate(texts):
+                sigs[i] = self.signature(t, cache).astype(np.int64)
         width = 8 * self.num_perm
         return pa.table({
             self.id_col: batch[self.id_col],
@@ -449,13 +553,18 @@ class SimHashDedup:
     """
 
     def __init__(self, name: str, text_col: str = "text", id_col: str = "doc_id",
-                 max_hamming: int = 3, max_bucket: int = 4096):
+                 max_hamming: int = 3, max_bucket: int = 4096,
+                 hash_mode: str = "sha256"):
+        if hash_mode not in ("sha256", "fast"):
+            raise ValueError("hash_mode must be 'sha256' or 'fast' "
+                             "(see MinHashDedup)")
         self.name = name
         self.text_col = text_col
         self.id_col = id_col
         self.max_hamming = max_hamming
         self.n_banks = 4
         self.max_bucket = int(max_bucket)
+        self.hash_mode = hash_mode
 
     @staticmethod
     def simhash(text: str, cache: Optional[dict] = None) -> int:
@@ -471,10 +580,37 @@ class SimHashDedup:
         return int(((votes > 0).astype(np.uint64)
                     << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
 
+    @staticmethod
+    def _simhash_fast(texts: List[Optional[str]]) -> np.ndarray:
+        """uint64 fingerprints for a whole batch with zero per-doc Python:
+        one explode + vectorized token hash, per-bit vote counts via
+        ``add.reduceat`` over doc offsets, branch-free bit pack."""
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        if n == 0:
+            return out
+        _, flat, lens = _explode_tokens(texts)
+        if len(flat) == 0:
+            return out
+        th = _hash_tokens_fast(flat)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        nonempty = np.nonzero(lens > 0)[0]
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1][nonempty]
+        ones = np.add.reduceat(bits, starts, axis=0)  # [n_nonempty, 64]
+        votes = 2 * ones - lens[nonempty, None]
+        out[nonempty] = ((votes > 0).astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64)
+        return out
+
     def fingerprint_batch(self, batch: pa.Table) -> pa.Table:
-        cache: dict = {}
-        hashes = [self.simhash(t, cache) for t in batch[self.text_col].to_pylist()]
-        signed = np.asarray(hashes, dtype=np.uint64).view(np.int64)
+        texts = batch[self.text_col].to_pylist()
+        if self.hash_mode == "fast":
+            signed = self._simhash_fast(texts).view(np.int64)
+        else:
+            cache: dict = {}
+            hashes = [self.simhash(t, cache) for t in texts]
+            signed = np.asarray(hashes, dtype=np.uint64).view(np.int64)
         return pa.table({
             self.id_col: batch[self.id_col],
             "simhash": pa.array(signed, type=pa.int64()),
