@@ -5044,8 +5044,12 @@ def build_oracles() -> Dict[str, str]:
             "SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, "
             "CASE WHEN g.n > 1 THEN "
             "(g.s - l.l_quantity) / CAST(g.n - 1 AS DOUBLE) "
-            "ELSE (t.gs - l.l_quantity) / CAST(t.gn - 1 AS DOUBLE) END "
-            "AS loo_mean "
+            # gn > 1 guard: a 1-row dataset has no leave-one-out
+            # information — NULL on both sides (ADVICE r3; the engine
+            # emits a null-masked value there)
+            "WHEN t.gn > 1 "
+            "THEN (t.gs - l.l_quantity) / CAST(t.gn - 1 AS DOUBLE) "
+            "ELSE NULL END AS loo_mean "
             "FROM lineitem l JOIN g USING (l_partkey) CROSS JOIN t"),
         "robots_rules": (
             "WITH u AS (SELECT doc_id, "
@@ -5551,16 +5555,22 @@ def build_oracles() -> Dict[str, str]:
             f"AND abs(l1.cell // {_N} - l2.cell // {_N}) <= 1 "
             f"AND least(((l1.cell % {_N}) - (l2.cell % {_N}) + {_N}) % {_N}, "
             f"((l2.cell % {_N}) - (l1.cell % {_N}) + {_N}) % {_N}) <= 1) "
+            # coalesce()/CASE: with zero adjacent pairs the bare aggregates
+            # give NULL sums and a NULL ratio while the engine emits 0
+            # counts and a NaN ratio — align both sides (ADVICE r3)
             "SELECT (SELECT CAST(count(*) AS BIGINT) FROM lbl) AS n_cells, "
-            "(SELECT CAST(sum(b) AS BIGINT) FROM lbl) AS n_black, "
+            "(SELECT CAST(coalesce(sum(b), 0) AS BIGINT) FROM lbl) "
+            "AS n_black, "
             "CAST(count(*) AS BIGINT) AS n_edges, "
-            "CAST(sum(b1 * b2) AS BIGINT) AS bb, "
-            "CAST(sum(CASE WHEN b1 != b2 THEN 1 ELSE 0 END) AS BIGINT) "
-            "AS bw, "
-            "CAST(sum(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
-            "AS BIGINT) AS ww, "
+            "CAST(coalesce(sum(b1 * b2), 0) AS BIGINT) AS bb, "
+            "CAST(coalesce(sum(CASE WHEN b1 != b2 THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT) AS bw, "
+            "CAST(coalesce(sum(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 "
+            "END), 0) AS BIGINT) AS ww, "
+            "CASE WHEN count(*) > 0 THEN "
             "CAST(sum(CASE WHEN b1 != b2 THEN 1 ELSE 0 END) AS DOUBLE) "
-            "/ CAST(count(*) AS DOUBLE) AS bw_ratio FROM adj"),
+            "/ CAST(count(*) AS DOUBLE) ELSE CAST('nan' AS DOUBLE) END "
+            "AS bw_ratio FROM adj"),
         "crawl_budget": (
             "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
             "FROM documents GROUP BY source), "

@@ -441,7 +441,9 @@ def join_counts(ds, res: int, lat_col: str = "lat", lng_col: str = "lng",
         ww += int(((a == 0) & (b == 0) & both).sum())
         bw += int(((a != b) & both).sum())
 
-    ratio = (np.float64(bw) / np.float64(edges)) if edges else np.float64(0)
+    # zero-edge degenerate: NaN (the SQL oracle's NULL/0 -> NULL becomes
+    # NaN in pandas), not 0.0 — aligns both sides (ADVICE r3)
+    ratio = (np.float64(bw) / np.float64(edges)) if edges else np.float64("nan")
     return pd.DataFrame({
         "n_cells": np.array([len(cells)], dtype=np.int64),
         "n_black": np.array([int(black.sum())], dtype=np.int64),

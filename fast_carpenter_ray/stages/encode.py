@@ -120,13 +120,20 @@ def target_encode(ds, key: str, target: str,
         x = batch[target].to_numpy(zero_copy_only=False).astype(np.float64)
         s = batch["_te_s"].to_numpy(zero_copy_only=False)
         n = batch["_te_n"].to_numpy(zero_copy_only=False)
+        batch = batch.drop_columns(["_te_s", "_te_n"])
         if gn > 1:
             fallback = (gs - x) / np.float64(gn - 1)
         else:
-            fallback = np.zeros_like(x)
+            # a 1-row dataset has no leave-one-out information at all:
+            # emit NULL, mirrored by the oracle's CASE WHEN t.gn > 1
+            # guard (ADVICE r3 — the bare SQL divides by zero here)
+            loo = np.where(n > 1, (s - x) / np.maximum(n - 1, 1).astype(
+                np.float64), np.nan)
+            return batch.append_column(
+                out, pa.array(loo, type=pa.float64(),
+                              mask=~np.isfinite(loo)))
         loo = np.where(n > 1, (s - x) / np.maximum(n - 1, 1).astype(
             np.float64), fallback)
-        batch = batch.drop_columns(["_te_s", "_te_n"])
         return batch.append_column(out, pa.array(loo, type=pa.float64()))
 
     return joined.map_batches(finish, batch_format="pyarrow")

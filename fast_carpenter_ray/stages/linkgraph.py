@@ -586,6 +586,11 @@ def hits(ds=None, html: str = "html", url: str = "url", iters: int = 2,
             return pd.DataFrame({"domain": pd.Series([], dtype=object),
                                  "hub": pd.Series([], dtype=np.float64),
                                  "authority": pd.Series([], dtype=np.float64)})
+        # canonical edge order: np.add.at accumulates in row order, and
+        # Ray block arrival order is nondeterministic — sort so repeated
+        # runs produce bit-identical float sums (ADVICE r3)
+        df = (df.sort_values(["dst_domain", "src_domain"], kind="stable")
+              .reset_index(drop=True))
         domains = np.union1d(df["src_domain"].to_numpy(),
                              df["dst_domain"].to_numpy())
         si = np.searchsorted(domains, df["src_domain"].to_numpy())

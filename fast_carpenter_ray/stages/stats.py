@@ -530,8 +530,14 @@ def mad_outliers(ds, group: str = "event_type", value_col: str = "value",
     import ray
 
     def to_int(batch: pa.Table) -> pa.Table:
-        x = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
-                     * scale).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        # drop non-finite rows BEFORE the int cast (a NaN casts to a
+        # platform-defined garbage int64); matches the SQL oracle, whose
+        # NULL rows fall out of the aggregate (ADVICE r3)
+        fin = np.isfinite(v)
+        if not fin.all():
+            batch, v = batch.filter(pa.array(fin)), v[fin]
+        x = np.floor(v * scale).astype(np.int64)
         return pa.table({id_col: batch[id_col], group: batch[group],
                          "_x": pa.array(x, type=pa.int64())})
 
@@ -652,10 +658,13 @@ def ks_two_sample(ds, group: str, value_col: str, a, b, scale: int = 64,
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch[group].to_pandas().to_numpy(dtype=object)
-        x = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        x = np.floor(np.where(np.isfinite(v), v, 0.0)
                      * scale).astype(np.int64)
+        # non-finite rows are excluded (the oracle's NULL rows fall out
+        # of the aggregate; a NaN would cast to garbage int64, ADVICE r3)
         in_a, in_b = g == a, g == b
-        keep = in_a | in_b
+        keep = (in_a | in_b) & np.isfinite(v)
         df = pd.DataFrame({"v": x[keep],
                            "ca": in_a[keep].astype(np.int64),
                            "cb": in_b[keep].astype(np.int64)})
@@ -761,10 +770,13 @@ def mannwhitney_u(ds, group: str, value_col: str, a, b, scale: int = 64):
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch[group].to_pandas().to_numpy(dtype=object)
-        x = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        x = np.floor(np.where(np.isfinite(v), v, 0.0)
                      * scale).astype(np.int64)
+        # non-finite rows are excluded (the oracle's NULL rows fall out
+        # of the aggregate; a NaN would cast to garbage int64, ADVICE r3)
         in_a, in_b = g == a, g == b
-        keep = in_a | in_b
+        keep = (in_a | in_b) & np.isfinite(v)
         df = pd.DataFrame({"v": x[keep],
                            "ca": in_a[keep].astype(np.int64),
                            "cb": in_b[keep].astype(np.int64)})

@@ -586,11 +586,16 @@ def cusum_changepoints(ds, key: str = "user_id", ts: str = "ts",
     from ..agg import default_partitions
 
     def slim(batch: pa.Table) -> pa.Table:
+        v = batch[value].to_numpy(zero_copy_only=False)
+        # drop non-finite rows BEFORE the int cast (NaN casts to garbage
+        # int64); matches the SQL oracle's NULL-row exclusion (ADVICE r3)
+        fin = np.isfinite(v)
+        if not fin.all():
+            batch, v = batch.filter(pa.array(fin)), v[fin]
         t = batch[ts]
         if pa.types.is_timestamp(t.type):
             t = t.cast(pa.int64())
-        x = np.floor(batch[value].to_numpy(zero_copy_only=False)
-                     * scale).astype(np.int64)
+        x = np.floor(v * scale).astype(np.int64)
         return pa.table({key: batch[key], "_t": t, "_i": batch[id_col],
                          "_x": pa.array(x, type=pa.int64())})
 
