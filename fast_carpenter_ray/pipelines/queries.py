@@ -3878,29 +3878,44 @@ def q_ann_ivf_pruned(sf_dir: str):
 
 
 def q_image_features(sf_dir: str):
-    """Multimodal plumbing demo: binary payloads through the (fake) decode
-    actor pool -> feature summary (rows-only check; decode is stubbed)."""
+    """REAL image decode through the actor-pool stage: a deterministic
+    4x4 P6 PPM is synthesized per doc (pixel j channel value =
+    ``(doc_id * 2654435761 + j * 40503) % 256``), decoded by the
+    pure-NumPy netpbm codec (stages/multimodal.py decode_ppm), and the
+    per-channel means are reconstructed to integer pixel SUMS (exact:
+    16 px/channel, and float64 division by 16 is lossless) — so the
+    whole decode path sits under a hash-exact SQL replay of the pixel
+    formula."""
     import ray.data as rd
 
     from ..stages import ImageDecode
+    from ..stages.multimodal import encode_ppm
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def to_media(batch: pa.Table) -> pa.Table:
-        payloads = [t.encode("utf-8")[:64] for t in batch["text"].to_pylist()]
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.arange(48, dtype=np.int64)
+        vals = ((d[:, None] * 2654435761 + j[None, :] * 40503) % 256)
+        payloads = [encode_ppm(v.astype(np.uint8).reshape(4, 4, 3))
+                    for v in vals]
         return pa.table({
             "media_id": batch["doc_id"],
             "payload": pa.array(payloads, type=pa.binary()),
         })
 
     media = ds.map_batches(to_media, batch_format="pyarrow")
-    feats = ImageDecode.apply(media, fake=True)
+    feats = ImageDecode.apply(media)  # real PPM decode, no fake
 
     def summarize(batch: pa.Table) -> pa.Table:
         m = np.stack([np.asarray(f) for f in batch["features"].to_pylist()])
         return pa.table({
             "media_id": batch["media_id"],
-            "feat_mean": pa.array(np.round(m.mean(axis=1), 6)),
+            "height": pa.array(m[:, 0].astype(np.int64)),
+            "width": pa.array(m[:, 1].astype(np.int64)),
+            "sum_r": pa.array(np.rint(m[:, 4] * 16).astype(np.int64)),
+            "sum_g": pa.array(np.rint(m[:, 5] * 16).astype(np.int64)),
+            "sum_b": pa.array(np.rint(m[:, 6] * 16).astype(np.int64)),
         })
 
     return feats.map_batches(summarize, batch_format="pyarrow")
@@ -7248,6 +7263,18 @@ def build_oracles() -> Dict[str, str]:
             "SELECT query_id, neighbor_id, "
             "row_number() OVER (PARTITION BY query_id ORDER BY r4 DESC, neighbor_id) AS rank "
             "FROM p) WHERE rank <= 5"),
+        # replays the deterministic 4x4 PPM pixel formula; the engine side
+        # goes through the REAL netpbm decoder (stages/multimodal.py)
+        "image_features": (
+            "WITH px AS (SELECT d.doc_id, j.j, "
+            "(d.doc_id * 2654435761 + j.j * 40503) % 256 AS v "
+            "FROM documents d CROSS JOIN (SELECT unnest(range(48)) AS j) j) "
+            "SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS height, "
+            "CAST(4 AS BIGINT) AS width, "
+            "CAST(sum(CASE WHEN j % 3 = 0 THEN v END) AS BIGINT) AS sum_r, "
+            "CAST(sum(CASE WHEN j % 3 = 1 THEN v END) AS BIGINT) AS sum_g, "
+            "CAST(sum(CASE WHEN j % 3 = 2 THEN v END) AS BIGINT) AS sum_b "
+            "FROM px GROUP BY doc_id"),
     }
     # bucketed variants are bit-identical to their flat operators and
     # share the same oracle SQL (the od/window/session pattern)

@@ -284,13 +284,101 @@ def _gated(module: str, fn):
     return write
 
 
+def _write_xlsx(df: pd.DataFrame, path: str) -> None:
+    """Self-contained xlsx writer (stdlib zipfile + XML — an .xlsx is a
+    zip of OOXML parts), so the reference's xlsx summary target
+    (summary/binned_dataframe.py:15) works without the optional openpyxl
+    engine.  Uses pandas ``to_excel`` when openpyxl IS available;
+    otherwise writes one sheet with a header row, numeric cells typed
+    numeric and everything else as inline strings."""
+    try:
+        import openpyxl  # noqa: F401
+
+        df.to_excel(path)
+        return
+    except ImportError:
+        pass
+    import numbers
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    flat = df.reset_index()
+    for c in flat.columns:
+        if len(flat[c]) and isinstance(flat[c].iloc[0], pd.Interval):
+            flat[c] = flat[c].astype(str)
+
+    def col_name(j: int) -> str:
+        s = ""
+        j += 1
+        while j:
+            j, r = divmod(j - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    def cell(j: int, i: int, v) -> str:
+        ref = f"{col_name(j)}{i + 1}"
+        if isinstance(v, numbers.Number) and not isinstance(v, bool) \
+                and v == v:  # finite check for the numeric cell type
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return (f'<c r="{ref}" t="inlineStr"><is><t>'
+                f"{escape(str(v))}</t></is></c>")
+
+    rows = ['<row r="1">'
+            + "".join(cell(j, 0, c) for j, c in enumerate(flat.columns))
+            + "</row>"]
+    for i, (_, row) in enumerate(flat.iterrows(), start=1):
+        rows.append(f'<row r="{i + 1}">'
+                    + "".join(cell(j, i, v) for j, v in enumerate(row))
+                    + "</row>")
+    sheet = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<worksheet xmlns="http://schemas.openxmlformats.org/'
+             'spreadsheetml/2006/main"><sheetData>'
+             + "".join(rows) + "</sheetData></worksheet>")
+    workbook = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<workbook xmlns="http://schemas.openxmlformats.org/'
+                'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+                'openxmlformats.org/officeDocument/2006/relationships">'
+                '<sheets><sheet name="summary" sheetId="1" r:id="rId1"/>'
+                "</sheets></workbook>")
+    wb_rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+               '<Relationships xmlns="http://schemas.openxmlformats.org/'
+               'package/2006/relationships"><Relationship Id="rId1" '
+               'Type="http://schemas.openxmlformats.org/officeDocument/'
+               '2006/relationships/worksheet" '
+               'Target="worksheets/sheet1.xml"/></Relationships>')
+    rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships"><Relationship Id="rId1" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/'
+            'relationships/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>")
+    types = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<Types xmlns="http://schemas.openxmlformats.org/package/'
+             '2006/content-types">'
+             '<Default Extension="rels" ContentType="application/vnd.'
+             'openxmlformats-package.relationships+xml"/>'
+             '<Default Extension="xml" ContentType="application/xml"/>'
+             '<Override PartName="/xl/workbook.xml" ContentType='
+             '"application/vnd.openxmlformats-officedocument.'
+             'spreadsheetml.sheet.main+xml"/>'
+             '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+             '"application/vnd.openxmlformats-officedocument.'
+             'spreadsheetml.worksheet+xml"/></Types>')
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", types)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
 _WRITERS = {
     ".csv": lambda df, path: df.to_csv(path, float_format="%.17g"),
     ".txt": lambda df, path: df.to_csv(path, float_format="%.17g"),
     ".parquet": _write_parquet,
     ".pkl": lambda df, path: df.to_pickle(path),
     ".json": lambda df, path: df.reset_index().to_json(path, orient="records"),
-    ".xlsx": _gated("openpyxl", lambda df, path: df.to_excel(path)),
+    ".xlsx": _write_xlsx,
     ".h5": _gated("tables", lambda df, path: df.to_hdf(path, key="summary")),
 }
 

@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video decode libraries are not available in this sandbox, so
-the DECODE KERNEL is stubbed (``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic content-derived fake).
-Everything Ray-side is real and tested: schema handling, actor-pool stage
-shape, small-batch sizing for wide binary rows, and the fixed-size feature
-output layout — swap ``_decode_real`` for PIL/ffmpeg on a real cluster.
+The IMAGE leg has a real decode kernel: pure-NumPy PPM (P5/P6 netpbm) and
+uncompressed BMP (24/32-bit BI_RGB) decoders + nearest-neighbor resize +
+a 16-dim deterministic feature vector — no wheels needed, exact goldens
+testable.  JPEG/PNG (and the audio/video codecs) are not available in
+this sandbox, so those kernels stay stubbed (``NotImplementedError``
+unless ``fake=True``, which substitutes a deterministic content-derived
+fake).  Everything Ray-side is real and tested: schema handling,
+actor-pool stage shape, small-batch sizing for wide binary rows, and the
+fixed-size feature output layout — swap the codec table for PIL/ffmpeg
+on a real cluster.
 """
 
 from __future__ import annotations
@@ -16,7 +20,68 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["ImageDecode", "FrameSample", "AudioResample", "media_schema"]
+__all__ = ["ImageDecode", "FrameSample", "AudioResample", "media_schema",
+           "decode_ppm", "decode_bmp", "encode_ppm"]
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Pure-NumPy netpbm decoder: binary P6 (RGB) / P5 (grayscale, expanded
+    to 3 channels).  Returns uint8 [H, W, 3].  maxval must be <= 255."""
+    if not buf or buf[:1] != b"P" or buf[1:2] not in b"56":
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    gray = buf[1:2] == b"5"
+    # header: magic, width, height, maxval — '#' comments allowed between
+    # tokens, a single whitespace byte separates maxval from raster data
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 1 if gray else 3
+    raster = np.frombuffer(buf, dtype=np.uint8, count=w * h * ch, offset=pos)
+    img = raster.reshape(h, w, ch)
+    return np.repeat(img, 3, axis=2) if gray else img
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Pure-NumPy BMP decoder: uncompressed (BI_RGB) 24/32-bit, BITMAPINFO
+    header.  Returns uint8 [H, W, 3] (RGB, top-down)."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BMP supported "
+                         f"(bpp={bpp}, compression={comp})")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * abs(h),
+                         offset=off).reshape(abs(h), stride)
+    img = rows[:, :w * nch].reshape(abs(h), w, nch)
+    if h > 0:  # positive height = bottom-up storage
+        img = img[::-1]
+    return img[:, :, 2::-1]  # BGR(A) -> RGB
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_ppm` (P6) — used by tests and the
+    deterministic payload synthesizer."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img.astype(np.uint8)).tobytes()
 
 
 def media_schema() -> pa.Schema:
@@ -35,10 +100,17 @@ def media_schema() -> pa.Schema:
 class ImageDecode:
     """Actor-pool stage: payload -> fixed-size feature vector.
 
-    ``__init__`` is where a real model/codec loads (once per actor);
-    ``__call__`` decodes + feature-extracts per batch.  Keep ``batch_size``
+    ``__init__`` is where a real model/codec loads (once per actor) — here
+    the codec table (magic bytes -> decoder); ``__call__`` decodes +
+    feature-extracts per batch.  PPM/BMP decode is REAL (pure NumPy, see
+    :func:`decode_ppm`/:func:`decode_bmp`); JPEG/PNG payloads raise with a
+    pointer to the PIL swap-in; ``fake=True`` keeps the content-derived
+    deterministic double for payloadless tests.  Keep ``batch_size``
     small (payloads are wide): 64-256 rows per batch so batch x concurrency
     fits worker heaps (SURVEY.md memory guidance).
+
+    Features (16, all deterministic): height, width, aspect, luma mean,
+    then per RGB channel (mean, std, min, max).
     """
 
     FEATURE_DIM = 16
@@ -46,11 +118,35 @@ class ImageDecode:
     def __init__(self, fake: bool = False, resize: Optional[tuple] = None):
         self.fake = fake
         self.resize = resize
-        if not fake:
-            # real path: import PIL / torchvision here, ONCE per actor
-            raise NotImplementedError(
-                "image decode requires PIL/torchvision (not in this sandbox); "
-                "construct with fake=True for the deterministic test double")
+        # codec table built once per actor (the "model load" slot)
+        self._codecs = ((b"P5", decode_ppm), (b"P6", decode_ppm),
+                        (b"BM", decode_bmp))
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        for magic, codec in self._codecs:
+            if payload[:len(magic)] == magic:
+                return codec(payload)
+        raise NotImplementedError(
+            f"image payload with magic {payload[:4]!r}: only PPM/BMP decode "
+            "in this sandbox — swap in PIL for JPEG/PNG on a real cluster")
+
+    @staticmethod
+    def _resize_nn(img: np.ndarray, size: tuple) -> np.ndarray:
+        """Nearest-neighbor resize to (width, height) — deterministic."""
+        w, h = size
+        yy = (np.arange(h) * img.shape[0]) // h
+        xx = (np.arange(w) * img.shape[1]) // w
+        return img[yy][:, xx]
+
+    def _features(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        px = img.reshape(-1, 3).astype(np.float64)
+        luma = (0.299 * px[:, 0] + 0.587 * px[:, 1] + 0.114 * px[:, 2])
+        return np.concatenate([
+            [np.float64(h), np.float64(w), np.float64(h) / np.float64(w),
+             luma.mean()],
+            px.mean(axis=0), px.std(axis=0),
+            px.min(axis=0), px.max(axis=0)])
 
     def _decode_fake(self, payload: bytes) -> np.ndarray:
         # deterministic content-derived pseudo-features: stable across runs
@@ -59,7 +155,14 @@ class ImageDecode:
         return raw / np.float64(2**64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._decode_fake(p) for p in batch["payload"].to_pylist()]
+        if self.fake:
+            feats = [self._decode_fake(p)
+                     for p in batch["payload"].to_pylist()]
+        else:
+            imgs = (self._decode(p) for p in batch["payload"].to_pylist())
+            if self.resize is not None:
+                imgs = (self._resize_nn(i, self.resize) for i in imgs)
+            feats = [self._features(i) for i in imgs]
         col = pa.array([f.tolist() for f in feats], type=pa.list_(pa.float64()))
         out = batch.drop_columns(["payload"])  # payload never flows downstream
         return out.append_column("features", col)

@@ -157,8 +157,30 @@ def test_write_summary_formats(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported"):
         write_summary(df, str(tmp_path / "s.nope"))
-    for gated in ("s.xlsx", "s.h5"):
-        try:
-            write_summary(df, str(tmp_path / gated))
-        except NotImplementedError as err:
-            assert "optional" in str(err)  # engine absent in this sandbox
+    try:
+        write_summary(df, str(tmp_path / "s.h5"))
+    except NotImplementedError as err:
+        assert "optional" in str(err)  # pytables absent in this sandbox
+
+    # xlsx: self-contained OOXML writer, no optional engine needed —
+    # round-trip by parsing the zip's sheet XML with the stdlib
+    xlsx_path = str(tmp_path / "s.xlsx")
+    write_summary(df, xlsx_path)
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(xlsx_path) as z:
+        assert set(z.namelist()) >= {"[Content_Types].xml",
+                                     "xl/workbook.xml",
+                                     "xl/worksheets/sheet1.xml"}
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    rows = sheet.findall(".//m:row", ns)
+    assert len(rows) == len(df) + 1  # header + data
+    header = ["".join(t.text or "" for t in c.findall(".//m:t", ns))
+              for c in rows[0].findall("m:c", ns)]
+    assert "n" in header and "w:sumw" in header
+    n_col = header.index("n")
+    got_n = [int(float(r.findall("m:c", ns)[n_col].find("m:v", ns).text))
+             for r in rows[1:]]
+    assert got_n == df["n"].tolist()

@@ -22,3 +22,86 @@ def test_audio_resample_stub(ray_session):
         assert list(a) == list(b)
     with pytest.raises(Exception):
         AudioResample(fake=False)
+
+
+def test_decode_ppm_golden():
+    import numpy as np
+
+    from fast_carpenter_ray.stages.multimodal import decode_ppm, encode_ppm
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    back = decode_ppm(encode_ppm(img))
+    np.testing.assert_array_equal(back, img)
+    # comments + P5 grayscale expansion
+    p5 = b"P5\n# a comment\n2 2\n255\n" + bytes([10, 20, 30, 40])
+    g = decode_ppm(p5)
+    assert g.shape == (2, 2, 3)
+    np.testing.assert_array_equal(g[:, :, 0].ravel(), [10, 20, 30, 40])
+    np.testing.assert_array_equal(g[:, :, 1], g[:, :, 0])
+    with pytest.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n1 2 3")  # ascii netpbm unsupported
+
+
+def test_decode_bmp_golden():
+    import numpy as np
+
+    from fast_carpenter_ray.stages.multimodal import decode_bmp
+
+    # hand-built 2x2 24-bit bottom-up BMP: rows padded to 4 bytes
+    w = h = 2
+    stride = (w * 3 + 3) & ~3  # 8
+    px = {(0, 0): (255, 0, 0), (0, 1): (0, 255, 0),
+          (1, 0): (0, 0, 255), (1, 1): (10, 20, 30)}  # (row, col) -> RGB
+    raster = bytearray()
+    for row in (1, 0):  # bottom-up
+        line = bytearray()
+        for col in (0, 1):
+            r, g, b = px[(row, col)]
+            line += bytes([b, g, r])  # BGR
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    header = (b"BM" + (54 + len(raster)).to_bytes(4, "little")
+              + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+              + b"\x00" * 16)
+    img = decode_bmp(bytes(header + raster))
+    assert img.shape == (2, 2, 3)
+    for (row, col), rgb in px.items():
+        assert tuple(img[row, col]) == rgb
+
+
+def test_image_decode_real_pipeline(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.multimodal import ImageDecode, encode_ppm
+
+    img0 = np.zeros((4, 4, 3), dtype=np.uint8)
+    img0[:, :, 0] = 100  # solid red 100
+    img1 = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    tab = pa.table({
+        "media_id": pa.array([0, 1], type=pa.int64()),
+        "payload": pa.array([encode_ppm(img0), encode_ppm(img1)],
+                            type=pa.binary()),
+    })
+    out = (ImageDecode.apply(rd.from_arrow(tab))
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    f0 = np.asarray(out["features"][0])
+    assert f0[0] == 4 and f0[1] == 4          # h, w
+    assert f0[4] == 100 and f0[5] == 0        # mean_r, mean_g
+    assert f0[8] == 0                          # std_r of a solid channel
+    f1 = np.asarray(out["features"][1])
+    assert f1[4] == img1[:, :, 0].mean()
+    assert f1[15] == img1[:, :, 2].max()
+    # resize path: 4x4 -> 2x2 nearest-neighbor keeps the solid value
+    out2 = ImageDecode.apply(rd.from_arrow(tab), resize=(2, 2)).to_pandas()
+    fr = np.asarray(out2.sort_values("media_id")["features"].iloc[0])
+    assert fr[0] == 2 and fr[1] == 2 and fr[4] == 100
+    # unsupported magic (e.g. JPEG) raises with a clear pointer
+    dec = ImageDecode()
+    with pytest.raises(NotImplementedError, match="PIL"):
+        dec._decode(b"\xff\xd8\xff\xe0 fake jpeg")
