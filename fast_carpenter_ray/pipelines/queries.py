@@ -1470,6 +1470,40 @@ def q_distinct_lang(sf_dir: str):
     return out[["lang", "first_doc", "n"]]
 
 
+def q_text_clean(sf_dir: str):
+    """Unicode text normalization (stages/text.py TextClean): NFC +
+    control-strip + whitespace collapse + trim over a deterministically
+    dirtied corpus (combining accent, C0 controls, tab runs appended per
+    doc — both engines construct the identical mess).  Oracle: DuckDB
+    nfc_normalize + the same two RE2 char-class replaces."""
+    import ray.data as rd
+
+    from ..stages.text import TextClean
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        messy = [t + " \t\t" + "e" + chr(769) + "clair" + chr(1 + int(i) % 8)
+                 for i, t in zip(d, texts)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(messy, type=pa.string())})
+
+    out = TextClean().apply(ds.map_batches(dirty, batch_format="pyarrow"))
+
+    def lengths(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "text_clean": batch["text_clean"],
+            "orig_len": batch["text"].str.len().astype(np.int64),
+            "clean_len": batch["text_clean"].str.len().astype(np.int64),
+        })
+
+    return out.map_batches(lengths, batch_format="pandas")
+
+
 def q_token_count(sf_dir: str):
     import ray.data as rd
 
@@ -7263,6 +7297,18 @@ def build_oracles() -> Dict[str, str]:
             "SELECT query_id, neighbor_id, "
             "row_number() OVER (PARTITION BY query_id ORDER BY r4 DESC, neighbor_id) AS rank "
             "FROM p) WHERE rank <= 5"),
+        "text_clean": (
+            "WITH m AS (SELECT doc_id, text || ' ' || chr(9) || chr(9) || "
+            "'e' || chr(769) || 'clair' || "
+            "chr(CAST(1 + doc_id % 8 AS INTEGER)) AS text "
+            "FROM documents), "
+            "c AS (SELECT doc_id, text, trim(regexp_replace(regexp_replace("
+            "nfc_normalize(text), "
+            r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), "
+            r"'[ \t\r\n\f]+', ' ', 'g'), ' ') AS text_clean FROM m) "
+            "SELECT doc_id, text_clean, "
+            "CAST(length(text) AS BIGINT) AS orig_len, "
+            "CAST(length(text_clean) AS BIGINT) AS clean_len FROM c"),
         # replays the deterministic 4x4 PPM pixel formula; the engine side
         # goes through the REAL netpbm decoder (stages/multimodal.py)
         "image_features": (
@@ -7344,6 +7390,9 @@ def build_queries() -> Dict[str, Callable]:
         "collect_set": q_collect_set,
         "profile": q_profile,
         "curation_pipeline": q_curation_pipeline,
+        # -- round-4 additions (oracle-backed, driver-unconfirmed): next
+        #    rotation window starts here --
+        "text_clean": q_text_clean,
         "clustering_coeff": q_clustering_coeff,
         "domain_degrees": q_domain_degrees,
         "pagerank": q_pagerank,

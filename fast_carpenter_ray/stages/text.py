@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["TokenCount", "QualityScore", "LangId", "Fingerprint",
+           "TextClean",
            "vocab_count", "doc_frequency", "ngram_count", "top_terms",
            "pmi_bigrams", "term_trends", "RepetitionStats",
            "token_familiarity",
@@ -148,6 +149,39 @@ class LangId:
         return ds.map_batches(
             LangId, fn_constructor_kwargs={"text_col": self.text_col, "out": self.out},
             batch_format="pandas", concurrency=concurrency)
+
+
+class TextClean:
+    """Unicode text normalization for curation pipelines: NFC normalize,
+    strip C0/DEL control characters (keeping ``\\t \\n \\r \\f``, which the
+    whitespace collapse then folds), collapse whitespace runs to single
+    spaces, trim.  Every primitive is chosen for bit-exact SQL replay:
+    DuckDB ``nfc_normalize`` implements the same Unicode NFC as Python's
+    ``unicodedata`` (both standard-conformant), and the two regex classes
+    are plain char classes identical under Python re and RE2.
+
+    Vectorized per batch (``Series.str`` kernels, compiled patterns on the
+    class); no shuffle — a pure map stage in the Define mold.
+    """
+
+    CTRL = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+    WS = r"[ \t\r\n\f]+"
+
+    def __init__(self, text_col: str = "text", out: str = "text_clean"):
+        self.text_col = text_col
+        self.out = out
+        self._ctrl = re.compile(self.CTRL)
+        self._ws = re.compile(self.WS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        c = s.str.normalize("NFC").str.replace(self._ctrl, "", regex=True)
+        c = c.str.replace(self._ws, " ", regex=True).str.strip(" ")
+        batch[self.out] = c
+        return batch
+
+    def apply(self, ds):
+        return ds.map_batches(self, batch_format="pandas")
 
 
 class Fingerprint:

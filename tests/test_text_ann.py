@@ -97,8 +97,10 @@ def media_batch(n=6):
 
 
 def test_image_decode_stub():
+    # real (non-fake) construction succeeds now (PPM/BMP codecs are real);
+    # unsupported payload magics raise at decode time instead
     with pytest.raises(NotImplementedError):
-        ImageDecode(fake=False)
+        ImageDecode(fake=False)(media_batch())
     stage = ImageDecode(fake=True)
     out = stage(media_batch())
     assert "payload" not in out.column_names

@@ -128,3 +128,24 @@ def test_vocab_drift_min_support(ray_session):
     out = vocab_drift(rd.from_arrow(t), min_support=5).to_pandas()
     assert "rare" not in set(out["token"])
     assert "word" in set(out["token"])
+
+
+def test_text_clean(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.text import TextClean
+
+    tab = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": ["  hello \t\t world \n",
+                 "e" + chr(769) + "clair\x00\x08ok",  # NFC + control strip
+                 None],
+    })
+    out = (TextClean().apply(rd.from_arrow(tab)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["text_clean"][0] == "hello world"
+    assert out["text_clean"][1] == "éclairok"  # composed é, controls gone
+    assert out["text_clean"][2] == ""
