@@ -11,8 +11,12 @@ nothing here (or in the library) calls ``ray.init``/``ray.shutdown``.
 * ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
   the training-data extensions).
 * ``oracle_sql()`` — DuckDB-equivalent SQL per query where the operator is
-  SQL-expressible; approximate/stateful ops (MinHash/SimHash/LSH, the
-  haversine kNN engine path, stubbed multimodal) are rows-only by design.
+  SQL-expressible (incl. the full MinHash/SimHash LSH chains and the real
+  PPM image-decode path); the 7 rows-only-by-design queries (IVF partial
+  probe, embedding LSH, k-means float drift, RDP recursion, block-layout
+  approximate quantiles, DEFLATE ratio, fast-hash near-dedup) sit at the
+  END of ``queries()`` so the driver's 50-row window only sees
+  oracle-backed rows.  Ordering policy: see ``build_queries``.
 """
 
 from __future__ import annotations
