@@ -1504,6 +1504,87 @@ def q_text_clean(sf_dir: str):
     return out.map_batches(lengths, batch_format="pandas")
 
 
+def q_audio_features(sf_dir: str):
+    """REAL audio decode through the actor-pool stage: a deterministic
+    160-sample 8 kHz 16-bit PCM WAV is synthesized per doc (sample j =
+    ``(doc_id*31 + j*17) % 4096 - 2048``), decoded by the pure-NumPy
+    RIFF parser (stages/multimodal.py decode_wav), decimated to 4 kHz
+    (factor 2) and windowed into 8 exact int64 sum-of-squares energies —
+    all SQL-replayable."""
+    import ray.data as rd
+
+    from ..stages.multimodal import AudioResample, encode_wav
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.arange(160, dtype=np.int64)
+        vals = ((d[:, None] * 31 + j[None, :] * 17) % 4096 - 2048)
+        payloads = [encode_wav(v.astype(np.int16), 8000) for v in vals]
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    feats = AudioResample.apply(media, target_hz=4000)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        nw = AudioResample.N_WINDOWS
+        e = np.asarray([list(w) for w in batch["window_energy"].to_pylist()],
+                       dtype=np.int64).reshape(-1)
+        return pa.table({
+            "media_id": pa.array(np.repeat(ids, nw), type=pa.int64()),
+            "window": pa.array(np.tile(np.arange(nw, dtype=np.int64),
+                                       len(ids))),
+            "energy": pa.array(e, type=pa.int64()),
+        })
+
+    return feats.map_batches(explode, batch_format="pyarrow")
+
+
+def q_video_frames(sf_dir: str):
+    """REAL video frame sampling: each doc's payload is a concatenation
+    of ``2 + doc_id % 5`` deterministic 2x2 P6 frames (pixel j of frame f
+    = ``(doc_id*7 + f*13 + j*29) % 256``); FrameSample splits the
+    container, samples 3 evenly (``floor(k*T/3)``), decodes each frame
+    for real and emits its exact integer pixel sum — SQL-replayable."""
+    import ray.data as rd
+
+    from ..stages.multimodal import FrameSample, encode_ppm
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.arange(12, dtype=np.int64)
+        payloads = []
+        for did in d:
+            t = 2 + int(did) % 5
+            frames = [((did * 7 + f * 13 + j * 29) % 256).astype(np.uint8)
+                      .reshape(2, 2, 3) for f in range(t)]
+            payloads.append(b"".join(encode_ppm(fr) for fr in frames))
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    frames = FrameSample.apply(media, n_frames=3)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["media_id"],
+            "sample_k": batch["sample_k"].cast(pa.int64()),
+            "frame_idx": batch["frame_idx"].cast(pa.int64()),
+            "frame_sum": batch["frame_sum"],
+        })
+
+    return frames.map_batches(widen, batch_format="pyarrow")
+
+
 def q_token_count(sf_dir: str):
     import ray.data as rd
 
@@ -7309,6 +7390,29 @@ def build_oracles() -> Dict[str, str]:
             "SELECT doc_id, text_clean, "
             "CAST(length(text) AS BIGINT) AS orig_len, "
             "CAST(length(text_clean) AS BIGINT) AS clean_len FROM c"),
+        # replays the deterministic 160-sample PCM formula; the engine side
+        # goes through the REAL RIFF/WAVE parser + decimation
+        "audio_features": (
+            "WITH s AS (SELECT d.doc_id, k.k, "
+            "(d.doc_id * 31 + (2 * k.k) * 17) % 4096 - 2048 AS v "
+            "FROM documents d CROSS JOIN "
+            "(SELECT unnest(range(80)) AS k) k) "
+            "SELECT doc_id AS media_id, CAST(k // 10 AS BIGINT) AS window, "
+            "CAST(sum(v * v) AS BIGINT) AS energy "
+            "FROM s GROUP BY doc_id, k // 10"),
+        # replays the per-frame pixel formula at the evenly-sampled frame
+        # indices; the engine splits + decodes the P6 container for real
+        "video_frames": (
+            "WITH t AS (SELECT doc_id, 2 + doc_id % 5 AS T FROM documents), "
+            "s AS (SELECT doc_id, T, k.k, (k.k * T) // 3 AS fidx "
+            "FROM t CROSS JOIN (SELECT unnest(range(3)) AS k) k), "
+            "px AS (SELECT doc_id, k, fidx, "
+            "(doc_id * 7 + fidx * 13 + j.j * 29) % 256 AS v "
+            "FROM s CROSS JOIN (SELECT unnest(range(12)) AS j) j) "
+            "SELECT doc_id AS media_id, CAST(k AS BIGINT) AS sample_k, "
+            "CAST(fidx AS BIGINT) AS frame_idx, "
+            "CAST(sum(v) AS BIGINT) AS frame_sum "
+            "FROM px GROUP BY doc_id, k, fidx"),
         # replays the deterministic 4x4 PPM pixel formula; the engine side
         # goes through the REAL netpbm decoder (stages/multimodal.py)
         "image_features": (
@@ -7393,6 +7497,8 @@ def build_queries() -> Dict[str, Callable]:
         # -- round-4 additions (oracle-backed, driver-unconfirmed): next
         #    rotation window starts here --
         "text_clean": q_text_clean,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "clustering_coeff": q_clustering_coeff,
         "domain_degrees": q_domain_degrees,
         "pagerank": q_pagerank,

@@ -21,7 +21,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["ImageDecode", "FrameSample", "AudioResample", "media_schema",
-           "decode_ppm", "decode_bmp", "encode_ppm"]
+           "decode_ppm", "decode_bmp", "encode_ppm",
+           "decode_wav", "encode_wav", "split_ppm_frames"]
 
 
 def decode_ppm(buf: bytes) -> np.ndarray:
@@ -82,6 +83,79 @@ def encode_ppm(img: np.ndarray) -> bytes:
     h, w = img.shape[:2]
     return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
         img.astype(np.uint8)).tobytes()
+
+
+def decode_wav(buf: bytes):
+    """Pure-NumPy RIFF/WAVE decoder: 16-bit PCM (format 1).  Returns
+    ``(samples int16 [n, channels], sample_rate)``."""
+    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, n_ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            if fmt != 1:
+                raise ValueError(f"only PCM (format 1) supported, got {fmt}")
+            n_ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise ValueError(f"only 16-bit PCM supported, got {bits}")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Inverse of :func:`decode_wav` (16-bit PCM) — used by tests and the
+    deterministic payload synthesizer."""
+    s = np.atleast_2d(np.asarray(samples, dtype="<i2"))
+    if s.shape[0] == 1 and samples.ndim == 1:
+        s = s.T
+    n_ch = s.shape[1]
+    data = np.ascontiguousarray(s).tobytes()
+    block = n_ch * 2
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+           + int(rate).to_bytes(4, "little")
+           + (int(rate) * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (len(body)).to_bytes(4, "little") + body
+
+
+def split_ppm_frames(buf: bytes) -> list:
+    """Split a concatenation of binary P6 frames (the engine's trivial
+    deterministic 'video container') into per-frame byte slices by parsing
+    each header for its raster size."""
+    frames, pos = [], 0
+    while pos < len(buf):
+        if buf[pos:pos + 2] != b"P6":
+            raise ValueError(f"frame boundary at byte {pos} is not a P6 header")
+        # parse width/height/maxval tokens exactly like decode_ppm
+        p, fields = pos + 2, []
+        while len(fields) < 3:
+            while p < len(buf) and buf[p:p + 1].isspace():
+                p += 1
+            if buf[p:p + 1] == b"#":
+                p = buf.index(b"\n", p) + 1
+                continue
+            start = p
+            while p < len(buf) and not buf[p:p + 1].isspace():
+                p += 1
+            fields.append(int(buf[start:p]))
+        p += 1  # single whitespace after maxval
+        end = p + fields[0] * fields[1] * 3
+        frames.append(buf[pos:end])
+        pos = end
+    return frames
 
 
 def media_schema() -> pa.Schema:
@@ -175,35 +249,65 @@ class ImageDecode:
 
 
 class FrameSample:
-    """Video frame-sampling stage (stubbed decode, real plumbing):
-    emits ``n_frames`` rows per video with a frame index + fake frame
-    features — a flat_map-shaped expansion done batch-wise."""
+    """Video frame-sampling stage: emits ``n_frames`` rows per video — a
+    flat_map-shaped expansion done batch-wise.
+
+    Real path (default): the payload is a concatenation of binary P6
+    frames (the engine's deterministic container; a real cluster swaps
+    :func:`split_ppm_frames` + :func:`decode_ppm` for ffmpeg in the same
+    actor slot).  Frames are sampled evenly — original frame index
+    ``floor(k * T / n)`` for ``k in 0..n-1`` over ``T`` total frames —
+    and each sampled frame emits its exact integer pixel sum
+    (``frame_sum``), so the whole decode path is SQL-replayable.
+    ``fake=True`` keeps the hash-double (``frame_sig``) for payloadless
+    tests."""
 
     def __init__(self, n_frames: int = 4, fake: bool = False):
         self.n_frames = n_frames
         self.fake = fake
-        if not fake:
-            raise NotImplementedError(
-                "video decode requires ffmpeg (not in this sandbox); "
-                "construct with fake=True for the deterministic test double")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
         rows = np.repeat(np.arange(n), self.n_frames)
         out = batch.take(pa.array(rows))
         out = out.drop_columns(["payload"])
-        frame_idx = np.tile(np.arange(self.n_frames), n)
         payloads = batch["payload"].to_pylist()
-        feats = [
-            hashlib.blake2b((payloads[i] or b"") + bytes([fi % 256]), digest_size=8).digest()
-            for i, fi in zip(rows.tolist(), frame_idx.tolist())
-        ]
-        out = out.append_column("frame_idx", pa.array(frame_idx, type=pa.int32()))
+        if self.fake:
+            frame_idx = np.tile(np.arange(self.n_frames), n)
+            feats = [
+                hashlib.blake2b((payloads[i] or b"") + bytes([fi % 256]),
+                                digest_size=8).digest()
+                for i, fi in zip(rows.tolist(), frame_idx.tolist())
+            ]
+            out = out.append_column(
+                "frame_idx", pa.array(frame_idx, type=pa.int32()))
+            return out.append_column(
+                "frame_sig",
+                pa.array([int.from_bytes(f, "little") & ((1 << 63) - 1)
+                          for f in feats], type=pa.int64()))
+        k = np.arange(self.n_frames)
+        idx_all, sums_all = [], []
+        for p in payloads:
+            frames = split_ppm_frames(p or b"")
+            t = len(frames)
+            if t == 0:
+                raise ValueError("empty video payload")
+            sampled = (k * t) // self.n_frames
+            idx_all.append(sampled)
+            sums_all.append([int(decode_ppm(frames[j]).sum(dtype=np.int64))
+                             for j in sampled])
+        # sample_k distinguishes duplicate sampled frames when T < n_frames
         out = out.append_column(
-            "frame_sig",
-            pa.array([int.from_bytes(f, "little") & ((1 << 63) - 1) for f in feats],
+            "sample_k", pa.array(np.tile(k, n).astype(np.int32),
+                                 type=pa.int32()))
+        out = out.append_column(
+            "frame_idx",
+            pa.array(np.concatenate(idx_all).astype(np.int32),
+                     type=pa.int32()))
+        return out.append_column(
+            "frame_sum",
+            pa.array(np.concatenate(sums_all).astype(np.int64),
                      type=pa.int64()))
-        return out
 
     @classmethod
     def apply(cls, ds, concurrency=(1, 2), batch_size: int = 64, **kwargs):
@@ -213,22 +317,23 @@ class FrameSample:
 
 
 class AudioResample:
-    """Audio resample + feature stage (stubbed codec, real plumbing):
-    payload -> ``n_windows`` mel-like window energies at ``target_hz``.
-    Same actor-pool contract as :class:`ImageDecode`: codec loads once per
-    actor in ``__init__`` (the real path imports soundfile/librosa there);
-    per-batch work is vectorized over the window axis."""
+    """Audio decimate + window-energy stage.
+
+    Real path (default): 16-bit PCM RIFF/WAVE decoded by the pure-NumPy
+    :func:`decode_wav` (a real cluster swaps soundfile/librosa into the
+    same actor slot for compressed codecs, which raise here).  Channel 0
+    is decimated by the integer factor ``src_rate // target_hz`` (>= 1),
+    then split into ``N_WINDOWS`` equal contiguous windows whose energies
+    are EXACT int64 sums of squares — SQL-replayable.  ``fake=True``
+    keeps the content-derived deterministic double.  Same actor-pool
+    contract as :class:`ImageDecode`: codec state loads once per actor in
+    ``__init__``; per-batch work is vectorized over the window axis."""
 
     N_WINDOWS = 8
 
     def __init__(self, target_hz: int = 16_000, fake: bool = False):
         self.target_hz = int(target_hz)
         self.fake = fake
-        if not fake:
-            raise NotImplementedError(
-                "audio decode requires soundfile/librosa (not in this "
-                "sandbox); construct with fake=True for the deterministic "
-                "test double")
 
     def _windows_fake(self, payload: bytes) -> np.ndarray:
         digest = hashlib.shake_256(
@@ -237,13 +342,36 @@ class AudioResample:
         raw = np.frombuffer(digest, dtype=np.uint64).astype(np.float64)
         return raw / np.float64(2**64)
 
+    def _windows_real(self, payload: bytes) -> np.ndarray:
+        if (payload or b"")[:4] != b"RIFF":
+            raise NotImplementedError(
+                f"audio payload with magic {payload[:4]!r}: only 16-bit "
+                "PCM WAV decode in this sandbox — swap in soundfile for "
+                "compressed codecs on a real cluster")
+        samples, rate = decode_wav(payload)
+        mono = samples[:, 0].astype(np.int64)
+        factor = max(1, rate // self.target_hz)
+        y = mono[::factor]
+        w = len(y) // self.N_WINDOWS
+        if w == 0:
+            raise ValueError("audio too short for the window count")
+        trimmed = y[:w * self.N_WINDOWS].reshape(self.N_WINDOWS, w)
+        return np.einsum("ij,ij->i", trimmed, trimmed)  # exact int64 sums
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._windows_fake(p) for p in batch["payload"].to_pylist()]
-        col = pa.array([f.tolist() for f in feats], type=pa.list_(pa.float64()))
+        payloads = batch["payload"].to_pylist()
         out = batch.drop_columns(["payload"])
         out = out.append_column("sample_rate",
                                 pa.array([self.target_hz] * len(batch),
                                          type=pa.int32()))
+        if self.fake:
+            feats = [self._windows_fake(p) for p in payloads]
+            col = pa.array([f.tolist() for f in feats],
+                           type=pa.list_(pa.float64()))
+        else:
+            feats = [self._windows_real(p) for p in payloads]
+            col = pa.array([f.tolist() for f in feats],
+                           type=pa.list_(pa.int64()))
         return out.append_column("window_energy", col)
 
     @classmethod

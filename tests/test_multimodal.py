@@ -20,8 +20,10 @@ def test_audio_resample_stub(ray_session):
     out2 = AudioResample.apply(rd.from_arrow(tab), fake=True).to_pandas()
     for a, b in zip(out["window_energy"], out2["window_energy"]):
         assert list(a) == list(b)
-    with pytest.raises(Exception):
-        AudioResample(fake=False)
+    # real construction succeeds (WAV codec is real); non-WAV payloads
+    # raise at decode time with the soundfile swap-in pointer
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        AudioResample(fake=False)._windows_real(b"ID3 not a wav")
 
 
 def test_decode_ppm_golden():
@@ -105,3 +107,49 @@ def test_image_decode_real_pipeline(ray_session):
     dec = ImageDecode()
     with pytest.raises(NotImplementedError, match="PIL"):
         dec._decode(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_wav_roundtrip_and_energy():
+    import numpy as np
+
+    from fast_carpenter_ray.stages.multimodal import (
+        AudioResample, decode_wav, encode_wav)
+
+    x = (np.arange(320, dtype=np.int64) % 4096 - 2048).astype(np.int16)
+    buf = encode_wav(x, 8000)
+    back, rate = decode_wav(buf)
+    assert rate == 8000 and back.shape == (320, 1)
+    np.testing.assert_array_equal(back[:, 0], x)
+    # decimate 8000 -> 4000 (factor 2), 8 windows over 160 samples
+    ar = AudioResample(target_hz=4000)
+    e = ar._windows_real(buf)
+    y = x[::2].astype(np.int64)
+    w = len(y) // 8
+    want = (y[:w * 8].reshape(8, w) ** 2).sum(axis=1)
+    np.testing.assert_array_equal(e, want)
+    # stereo: channel 0 is used
+    st = np.stack([x, np.zeros_like(x)], axis=1)
+    back2, _ = decode_wav(encode_wav(st, 8000))
+    np.testing.assert_array_equal(back2[:, 0], x)
+
+
+def test_split_ppm_frames_and_frame_sample(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.multimodal import (
+        FrameSample, encode_ppm, split_ppm_frames)
+
+    frames = [np.full((2, 2, 3), f * 10, dtype=np.uint8) for f in range(5)]
+    payload = b"".join(encode_ppm(f) for f in frames)
+    parts = split_ppm_frames(payload)
+    assert len(parts) == 5
+    tab = pa.table({
+        "media_id": pa.array([7], type=pa.int64()),
+        "payload": pa.array([payload], type=pa.binary()),
+    })
+    out = (FrameSample.apply(rd.from_arrow(tab), n_frames=3)
+           .to_pandas().sort_values("frame_idx").reset_index(drop=True))
+    # evenly sampled original indices: floor(k*5/3) = 0, 1, 3
+    assert out["frame_idx"].tolist() == [0, 1, 3]
+    assert out["frame_sum"].tolist() == [0, 10 * 12, 30 * 12]
