@@ -1504,6 +1504,38 @@ def q_text_clean(sf_dir: str):
     return out.map_batches(lengths, batch_format="pandas")
 
 
+def q_strip_boilerplate(sf_dir: str):
+    """Per-domain boilerplate line removal (stages/boilerplate.py,
+    CCNet/Dolma-style): a 3-line page is synthesized per doc (NAV header
+    + unique content line + COPY footer, domain = doc_id%20); the NAV and
+    COPY lines appear in every doc of their domain and are stripped, the
+    content line survives.  Oracle: UNION-ALL line table + distinct-doc
+    counts + string_agg reassembly, hash-exact."""
+    import ray.data as rd
+
+    from ..stages.boilerplate import strip_boilerplate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        doms = [f"site{int(i) % 20}" for i in d]
+        pages = [f"NAV {dom}\nDOC {int(i)} {t[:40]}\nCOPY {dom}"
+                 for i, dom, t in zip(d, doms, texts)]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "domain": pa.array(doms, type=pa.string()),
+            "text": pa.array(pages, type=pa.string()),
+        })
+
+    pages = ds.map_batches(dirty, batch_format="pyarrow")
+    out = strip_boilerplate(pages, min_docs=3, min_frac=0.5)
+    return out.select_columns(["doc_id", "text_clean", "n_lines",
+                               "n_removed"])
+
+
 def q_audio_features(sf_dir: str):
     """REAL audio decode through the actor-pool stage: a deterministic
     160-sample 8 kHz 16-bit PCM WAV is synthesized per doc (sample j =
@@ -7390,6 +7422,33 @@ def build_oracles() -> Dict[str, str]:
             "SELECT doc_id, text_clean, "
             "CAST(length(text) AS BIGINT) AS orig_len, "
             "CAST(length(text_clean) AS BIGINT) AS clean_len FROM c"),
+        "strip_boilerplate": (
+            "WITH m AS (SELECT doc_id, "
+            "'site' || CAST(doc_id % 20 AS VARCHAR) AS domain, "
+            "'NAV site' || CAST(doc_id % 20 AS VARCHAR) AS l0, "
+            "'DOC ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40) "
+            "AS l1, "
+            "'COPY site' || CAST(doc_id % 20 AS VARCHAR) AS l2 "
+            "FROM documents), "
+            "lines AS (SELECT doc_id, domain, 0 AS idx, l0 AS line FROM m "
+            "UNION ALL SELECT doc_id, domain, 1, l1 FROM m "
+            "UNION ALL SELECT doc_id, domain, 2, l2 FROM m), "
+            "cnt AS (SELECT domain, line, count(DISTINCT doc_id) AS n "
+            "FROM lines GROUP BY 1, 2), "
+            "dd AS (SELECT domain, count(DISTINCT doc_id) AS nd "
+            "FROM m GROUP BY 1), "
+            "freq AS (SELECT c.domain, c.line FROM cnt c JOIN dd "
+            "USING (domain) "
+            "WHERE c.n >= greatest(3, CAST(ceil(0.5 * dd.nd) AS BIGINT))), "
+            "kept AS (SELECT l.doc_id, l.idx, l.line FROM lines l "
+            "LEFT JOIN freq f ON f.domain = l.domain AND f.line = l.line "
+            "WHERE f.line IS NULL), "
+            "k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) "
+            "AS text_clean, count(*) AS nk FROM kept GROUP BY doc_id) "
+            "SELECT m.doc_id, coalesce(k.text_clean, '') AS text_clean, "
+            "CAST(3 AS BIGINT) AS n_lines, "
+            "CAST(3 - coalesce(k.nk, 0) AS BIGINT) AS n_removed "
+            "FROM m LEFT JOIN k USING (doc_id)"),
         # replays the deterministic 160-sample PCM formula; the engine side
         # goes through the REAL RIFF/WAVE parser + decimation
         "audio_features": (
@@ -7497,6 +7556,7 @@ def build_queries() -> Dict[str, Callable]:
         # -- round-4 additions (oracle-backed, driver-unconfirmed): next
         #    rotation window starts here --
         "text_clean": q_text_clean,
+        "strip_boilerplate": q_strip_boilerplate,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "clustering_coeff": q_clustering_coeff,
