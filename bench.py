@@ -130,7 +130,10 @@ def run_bench() -> dict:
                  "crawl_pipeline", "snap_segments", "clustering_coeff",
                  "target_encode", "quantile_bucket", "cusum",
                  "vocab_drift", "mad_outliers", "teleports", "reciprocity",
-                 "join_counts", "ripley", "gini", "group_split"):
+                 "join_counts", "ripley", "gini", "group_split",
+                 # round-4 additions: curation + real multimodal decode
+                 "text_clean", "strip_boilerplate", "image_features",
+                 "audio_features", "video_frames"):
         best = float("inf")
         for _ in range(2):
             import gc
