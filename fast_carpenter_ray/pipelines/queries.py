@@ -1504,6 +1504,21 @@ def q_text_clean(sf_dir: str):
     return out.map_batches(lengths, batch_format="pandas")
 
 
+def q_winnow_fp(sf_dir: str):
+    """MOSS winnowing fingerprints (stages/winnow.py, Schleimer et al.
+    2003): k=3-gram sha256-prefix rolling hashes, window w=4, per-window
+    minimum with the rightmost tie-break, distinct selected positions.
+    Oracle: the same fold in HUGEINT arithmetic + a min-over-frame window
+    and a correlated rightmost-argmin read-off, hash-exact."""
+    import ray.data as rd
+
+    from ..stages.winnow import winnow_fingerprints
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return winnow_fingerprints(ds, k=3, w=4)
+
+
 def q_strip_boilerplate(sf_dir: str):
     """Per-domain boilerplate line removal (stages/boilerplate.py,
     CCNet/Dolma-style): a 3-line page is synthesized per doc (NAV header
@@ -7422,6 +7437,32 @@ def build_oracles() -> Dict[str, str]:
             "SELECT doc_id, text_clean, "
             "CAST(length(text) AS BIGINT) AS orig_len, "
             "CAST(length(text_clean) AS BIGINT) AS clean_len FROM c"),
+        "winnow_fp": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), "
+            "t -> t != '') AS t0 FROM documents), "
+            "padded AS (SELECT doc_id, list_concat(t0, list_transform("
+            "range(greatest(0, 3 - len(t0))), x -> chr(0))) AS t "
+            "FROM toks), "
+            "th AS (SELECT doc_id, list_transform(t, s -> "
+            "('0x' || substring(sha256(s), 1, 16))::UBIGINT) AS h "
+            "FROM padded), "
+            "g AS (SELECT doc_id, i - 1 AS pos, CAST(("
+            f"(h[i]::HUGEINT * {_FNV_P} + h[i+1]) % {_POW64} "
+            f"* {_FNV_P} + h[i+2]) % {_POW64} AS UBIGINT) AS gm "
+            "FROM th, unnest(range(1, len(h) - 1)) AS u(i)), "
+            "win AS (SELECT doc_id, pos AS wend, "
+            "min(gm) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn, "
+            "count(*) OVER (PARTITION BY doc_id) AS cnt FROM g), "
+            "sel AS (SELECT DISTINCT w.doc_id, "
+            "(SELECT max(g2.pos) FROM g g2 WHERE g2.doc_id = w.doc_id "
+            "AND g2.pos BETWEEN w.wend - 3 AND w.wend AND g2.gm = w.mn) "
+            "AS pos FROM win w WHERE w.wend >= least(4, w.cnt) - 1) "
+            "SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos, "
+            "CAST(g.gm % CAST('9223372036854775808' AS UBIGINT) AS BIGINT) "
+            "AS gram FROM sel s JOIN g "
+            "ON g.doc_id = s.doc_id AND g.pos = s.pos"),
         "strip_boilerplate": (
             "WITH m AS (SELECT doc_id, "
             "'site' || CAST(doc_id % 20 AS VARCHAR) AS domain, "
@@ -7557,6 +7598,7 @@ def build_queries() -> Dict[str, Callable]:
         #    rotation window starts here --
         "text_clean": q_text_clean,
         "strip_boilerplate": q_strip_boilerplate,
+        "winnow_fp": q_winnow_fp,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "clustering_coeff": q_clustering_coeff,
