@@ -7751,12 +7751,12 @@ def build_queries() -> Dict[str, Callable]:
         "token_count": q_token_count,
         "quality": q_quality,
         "ann_cosine": q_ann_cosine,
+        "image_features": q_image_features,
         "kmeans": q_kmeans,
         "rdp_simplify": q_rdp_simplify,
         "approx_quantiles": q_approx_quantiles,
         "compression_ratio": q_compression_ratio,
         "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
-        "image_features": q_image_features,
         "near_dedup_fast": q_near_dedup_fast,
     }

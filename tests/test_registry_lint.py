@@ -45,3 +45,27 @@ def test_function_name_matches_registry():
         assert fn.__name__ == f"q_{key}", (
             f"queries()['{key}'] is bound to {fn.__name__} — "
             "name collision?")
+
+
+def test_driver_window_is_oracle_backed():
+    """The driver checks the FIRST 50 entries of queries(); window slots
+    must never burn on a rows-only (no-oracle) query (round-3 verdict #1:
+    kmeans occupied a slot it could never pass)."""
+    q = list(qmod.build_queries().keys())
+    o = set(qmod.build_oracles().keys())
+    window = q[:50]
+    assert all(k in o for k in window), (
+        f"rows-only queries inside the driver window: "
+        f"{[k for k in window if k not in o]}")
+
+
+def test_rows_only_queries_sit_last():
+    """All no-oracle queries are grouped at the END of the registry so
+    every future rotation window stays oracle-backed."""
+    q = list(qmod.build_queries().keys())
+    o = set(qmod.build_oracles().keys())
+    flags = [k in o for k in q]
+    first_rows_only = flags.index(False)
+    assert all(not f for f in flags[first_rows_only:]), (
+        "oracle-backed query found after a rows-only one: "
+        f"{[k for k, f in zip(q[first_rows_only:], flags[first_rows_only:]) if f]}")
