@@ -45,6 +45,10 @@ STAGE_REGISTRY: Dict[str, str] = {
     "ExactDedup": "fast_carpenter_ray.stages.ExactDedup",
     "MinHashDedup": "fast_carpenter_ray.stages.MinHashDedup",
     "SimHashDedup": "fast_carpenter_ray.stages.SimHashDedup",
+    "TextClean": "fast_carpenter_ray.stages.TextClean",
+    "ImageDecode": "fast_carpenter_ray.stages.ImageDecode",
+    "AudioResample": "fast_carpenter_ray.stages.AudioResample",
+    "FrameSample": "fast_carpenter_ray.stages.FrameSample",
 }
 
 

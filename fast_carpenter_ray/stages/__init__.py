@@ -8,11 +8,14 @@ from .pip_join import PIPJoiner, pip_join  # noqa: F401
 from .knn_join import KNNJoiner, knn_join, brute_force_knn  # noqa: F401
 from .zonal import ZonalAggregate  # noqa: F401
 from .dedup import ExactDedup, MinHashDedup, SimHashDedup, ngram_jaccard  # noqa: F401
-from .text import TokenCount, QualityScore, LangId, Fingerprint  # noqa: F401
+from .text import TokenCount, QualityScore, LangId, Fingerprint, TextClean  # noqa: F401
 from .ann import ann_topk, ivf_topk, near_dup_cosine, LSHBuckets  # noqa: F401
 from .asof_join import asof_join  # noqa: F401
 from .windows import session_windows, ewma  # noqa: F401
-from .multimodal import ImageDecode, FrameSample, AudioResample, media_schema  # noqa: F401
+from .multimodal import (ImageDecode, FrameSample, AudioResample,  # noqa: F401
+                         media_schema, decode_ppm, decode_bmp, decode_wav)
+from .boilerplate import strip_boilerplate, frequent_lines  # noqa: F401
+from .winnow import winnow_fingerprints  # noqa: F401
 from .joins import lookup_join, hash_join  # noqa: F401
 from .range_join import range_join, range_join_bucketed  # noqa: F401
 from .raster import WorldRaster, raster_sample, raster_zonal, make_test_raster  # noqa: F401
