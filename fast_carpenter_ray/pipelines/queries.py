@@ -1519,6 +1519,38 @@ def q_winnow_fp(sf_dir: str):
     return winnow_fingerprints(ds, k=3, w=4)
 
 
+def q_winnow_pairs(sf_dir: str):
+    """Winnowing plagiarism candidates (stages/winnow.py winnow_pairs):
+    docs sharing >= 2 distinct selected fingerprints, over a corpus where
+    every 10th doc gets a shifted copy (distinct prefix, shared body) —
+    the copies MUST pair.  Oracle: the winnow_fp CTE self-joined on the
+    gram, hash-exact."""
+    import ray.data as rd
+
+    from ..stages.winnow import winnow_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def add_copies(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        keep = d % 10 == 0
+        extra = pa.table({
+            "doc_id": pa.array(d[keep] + 10_000_000, type=pa.int64()),
+            "text": pa.array([f"shifted prefix {int(i)} " + t
+                              for i, t in zip(d[keep],
+                                              np.asarray(texts,
+                                                         dtype=object)[keep])],
+                             type=pa.string()),
+        })
+        return pa.concat_tables([batch.select(["doc_id", "text"]), extra])
+
+    corpus = docs.map_batches(add_copies, batch_format="pyarrow")
+    out = winnow_pairs(corpus, min_shared=2).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_strip_boilerplate(sf_dir: str):
     """Per-domain boilerplate line removal (stages/boilerplate.py,
     CCNet/Dolma-style): a 3-line page is synthesized per doc (NAV header
@@ -7437,6 +7469,38 @@ def build_oracles() -> Dict[str, str]:
             "SELECT doc_id, text_clean, "
             "CAST(length(text) AS BIGINT) AS orig_len, "
             "CAST(length(text_clean) AS BIGINT) AS clean_len FROM c"),
+        "winnow_pairs": (
+            "WITH corpus AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 10000000, "
+            "'shifted prefix ' || CAST(doc_id AS VARCHAR) || ' ' || text "
+            "FROM documents WHERE doc_id % 10 = 0), "
+            "toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), "
+            "t -> t != '') AS t0 FROM corpus), "
+            "padded AS (SELECT doc_id, list_concat(t0, list_transform("
+            "range(greatest(0, 3 - len(t0))), x -> chr(0))) AS t "
+            "FROM toks), "
+            "th AS (SELECT doc_id, list_transform(t, s -> "
+            "('0x' || substring(sha256(s), 1, 16))::UBIGINT) AS h "
+            "FROM padded), "
+            "g AS (SELECT doc_id, i - 1 AS pos, CAST(("
+            f"(h[i]::HUGEINT * {_FNV_P} + h[i+1]) % {_POW64} "
+            f"* {_FNV_P} + h[i+2]) % {_POW64} AS UBIGINT) AS gm "
+            "FROM th, unnest(range(1, len(h) - 1)) AS u(i)), "
+            "win AS (SELECT doc_id, pos AS wend, "
+            "min(gm) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn, "
+            "count(*) OVER (PARTITION BY doc_id) AS cnt FROM g), "
+            "sel AS (SELECT DISTINCT w.doc_id, "
+            "(SELECT max(g2.pos) FROM g g2 WHERE g2.doc_id = w.doc_id "
+            "AND g2.pos BETWEEN w.wend - 3 AND w.wend AND g2.gm = w.mn) "
+            "AS pos FROM win w WHERE w.wend >= least(4, w.cnt) - 1), "
+            "fp AS (SELECT DISTINCT s.doc_id, g.gm FROM sel s JOIN g "
+            "ON g.doc_id = s.doc_id AND g.pos = s.pos) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(count(*) AS BIGINT) AS n_shared "
+            "FROM fp a JOIN fp b ON a.gm = b.gm AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 2"),
         "winnow_fp": (
             "WITH toks AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), "
@@ -7599,6 +7663,7 @@ def build_queries() -> Dict[str, Callable]:
         "text_clean": q_text_clean,
         "strip_boilerplate": q_strip_boilerplate,
         "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "clustering_coeff": q_clustering_coeff,

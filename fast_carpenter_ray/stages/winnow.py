@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from .dedup import _stable_token_hash, tokenize
 
-__all__ = ["winnow_fingerprints", "winnow_doc"]
+__all__ = ["winnow_fingerprints", "winnow_doc", "winnow_pairs"]
 
 _FNV_P = np.uint64(1099511628211)
 _MASK63 = np.uint64((1 << 63) - 1)
@@ -84,3 +84,67 @@ def winnow_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+def winnow_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 3, w: int = 4, min_shared: int = 2,
+                 max_bucket: int = 4096,
+                 num_partitions: Optional[int] = None):
+    """Plagiarism/overlap candidate pairs: documents sharing at least
+    ``min_shared`` DISTINCT selected fingerprints.
+
+    Scale shape (the dedup-family pattern): fingerprints shrink to one
+    (doc, gram) row per distinct gram per doc; one ``groupby(gram)``
+    emits in-bucket pairs vectorized (bucket capped + logged via
+    ``_cap_bucket`` — a gram shared by the whole corpus degrades
+    gracefully instead of going quadratic); shared-gram counting happens
+    in bounded pair-hash buckets, never a shuffle keyed on the raw pair
+    (BASELINE.md lesson 7).  Returns ``(id_a, id_b, n_shared)``.
+    """
+    from ..agg import default_partitions
+    from .dedup import _cap_bucket
+
+    if num_partitions is None:
+        num_partitions = default_partitions(4)
+    fps = winnow_fingerprints(ds, text_col=text_col, id_col=id_col, k=k, w=w)
+
+    def distinct_grams(batch: pa.Table) -> pa.Table:
+        df = batch.select([id_col, "gram"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.drop_duplicates([id_col, "gram"]), preserve_index=False)
+
+    slim = fps.map_batches(distinct_grams, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        ids = _cap_bucket(np.sort(ids), max_bucket, "winnow_pairs")
+        iu = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[iu[0]].astype(np.int64),
+                             "id_b": ids[iu[1]].astype(np.int64)})
+
+    cand = slim.groupby("gram", num_partitions=num_partitions).map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    # count shared grams per pair in bounded pair-hash buckets
+    n_buckets = max(64, int(num_partitions) * 8)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = (b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+             * 1000003
+             + b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+             ) % n_buckets
+        return b.append_column("_bkt", pa.array(h, type=pa.int64()))
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["id_a", "id_b"], sort=False).size()
+               .rename("n_shared").reset_index())
+        out = out[out["n_shared"] >= min_shared]
+        out["n_shared"] = out["n_shared"].astype(np.int64)
+        return out
+
+    return cand.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "_bkt", num_partitions=num_partitions).map_groups(
+        count_bucket, batch_format="pandas")

@@ -59,3 +59,25 @@ def test_winnow_shared_fingerprints_detect_overlap(ray_session):
     # doc 2 shares (almost) none
     assert len(by_doc[0] & by_doc[1]) >= 3
     assert len(by_doc[0] & by_doc[2]) == 0
+
+
+def test_winnow_pairs_finds_copies(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.winnow import winnow_pairs
+
+    body = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest looking for winter food")
+    tab = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": [body,
+                 "totally different preamble here " + body,
+                 "unrelated words about vectorized arrow engines only"],
+    })
+    out = winnow_pairs(rd.from_arrow(tab), min_shared=2).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+    n = int(out.set_index(["id_a", "id_b"]).loc[(0, 1), "n_shared"])
+    assert n >= 2
