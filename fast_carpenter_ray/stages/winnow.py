@@ -45,34 +45,66 @@ def _gram_hashes(text: str, k: int, cache: dict) -> np.ndarray:
     return out
 
 
+def _select_positions(g: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing selection over one doc's gram array: distinct positions
+    of each window's rightmost minimum."""
+    n = len(g)
+    if n <= w:
+        # fewer grams than the window: one window over the whole doc
+        return np.array([np.flatnonzero(g == g.min())[-1]], dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(g, w)
+    # rightmost argmin: leftmost argmin of the reversed window
+    j_rev = np.argmin(sw[:, ::-1], axis=1)
+    return np.unique(np.arange(n - w + 1) + (w - 1 - j_rev))
+
+
 def winnow_doc(text: str, k: int = 3, w: int = 4,
                cache: Optional[dict] = None) -> List[tuple]:
     """Selected fingerprints of one document: sorted list of
     ``(pos, hash63)`` — the reference kernel (also used per batch)."""
     g = _gram_hashes(text, k, cache if cache is not None else {})
-    n = len(g)
-    if n <= w:
-        # fewer grams than the window: one window over the whole doc
-        j = int(np.flatnonzero(g == g.min())[-1])
-        return [(j, int(g[j] & _MASK63))]
-    sw = np.lib.stride_tricks.sliding_window_view(g, w)
-    # rightmost argmin: leftmost argmin of the reversed window
-    j_rev = np.argmin(sw[:, ::-1], axis=1)
-    pos = np.arange(n - w + 1) + (w - 1 - j_rev)
-    sel = np.unique(pos)
+    sel = _select_positions(g, w)
     return [(int(p), int(g[p] & _MASK63)) for p in sel]
 
 
 def winnow_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 3, w: int = 4):
+                        k: int = 3, w: int = 4, hash_mode: str = "sha256"):
     """Dataset of distinct selected fingerprints ``(id_col, pos, gram)``
-    per document; ``gram`` is the 63-bit masked k-gram hash."""
+    per document; ``gram`` is the 63-bit masked k-gram hash.
+
+    ``hash_mode="sha256"`` (default) is the bit-exact SQL-oracle
+    contract; ``"fast"`` swaps the per-token sha256 for the dedup
+    family's vectorized siphash (one batch-level fold, no per-token
+    Python) — same selection semantics, different hash values, not
+    SQL-replayable (the MinHash ``hash_mode`` contract)."""
+    if hash_mode not in ("sha256", "fast"):
+        raise ValueError("hash_mode must be 'sha256' or 'fast'")
 
     def batch_fn(batch: pa.Table) -> pa.Table:
-        cache: dict = {}
-        ids_out, pos_out, g_out = [], [], []
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        for i, t in zip(ids, batch[text_col].to_pylist()):
+        texts = batch[text_col].to_pylist()
+        ids_out, pos_out, g_out = [], [], []
+        if hash_mode == "fast":
+            from .dedup import _shingle_fold_fast
+
+            grams, bounds = _shingle_fold_fast(texts, k)
+            for d in range(len(texts)):
+                g = grams[bounds[d]:bounds[d + 1]]
+                sel = _select_positions(g, w)
+                ids_out.append(np.full(len(sel), ids[d], dtype=np.int64))
+                pos_out.append(sel)
+                g_out.append((g[sel] & _MASK63).view(np.int64))
+            return pa.table({
+                id_col: pa.array(np.concatenate(ids_out)
+                                 if ids_out else
+                                 np.empty(0, dtype=np.int64)),
+                "pos": pa.array(np.concatenate(pos_out)
+                                if pos_out else np.empty(0, dtype=np.int64)),
+                "gram": pa.array(np.concatenate(g_out)
+                                 if g_out else np.empty(0, dtype=np.int64)),
+            })
+        cache: dict = {}
+        for i, t in zip(ids, texts):
             for p, gh in winnow_doc(t or "", k, w, cache):
                 ids_out.append(i)
                 pos_out.append(p)

@@ -81,3 +81,30 @@ def test_winnow_pairs_finds_copies(ray_session):
     assert not any(2 in p for p in pairs)
     n = int(out.set_index(["id_a", "id_b"]).loc[(0, 1), "n_shared"])
     assert n >= 2
+
+
+def test_winnow_fast_mode_same_structure(ray_session):
+    """hash_mode='fast': different hash values, identical selection
+    structure — copies still pair, density comparable, deterministic."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.winnow import winnow_fingerprints
+
+    body = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest looking for winter food")
+    tab = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": [body, "different intro words " + body],
+    })
+    fp = winnow_fingerprints(rd.from_arrow(tab), hash_mode="fast").to_pandas()
+    by_doc = {d: set(g["gram"]) for d, g in fp.groupby("doc_id")}
+    assert len(by_doc[0] & by_doc[1]) >= 2
+    fp2 = winnow_fingerprints(rd.from_arrow(tab),
+                              hash_mode="fast").to_pandas()
+    assert fp.sort_values(["doc_id", "pos"]).reset_index(drop=True).equals(
+        fp2.sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    import pytest
+
+    with pytest.raises(ValueError):
+        winnow_fingerprints(rd.from_arrow(tab), hash_mode="bogus")
