@@ -1504,6 +1504,19 @@ def q_text_clean(sf_dir: str):
     return out.map_batches(lengths, batch_format="pandas")
 
 
+def q_chunk_docs(sf_dir: str):
+    """RAG-style chunking (stages/text.py chunk_documents): 64-token
+    windows, stride 48, whitespace-normalized chunk text.  Oracle:
+    list-slice + array_to_string replay of the same RE2 token stream."""
+    import ray.data as rd
+
+    from ..stages.text import chunk_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=64, stride=48)
+
+
 def q_winnow_fp(sf_dir: str):
     """MOSS winnowing fingerprints (stages/winnow.py, Schleimer et al.
     2003): k=3-gram sha256-prefix rolling hashes, window w=4, per-window
@@ -7469,6 +7482,17 @@ def build_oracles() -> Dict[str, str]:
             "SELECT doc_id, text_clean, "
             "CAST(length(text) AS BIGINT) AS orig_len, "
             "CAST(length(text_clean) AS BIGINT) AS clean_len FROM c"),
+        "chunk_docs": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(coalesce(text, ''), '\\s+'), "
+            "x -> x != '') AS tk FROM documents), "
+            "base AS (SELECT doc_id, tk, len(tk) AS n FROM toks), "
+            "ch AS (SELECT doc_id, tk, n, unnest(range(0, n, 48)) AS s "
+            "FROM base WHERE n > 0) "
+            "SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, "
+            "CAST(s AS BIGINT) AS chunk_start, "
+            "CAST(least(64, n - s) AS BIGINT) AS n_tokens, "
+            "array_to_string(tk[s+1:s+64], ' ') AS chunk_text FROM ch"),
         "winnow_pairs": (
             "WITH corpus AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 10000000, "
@@ -7664,6 +7688,7 @@ def build_queries() -> Dict[str, Callable]:
         "strip_boilerplate": q_strip_boilerplate,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
+        "chunk_docs": q_chunk_docs,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "clustering_coeff": q_clustering_coeff,

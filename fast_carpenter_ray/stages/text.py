@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["TokenCount", "QualityScore", "LangId", "Fingerprint",
-           "TextClean",
+           "TextClean", "chunk_documents",
            "vocab_count", "doc_frequency", "ngram_count", "top_terms",
            "pmi_bigrams", "term_trends", "RepetitionStats",
            "token_familiarity",
@@ -182,6 +182,52 @@ class TextClean:
 
     def apply(self, ds):
         return ds.map_batches(self, batch_format="pandas")
+
+
+def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_tokens: int = 64, stride: int = 48):
+    """RAG-style document chunking: fixed token windows with overlap.
+
+    Tokens are the RE2 ``[ \\t\\n\\r\\f]+`` split (the vocab contract, so a
+    DuckDB ``regexp_split_to_array(text, '\\s+')`` oracle reproduces the
+    stream); chunk ``c`` covers tokens ``[c*stride, c*stride +
+    chunk_tokens)`` and chunks are emitted while ``c*stride < n_tokens``
+    (zero-token docs emit no chunks).  ``chunk_text`` rejoins with single
+    spaces — whitespace-normalized by construction.
+
+    A pure flat_map-shaped expansion done batch-wise: no shuffle; the
+    bookkeeping (starts, lengths) is vectorized, only the final string
+    join is per chunk (inherent to string assembly).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        # strip edges first: the '+'-quantified split never yields empty
+        # tokens mid-string, so no per-row filtering is needed
+        s = batch[text_col].fillna("").str.strip(" \t\n\r\f")
+        toks = s.str.split(r"[ \t\n\r\f]+", regex=True)
+        tok_arr = toks.to_numpy()
+        n = toks.str.len().to_numpy(np.int64)
+        n = np.where(s.str.len().to_numpy(np.int64) == 0, 0, n)
+        n_chunks = np.where(n > 0, (n + stride - 1) // stride, 0)
+        doc_pos = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+        chunk_id = (np.arange(int(n_chunks.sum()), dtype=np.int64)
+                    - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
+        starts = chunk_id * stride
+        lens = np.minimum(chunk_tokens, n[doc_pos] - starts)
+        texts = [" ".join(tok_arr[d][s:s + chunk_tokens])
+                 for d, s in zip(doc_pos.tolist(), starts.tolist())]
+        ids = batch[id_col].to_numpy()
+        return pd.DataFrame({
+            id_col: ids[doc_pos],
+            "chunk_id": chunk_id,
+            "chunk_start": starts,
+            "n_tokens": lens.astype(np.int64),
+            "chunk_text": pd.Series(texts, dtype=object),
+        })
+
+    return ds.map_batches(expand, batch_format="pandas")
 
 
 class Fingerprint:

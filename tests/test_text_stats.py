@@ -149,3 +149,29 @@ def test_text_clean(ray_session):
     assert out["text_clean"][0] == "hello world"
     assert out["text_clean"][1] == "éclairok"  # composed é, controls gone
     assert out["text_clean"][2] == ""
+
+
+def test_chunk_documents(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.text import chunk_documents
+
+    toks = " ".join(f"w{i}" for i in range(10))
+    tab = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": [toks, "  single ", ""],  # 10 tokens / 1 token / empty
+    })
+    out = (chunk_documents(rd.from_arrow(tab), chunk_tokens=4, stride=3)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    d0 = out[out["doc_id"] == 0]
+    # starts 0,3,6,9 -> 4 chunks; last has 1 token
+    assert d0["chunk_start"].tolist() == [0, 3, 6, 9]
+    assert d0["n_tokens"].tolist() == [4, 4, 4, 1]
+    assert d0["chunk_text"].iloc[0] == "w0 w1 w2 w3"
+    assert d0["chunk_text"].iloc[3] == "w9"
+    d1 = out[out["doc_id"] == 1]
+    assert len(d1) == 1 and d1["chunk_text"].iloc[0] == "single"
+    assert (out["doc_id"] == 2).sum() == 0  # empty doc -> no chunks
