@@ -1517,6 +1517,35 @@ def q_chunk_docs(sf_dir: str):
     return chunk_documents(ds, chunk_tokens=64, stride=48)
 
 
+def q_rag_retrieve(sf_dir: str):
+    """RAG retrieval composite (stages/rag.py): chunk_documents (32-token
+    windows) -> hashed bag-of-words chunk vectors (dim=64 sha256 buckets)
+    -> broadcast query matrix -> int64 dot-product top-3 per query.
+    Queries are tokens [3..8] of every doc_id % 100 == 0 doc.  Oracle:
+    bucket-join + sum(nq*nc) + row_number replay, hash-exact (the dot is
+    exact int64 end to end)."""
+    import ray.data as rd
+
+    from ..stages.rag import hashed_chunk_retrieval
+    from ..stages.text import chunk_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    qdf = (docs.map_batches(
+        lambda t: t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 100 == 0)),
+        batch_format="pyarrow").to_pandas()
+        .sort_values("doc_id").reset_index(drop=True))
+    qdf["query_text"] = [" ".join((t or "").split()[2:8])
+                         for t in qdf["text"]]
+    qdf = qdf.rename(columns={"doc_id": "query_id"})[
+        ["query_id", "query_text"]]
+    chunks = chunk_documents(docs, chunk_tokens=32, stride=32)
+    out = hashed_chunk_retrieval(chunks, qdf, dim=64, k=3)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_winnow_fp(sf_dir: str):
     """MOSS winnowing fingerprints (stages/winnow.py, Schleimer et al.
     2003): k=3-gram sha256-prefix rolling hashes, window w=4, per-window
@@ -7482,6 +7511,31 @@ def build_oracles() -> Dict[str, str]:
             "SELECT doc_id, text_clean, "
             "CAST(length(text) AS BIGINT) AS orig_len, "
             "CAST(length(text_clean) AS BIGINT) AS clean_len FROM c"),
+        "rag_retrieve": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(coalesce(text, ''), '\\s+'), "
+            "x -> x != '') AS tk FROM documents), "
+            "base AS (SELECT doc_id, tk, len(tk) AS n FROM toks), "
+            "ch AS (SELECT doc_id, tk, n, unnest(range(0, n, 32)) AS s "
+            "FROM base WHERE n > 0), "
+            "ctok AS (SELECT doc_id, CAST(s // 32 AS BIGINT) AS chunk_id, "
+            "unnest(tk[s+1:s+32]) AS w FROM ch), "
+            "cb AS (SELECT doc_id, chunk_id, "
+            "('0x' || substring(sha256(w), 1, 16))::UBIGINT % 64 AS b, "
+            "count(*) AS nc FROM ctok GROUP BY 1, 2, 3), "
+            "q AS (SELECT doc_id AS query_id, tk FROM base "
+            "WHERE doc_id % 100 = 0), "
+            "qtok AS (SELECT query_id, unnest(tk[3:8]) AS w FROM q), "
+            "qb AS (SELECT query_id, "
+            "('0x' || substring(sha256(w), 1, 16))::UBIGINT % 64 AS b, "
+            "count(*) AS nq FROM qtok GROUP BY 1, 2), "
+            "dots AS (SELECT qb.query_id, cb.doc_id, cb.chunk_id, "
+            "CAST(sum(qb.nq * cb.nc) AS BIGINT) AS dot "
+            "FROM qb JOIN cb ON qb.b = cb.b GROUP BY 1, 2, 3) "
+            "SELECT query_id, doc_id, chunk_id, dot, CAST(rank AS BIGINT) "
+            "AS rank FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY dot DESC, doc_id, chunk_id) "
+            "AS rank FROM dots) WHERE rank <= 3"),
         "chunk_docs": (
             "WITH toks AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(coalesce(text, ''), '\\s+'), "
@@ -7689,6 +7743,7 @@ def build_queries() -> Dict[str, Callable]:
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
         "chunk_docs": q_chunk_docs,
+        "rag_retrieve": q_rag_retrieve,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "clustering_coeff": q_clustering_coeff,

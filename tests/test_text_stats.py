@@ -175,3 +175,27 @@ def test_chunk_documents(ray_session):
     d1 = out[out["doc_id"] == 1]
     assert len(d1) == 1 and d1["chunk_text"].iloc[0] == "single"
     assert (out["doc_id"] == 2).sum() == 0  # empty doc -> no chunks
+
+
+def test_hashed_chunk_retrieval(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.rag import hashed_chunk_retrieval
+
+    chunks = pa.table({
+        "doc_id": pa.array([0, 0, 1], type=pa.int64()),
+        "chunk_id": pa.array([0, 1, 0], type=pa.int64()),
+        "chunk_text": ["apple banana cherry", "dog emu fox",
+                       "apple apple banana"],
+    })
+    q = pd.DataFrame({"query_id": [7, 8],
+                      "query_text": ["apple banana", "zebra"]})
+    out = hashed_chunk_retrieval(rd.from_arrow(chunks), q, dim=64, k=2)
+    q7 = out[out["query_id"] == 7]
+    # doc1 chunk0 has apple x2 + banana -> dot 3; doc0 chunk0 -> dot 2
+    assert list(zip(q7["doc_id"], q7["chunk_id"], q7["dot"], q7["rank"])) == [
+        (1, 0, 3, 1), (0, 0, 2, 2)]
+    # zero-match query emits no rows
+    assert (out["query_id"] == 8).sum() == 0
