@@ -133,7 +133,8 @@ def run_bench() -> dict:
                  "join_counts", "ripley", "gini", "group_split",
                  # round-4 additions: curation + real multimodal decode
                  "text_clean", "strip_boilerplate", "image_features",
-                 "audio_features", "video_frames"):
+                 "audio_features", "video_frames", "winnow_fp",
+                 "chunk_docs", "rag_retrieve"):
         best = float("inf")
         for _ in range(2):
             import gc
