@@ -1517,6 +1517,28 @@ def q_chunk_docs(sf_dir: str):
     return chunk_documents(ds, chunk_tokens=64, stride=48)
 
 
+def q_bbox_query(sf_dir: str):
+    """Read-pruned bounding-box query over a cell-prefix-partitioned
+    layout (stages/spatial_index.py — the IVF fragment-pruning story for
+    the spatial axis).  Builds the hive layout under /tmp, queries a
+    mid-latitude box, ASSERTS strictly fewer parquet files were read than
+    the layout holds, and returns the exact row set.  Oracle: the plain
+    SQL bbox filter over the same geo base."""
+    import tempfile
+
+    from ..stages.spatial_index import bbox_query, build_spatial_index
+
+    ds = _pages_geo(sf_dir).select_columns(["doc_id", "lat", "lng"])
+    with tempfile.TemporaryDirectory(prefix="spatial_idx_") as d:
+        build_spatial_index(ds, d, prefix_res=2)
+        out, stats = bbox_query(d, lat0=-10.0, lat1=60.0,
+                                lng0=-120.0, lng1=40.0, prefix_res=2,
+                                columns=["doc_id", "lat", "lng"])
+        assert stats["files_read"] < stats["files_total"], stats
+        df = out.to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_rag_retrieve(sf_dir: str):
     """RAG retrieval composite (stages/rag.py): chunk_documents (32-token
     windows) -> hashed bag-of-words chunk vectors (dim=64 sha256 buckets)
@@ -7511,6 +7533,12 @@ def build_oracles() -> Dict[str, str]:
             "SELECT doc_id, text_clean, "
             "CAST(length(text) AS BIGINT) AS orig_len, "
             "CAST(length(text_clean) AS BIGINT) AS clean_len FROM c"),
+        "bbox_query": (
+            f"WITH base AS ({_geo_sql_base()}) "
+            "SELECT doc_id, lat, lng FROM base "
+            "WHERE lat IS NOT NULL "
+            "AND lat >= -10.0 AND lat <= 60.0 "
+            "AND lng >= -120.0 AND lng <= 40.0"),
         "rag_retrieve": (
             "WITH toks AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(coalesce(text, ''), '\\s+'), "
@@ -7744,6 +7772,7 @@ def build_queries() -> Dict[str, Callable]:
         "winnow_pairs": q_winnow_pairs,
         "chunk_docs": q_chunk_docs,
         "rag_retrieve": q_rag_retrieve,
+        "bbox_query": q_bbox_query,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "clustering_coeff": q_clustering_coeff,

@@ -1,0 +1,65 @@
+"""Cell-prefix-partitioned layout + read-pruned bbox queries."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def pts():
+    lat = np.array([10.0, 20.0, -45.0, 70.0, np.nan])
+    lng = np.array([10.0, -30.0, 100.0, -170.0, np.nan])
+    return pa.table({
+        "doc_id": pa.array(np.arange(5), type=pa.int64()),
+        "lat": lat, "lng": lng,
+    })
+
+
+def test_bbox_query_prunes_and_is_exact(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.spatial_index import (
+        bbox_query, build_spatial_index)
+
+    d = str(tmp_path / "idx")
+    build_spatial_index(rd.from_arrow(pts()).repartition(2), d, prefix_res=2)
+    out, stats = bbox_query(d, lat0=0.0, lat1=30.0, lng0=-60.0, lng1=30.0,
+                            prefix_res=2)
+    got = sorted(out.to_pandas()["doc_id"])
+    assert got == [0, 1]
+    assert stats["files_read"] < stats["files_total"]
+    assert stats["prefixes_read"] < stats["prefixes_total"]
+    # no-coord rows live in cell_prefix=-1, never read by a bbox
+    assert any("cell_prefix=-1" in p for p in
+               __import__("glob").glob(f"{d}/cell_prefix=*"))
+
+
+def test_bbox_query_empty_box(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.spatial_index import (
+        bbox_query, build_spatial_index)
+
+    d = str(tmp_path / "idx")
+    build_spatial_index(rd.from_arrow(pts()), d, prefix_res=2)
+    out, stats = bbox_query(d, lat0=-89.0, lat1=-80.0, lng0=0.0, lng1=1.0,
+                            prefix_res=2)
+    assert out is None or out.count() == 0
+
+
+def test_bbox_boundary_points_covered(ray_session, tmp_path):
+    """Points exactly on the bbox edge (and on a prefix-cell edge) must
+    be found — the prefix mapping is identical on build and query."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.spatial_index import (
+        bbox_query, build_spatial_index)
+
+    tab = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "lat": [0.0, 45.0],   # 0.0 and 45.0 sit on res-2 cell edges
+        "lng": [0.0, 90.0],
+    })
+    d = str(tmp_path / "idx")
+    build_spatial_index(rd.from_arrow(tab), d, prefix_res=2)
+    out, _ = bbox_query(d, lat0=0.0, lat1=45.0, lng0=0.0, lng1=90.0,
+                        prefix_res=2)
+    assert sorted(out.to_pandas()["doc_id"]) == [0, 1]
