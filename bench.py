@@ -134,7 +134,7 @@ def run_bench() -> dict:
                  # round-4 additions: curation + real multimodal decode
                  "text_clean", "strip_boilerplate", "image_features",
                  "audio_features", "video_frames", "winnow_fp",
-                 "chunk_docs", "rag_retrieve"):
+                 "chunk_docs", "rag_retrieve", "bbox_query"):
         best = float("inf")
         for _ in range(2):
             import gc
