@@ -1539,6 +1539,31 @@ def q_bbox_query(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_time_range(sf_dir: str):
+    """Read-pruned time-range query over a day-partitioned layout
+    (stages/spatial_index.py build_time_index/time_range_query — the
+    crawl-snapshot pruning story).  Builds the hive layout under /tmp,
+    queries [2024-01-10, 2024-01-20), ASSERTS fragment pruning, returns
+    the exact row set.  Oracle: a plain SQL timestamp-range filter."""
+    import tempfile
+
+    import ray.data as rd
+
+    from ..stages.spatial_index import build_time_index, time_range_query
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ts0 = 1_704_844_800_000_000  # 2024-01-10T00:00:00Z in us
+    ts1 = 1_705_708_800_000_000  # 2024-01-20T00:00:00Z
+    with tempfile.TemporaryDirectory(prefix="time_idx_") as d:
+        build_time_index(ds, d)
+        out, stats = time_range_query(
+            d, ts0, ts1, columns=["event_id", "user_id", "ts", "value"])
+        assert stats["files_read"] < stats["files_total"], stats
+        df = out.to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def q_rag_retrieve(sf_dir: str):
     """RAG retrieval composite (stages/rag.py): chunk_documents (32-token
     windows) -> hashed bag-of-words chunk vectors (dim=64 sha256 buckets)
@@ -7533,6 +7558,10 @@ def build_oracles() -> Dict[str, str]:
             "SELECT doc_id, text_clean, "
             "CAST(length(text) AS BIGINT) AS orig_len, "
             "CAST(length(text_clean) AS BIGINT) AS clean_len FROM c"),
+        "time_range": (
+            "SELECT event_id, user_id, ts, value FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+            "AND ts < TIMESTAMP '2024-01-20 00:00:00'"),
         "bbox_query": (
             f"WITH base AS ({_geo_sql_base()}) "
             "SELECT doc_id, lat, lng FROM base "
@@ -7773,6 +7802,7 @@ def build_queries() -> Dict[str, Callable]:
         "chunk_docs": q_chunk_docs,
         "rag_retrieve": q_rag_retrieve,
         "bbox_query": q_bbox_query,
+        "time_range": q_time_range,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "clustering_coeff": q_clustering_coeff,

@@ -24,7 +24,8 @@ import pyarrow as pa
 
 from ..geo.cells import _n
 
-__all__ = ["build_spatial_index", "bbox_query"]
+__all__ = ["build_spatial_index", "bbox_query",
+           "build_time_index", "time_range_query"]
 
 
 def _prefix_xy(lat: np.ndarray, lng: np.ndarray, prefix_res: int):
@@ -101,6 +102,66 @@ def bbox_query(index_dir: str, lat0: float, lat1: float,
         return batch.filter(pa.array(np.where(np.isfinite(lat)
                                               & np.isfinite(lng),
                                               keep, False)))
+
+    out = ds.map_batches(exact, batch_format="pyarrow")
+    if columns:
+        out = out.select_columns(list(columns))
+    return out, stats
+
+
+def build_time_index(ds, index_dir: str, ts_col: str = "ts",
+                     bucket_us: int = 86_400_000_000):
+    """Time-partitioned hive layout: one partition per ``ts // bucket_us``
+    bucket (default: day).  The crawl-snapshot counterpart of
+    :func:`build_spatial_index` — time-range scans prune whole fragments
+    at the read."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = batch[ts_col]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        b = t.to_numpy(zero_copy_only=False) // bucket_us
+        return batch.append_column("ts_bucket",
+                                   pa.array(b.astype(np.int64)))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["ts_bucket"])
+    return index_dir
+
+
+def time_range_query(index_dir: str, ts0: int, ts1: int,
+                     bucket_us: int = 86_400_000_000,
+                     columns: Optional[Sequence[str]] = None,
+                     ts_col: str = "ts"):
+    """Rows with ``ts0 <= ts < ts1`` (microsecond ints, half-open — the
+    window-operator convention).  Reads ONLY buckets overlapping the
+    range; same ``(dataset, stats)`` contract as :func:`bbox_query`."""
+    import ray.data as rd
+
+    b0 = int(ts0) // bucket_us
+    b1 = (int(ts1) - 1) // bucket_us
+    all_parts = sorted(glob.glob(os.path.join(index_dir, "ts_bucket=*")))
+    files_total = len(glob.glob(os.path.join(index_dir, "**", "*.parquet"),
+                                recursive=True))
+    read_dirs = [d for d in all_parts
+                 if b0 <= int(os.path.basename(d).split("=")[1]) <= b1]
+    files = [f for d in read_dirs
+             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    stats = {"buckets_total": len(all_parts),
+             "buckets_read": len(read_dirs),
+             "files_total": files_total, "files_read": len(files)}
+    if not files:
+        return None, stats
+    read_cols = (list(dict.fromkeys([*columns, ts_col]))
+                 if columns else None)
+    ds = rd.read_parquet(files, columns=read_cols)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        t = batch[ts_col]
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        tv = t.to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((tv >= ts0) & (tv < ts1)))
 
     out = ds.map_batches(exact, batch_format="pyarrow")
     if columns:

@@ -63,3 +63,29 @@ def test_bbox_boundary_points_covered(ray_session, tmp_path):
     out, _ = bbox_query(d, lat0=0.0, lat1=45.0, lng0=0.0, lng1=90.0,
                         prefix_res=2)
     assert sorted(out.to_pandas()["doc_id"]) == [0, 1]
+
+
+def test_time_range_query_prunes_and_is_exact(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.spatial_index import (
+        build_time_index, time_range_query)
+
+    day = 86_400_000_000
+    ts = pa.array([0, day - 1, day, 2 * day + 5, 9 * day], type=pa.int64())
+    tab = pa.table({"event_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+                    "ts": ts})
+    d = str(tmp_path / "tidx")
+    build_time_index(rd.from_arrow(tab), d)
+    # half-open [day, 3*day): events 2 and 3; bucket 0 and 9 never read
+    out, stats = time_range_query(d, day, 3 * day,
+                                  columns=["event_id", "ts"])
+    assert sorted(out.to_pandas()["event_id"]) == [2, 3]
+    assert stats["buckets_read"] < stats["buckets_total"]
+    # boundary: ts == day-1 excluded, ts == day included (half-open)
+    out2, _ = time_range_query(d, 0, day, columns=["event_id", "ts"])
+    assert sorted(out2.to_pandas()["event_id"]) == [0, 1]
+    # empty range
+    out3, stats3 = time_range_query(d, 100 * day, 101 * day)
+    assert out3 is None and stats3["files_read"] == 0
