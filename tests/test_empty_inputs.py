@@ -165,3 +165,71 @@ def test_repetition_stats_empty(ray_session):
                                     "text": pa.array([], type=pa.string())}))
     out = RepetitionStats().apply(empty).to_pandas()
     assert len(out) == 0
+
+
+def _empty_docs():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                   "text": pa.array([], type=pa.string())}))
+
+
+def test_text_clean_empty(ray_session):
+    from fast_carpenter_ray.stages.text import TextClean
+
+    assert len(TextClean().apply(_empty_docs()).to_pandas()) == 0
+
+
+def test_chunk_documents_empty(ray_session):
+    from fast_carpenter_ray.stages.text import chunk_documents
+
+    out = chunk_documents(_empty_docs()).to_pandas()
+    # schema on a fully-empty Dataset is a known Ray to_pandas quirk
+    # (see agg.combine_partials) — the contract here is zero rows
+    assert len(out) == 0
+
+
+def test_winnow_empty(ray_session):
+    from fast_carpenter_ray.stages.winnow import (winnow_fingerprints,
+                                                  winnow_pairs)
+
+    assert winnow_fingerprints(_empty_docs()).count() == 0
+    assert winnow_fingerprints(_empty_docs(), hash_mode="fast").count() == 0
+    assert len(winnow_pairs(_empty_docs()).to_pandas()) == 0
+
+
+def test_strip_boilerplate_empty(ray_session):
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.boilerplate import strip_boilerplate
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "domain": pa.array([], type=pa.string()),
+        "text": pa.array([], type=pa.string())}))
+    out = strip_boilerplate(empty).to_pandas()
+    assert len(out) == 0
+
+
+def test_minhash_fast_empty_batch():
+    from fast_carpenter_ray.stages.dedup import MinHashDedup
+
+    mh = MinHashDedup("e", hash_mode="fast")
+    sigs = mh._signatures_fast([])
+    assert sigs.shape == (0, mh.num_perm)
+
+
+def test_hashed_chunk_retrieval_empty(ray_session):
+    import pandas as pd
+
+    from fast_carpenter_ray.stages.rag import hashed_chunk_retrieval
+
+    import ray.data as rd
+
+    chunks = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "chunk_id": pa.array([], type=pa.int64()),
+        "chunk_text": pa.array([], type=pa.string())}))
+    q = pd.DataFrame({"query_id": [1], "query_text": ["anything"]})
+    out = hashed_chunk_retrieval(chunks, q)
+    assert len(out) == 0
