@@ -82,11 +82,20 @@ def frequent_lines(ds, text_col: str = "text", id_col: str = "doc_id",
     dd = combine_partials(
         ds.map_batches(doc_partial, batch_format="pandas"),
         keys=[domain_col], value_cols=["nd"], mode="tree").to_pandas()
-    thr = {d: max(int(min_docs), int(np.ceil(min_frac * int(n))))
-           for d, n in zip(dd[domain_col], dd["nd"])}
+    if len(dd) == 0 or domain_col not in dd.columns:
+        thr = {}  # empty input: Ray's empty to_pandas loses the schema
+    else:
+        thr = {d: max(int(min_docs), int(np.ceil(min_frac * int(n))))
+               for d, n in zip(dd[domain_col], dd["nd"])}
     thr_ref = ray.put(thr)
 
     def keep_frequent(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "domain" not in batch.column_names:
+            # fully-empty inputs lose the combine's schema (Ray quirk,
+            # see agg.combine_partials): rebuild the typed empty table
+            return pa.table({"domain": pa.array([], type=pa.string()),
+                             "line": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
         t = ray.get(thr_ref)
         doms = batch["domain"].to_pandas()
         need = doms.map(t).fillna(np.inf).to_numpy(dtype=np.float64)

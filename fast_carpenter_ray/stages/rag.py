@@ -87,6 +87,13 @@ def hashed_chunk_retrieval(chunks, queries: pd.DataFrame, dim: int = 64,
         return pd.concat(outs, ignore_index=True)
 
     cand = chunks.map_batches(local_topk, batch_format="pandas").to_pandas()
+    if len(cand) == 0 or "_q" not in cand.columns:
+        # fully-empty chunk streams lose the schema (Ray quirk)
+        return pd.DataFrame({query_id_col: pd.Series([], dtype="int64"),
+                             **{c: pd.Series([], dtype="int64")
+                                for c in id_cols},
+                             "dot": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
     final = []
     for qi, qid in enumerate(qids):
         sub = cand[cand["_q"] == qi]
