@@ -7735,66 +7735,14 @@ def build_queries() -> Dict[str, Callable]:
     """Query registry, ordered for the driver's 50-row CORRECTNESS window.
 
     The driver checks the FIRST 50 entries each round. Ordering policy
-    (round 4): slots 1-50 = oracle-backed queries never yet confirmed by
-    a driver round (rotating window); then the remaining unconfirmed
-    oracle-backed queries (next round's window: move the first 50 to the
-    back); then queries already driver-confirmed in rounds 1-3; the 7
-    rows-only (no-oracle) queries go last so they never burn a window
-    slot on an `err: no_oracle` row.
+    (round 5): slots 1-50 = oracle-backed queries never yet confirmed by
+    a driver round in r01-r04 (the rotating window: text_clean ...
+    colocation); then the remaining 54 unconfirmed oracle-backed queries
+    (a future window); then the 107 queries already driver-confirmed in
+    rounds 1-4; the 7 rows-only (no-oracle) queries go last so they
+    never burn a window slot on an `err: no_oracle` row.
     """
     return {
-        "near_dedup": q_near_dedup,
-        "llm_curation": q_llm_curation,
-        "crawl_pipeline": q_crawl_pipeline,
-        "similarity_join": q_similarity_join,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "jagged_reduce": q_jagged_reduce,
-        "binned_padded": q_binned_padded,
-        "quantiles": q_quantiles,
-        "pii_redact": q_pii_redact,
-        "pii_stats": q_pii_stats,
-        "decontam": q_decontam,
-        "decontam_clean": q_decontam_clean,
-        "bm25": q_bm25,
-        "classifier": q_classifier,
-        "pack_sequences": q_pack_sequences,
-        "pack_summary": q_pack_summary,
-        "mixture_sample": q_mixture_sample,
-        "train_order": q_train_order,
-        "url_dedup": q_url_dedup,
-        "url_canon_groups": q_url_canon_groups,
-        "robots_rules": q_robots_rules,
-        "crawl_budget": q_crawl_budget,
-        "near_dedup_quality": q_near_dedup_quality,
-        "incremental_dedup": q_incremental_dedup,
-        "chunk_dup": q_chunk_dup,
-        "dedup_spans": q_dedup_spans,
-        "jagged_explode": q_jagged_explode,
-        "reduce_cut": q_reduce_cut,
-        "polygon_cover": q_polygon_cover,
-        "containment_join": q_containment_join,
-        "fingerprint": q_fingerprint,
-        "repetition": q_repetition,
-        "lang_id": q_lang_id,
-        "lang_confusion": q_lang_confusion,
-        "vocab": q_vocab,
-        "top_terms": q_top_terms,
-        "pmi": q_pmi,
-        "doc_frequency": q_doc_frequency,
-        "bigrams": q_bigrams,
-        "quantile_bucket": q_quantile_bucket,
-        "target_encode": q_target_encode,
-        "snap_segments": q_snap_segments,
-        "cusum": q_cusum,
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "pivot": q_pivot,
-        "collect_set": q_collect_set,
-        "profile": q_profile,
-        "curation_pipeline": q_curation_pipeline,
-        # -- round-4 additions (oracle-backed, driver-unconfirmed): next
-        #    rotation window starts here --
         "text_clean": q_text_clean,
         "strip_boilerplate": q_strip_boilerplate,
         "winnow_fp": q_winnow_fp,
@@ -7898,6 +7846,57 @@ def build_queries() -> Dict[str, Callable]:
         "group_split": q_group_split,
         "benford": q_benford,
         "mannwhitney": q_mannwhitney,
+        "image_features": q_image_features,
+        "near_dedup": q_near_dedup,
+        "llm_curation": q_llm_curation,
+        "crawl_pipeline": q_crawl_pipeline,
+        "similarity_join": q_similarity_join,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "jagged_reduce": q_jagged_reduce,
+        "binned_padded": q_binned_padded,
+        "quantiles": q_quantiles,
+        "pii_redact": q_pii_redact,
+        "pii_stats": q_pii_stats,
+        "decontam": q_decontam,
+        "decontam_clean": q_decontam_clean,
+        "bm25": q_bm25,
+        "classifier": q_classifier,
+        "pack_sequences": q_pack_sequences,
+        "pack_summary": q_pack_summary,
+        "mixture_sample": q_mixture_sample,
+        "train_order": q_train_order,
+        "url_dedup": q_url_dedup,
+        "url_canon_groups": q_url_canon_groups,
+        "robots_rules": q_robots_rules,
+        "crawl_budget": q_crawl_budget,
+        "near_dedup_quality": q_near_dedup_quality,
+        "incremental_dedup": q_incremental_dedup,
+        "chunk_dup": q_chunk_dup,
+        "dedup_spans": q_dedup_spans,
+        "jagged_explode": q_jagged_explode,
+        "reduce_cut": q_reduce_cut,
+        "polygon_cover": q_polygon_cover,
+        "containment_join": q_containment_join,
+        "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "lang_id": q_lang_id,
+        "lang_confusion": q_lang_confusion,
+        "vocab": q_vocab,
+        "top_terms": q_top_terms,
+        "pmi": q_pmi,
+        "doc_frequency": q_doc_frequency,
+        "bigrams": q_bigrams,
+        "quantile_bucket": q_quantile_bucket,
+        "target_encode": q_target_encode,
+        "snap_segments": q_snap_segments,
+        "cusum": q_cusum,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "pivot": q_pivot,
+        "collect_set": q_collect_set,
+        "profile": q_profile,
+        "curation_pipeline": q_curation_pipeline,
         "hash_invariant": q_hash_invariant,
         "cell_encode": q_cell_encode,
         "cell_parent": q_cell_parent,
@@ -7955,7 +7954,6 @@ def build_queries() -> Dict[str, Callable]:
         "token_count": q_token_count,
         "quality": q_quality,
         "ann_cosine": q_ann_cosine,
-        "image_features": q_image_features,
         "kmeans": q_kmeans,
         "rdp_simplify": q_rdp_simplify,
         "approx_quantiles": q_approx_quantiles,

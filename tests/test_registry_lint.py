@@ -59,6 +59,32 @@ def test_driver_window_is_oracle_backed():
         f"{[k for k in window if k not in o]}")
 
 
+_R05_WINDOW = [
+    "text_clean", "strip_boilerplate", "winnow_fp", "winnow_pairs",
+    "chunk_docs", "rag_retrieve", "bbox_query", "time_range",
+    "audio_features", "video_frames", "clustering_coeff", "domain_degrees",
+    "pagerank", "retention", "cohort_retention", "od_matrix",
+    "od_matrix_bucketed", "compact_cells", "spacetime", "outlier_cells",
+    "domain_stats", "domain_footprint", "blocklist", "cluster_cells",
+    "site_visits", "uncompact_roundtrip", "tile_pyramid", "lang_quantiles",
+    "weighted_median", "crawl_order", "theil_sen", "percentile_rank",
+    "distinct_users", "hot_cells", "doc_sample", "stratified_sample",
+    "top_docs", "familiarity", "hop_window", "raster_zonal", "focal_mean",
+    "spatial_autocorr", "geofence", "hll_users", "cms_users",
+    "geofence_dwell", "geofence_bucketed", "zscore_outliers",
+    "interval_join", "colocation",
+]
+
+
+def test_round5_rotation_window_pinned():
+    """Round-5 driver window = the 50 oracle-backed queries that had no
+    green CORRECTNESS row in rounds 1-4 (cumulative record).  Pinning the
+    exact list prevents an accidental reorder from silently re-burning
+    window slots on already-confirmed queries."""
+    q = list(qmod.build_queries().keys())
+    assert q[:50] == _R05_WINDOW
+
+
 def test_rows_only_queries_sit_last():
     """All no-oracle queries are grouped at the END of the registry so
     every future rotation window stays oracle-backed."""
