@@ -64,7 +64,11 @@ def _make_combiner(keys: Sequence[str], value_cols: Sequence[str],
 
     Matches the previous pandas ``groupby`` semantics: rows whose key is
     null or float-NaN are dropped (pandas ``dropna=True``) before the
-    Arrow aggregate, which itself ignores nulls.
+    Arrow aggregate, which itself ignores nulls.  Float-NaN VALUES are
+    masked to null first — Arrow kernels would otherwise propagate a
+    valid NaN into sum/min/max where pandas ``skipna`` ignores it, and
+    tree mode's driver-side pandas final merge would then disagree with
+    the per-block Arrow shrink.
     """
     import pyarrow.compute as pc
 
@@ -84,6 +88,14 @@ def _make_combiner(keys: Sequence[str], value_cols: Sequence[str],
             mask = valid if mask is None else pc.and_(mask, valid)
         if not pc.all(mask).as_py():
             batch = batch.filter(mask)
+        for c in value_cols:
+            col = batch[c]
+            if pa.types.is_floating(col.type):
+                # NaN -> null so the Arrow aggregate skips it like pandas
+                batch = batch.set_column(
+                    batch.column_names.index(c), c,
+                    pc.if_else(pc.is_nan(col),
+                               pa.scalar(None, type=col.type), col))
         res = batch.select([*keys, *value_cols]).group_by(keys).aggregate(
             [(c, agg) for c in value_cols])
         # group_by names aggregates "{col}_{agg}": restore original names

@@ -16,8 +16,11 @@ the repo's standard scale shape:
    ships once via ``ray.put`` and every batch cleans itself with one
    vectorized ``isin`` — the document stream never shuffles; above the
    budget, the honest distributed path explodes docs to line rows,
-   left-outer hash-joins the frequent set on a concatenated key, and
-   reassembles per doc in group tasks (pytest pins both paths equal).
+   left-outer hash-joins the frequent set on a NUL-escaped concatenated
+   key, reassembles VECTORIZED per hash bucket (one pandas pass over each
+   bucket's complete doc groups — never one task per doc), and joins the
+   slim cleaned rows back onto the full document stream so both paths
+   emit the identical full schema (pytest pins them equal).
 
 Cleaning preserves line order; a doc whose every line is boilerplate
 keeps an empty ``text_clean``.  Deterministic end to end, so the whole
@@ -39,6 +42,16 @@ __all__ = ["strip_boilerplate", "frequent_lines"]
 #: (measured: left_outer matches silently dropped), and \x1f never occurs
 #: in domain names.
 _SEP = "\x1f"
+
+
+def _nulsafe(s: pd.Series) -> pd.Series:
+    """Injective escape making join-key content NUL-free: line TEXT may
+    embed \\x00, which hits the Ray ``Dataset.join`` bug (left_outer
+    matches silently dropped on keys with embedded NULs) — such lines
+    would survive stripping on the distributed path only.  \\x1e escapes
+    itself so no two inputs collide; \\x1f (the separator) stays raw."""
+    return (s.str.replace("\x1e", "\x1e\x1e", regex=False)
+             .str.replace("\x00", "\x1e0", regex=False))
 
 
 def frequent_lines(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -156,8 +169,12 @@ def strip_boilerplate(ds, text_col: str = "text", id_col: str = "doc_id",
         return ds.map_batches(clean, batch_format="pandas")
 
     # honest distributed path: explode docs to line rows, mark frequent
-    # lines via one left-outer hash join on the concatenated key, then
-    # reassemble per doc in group tasks (line order restored by idx)
+    # lines via one left-outer hash join on the (NUL-escaped) concatenated
+    # key, then reassemble vectorized per HASH BUCKET — one pandas pass
+    # over each bucket's complete doc groups, not one task per doc —
+    # and finally join the slim cleaned rows back onto the full document
+    # stream so the output schema matches the broadcast path exactly
+    # (all original columns + text_clean/n_lines/n_removed).
     from .joins import hash_join
 
     def explode_rows(batch: pd.DataFrame) -> pd.DataFrame:
@@ -172,34 +189,56 @@ def strip_boilerplate(ds, text_col: str = "text", id_col: str = "doc_id",
         starts = np.concatenate([[0], np.cumsum(np.bincount(
             idx, minlength=len(batch)))])[:-1]
         return pd.DataFrame({
-            id_col: ids[idx], "_bk": dom[idx] + _SEP + lv,
+            id_col: ids[idx],
+            "_bk": (_nulsafe(pd.Series(dom[idx])) + _SEP
+                    + _nulsafe(pd.Series(lv))).to_numpy(dtype=object),
             "_line": lv, "_idx": within - starts[idx]})
 
     rows = ds.map_batches(explode_rows, batch_format="pandas")
-    fkey = freq.map_batches(
-        lambda t: pa.table({
-            "_bk": pa.array(
-                [d + _SEP + ln for d, ln in
-                 zip(t["domain"].to_pylist(), t["line"].to_pylist())],
-                type=pa.string()),
-            "_hit": pa.array(np.ones(len(t), dtype=np.int8))}),
-        batch_format="pyarrow")
+
+    def freq_key(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_bk": (_nulsafe(batch["domain"].fillna("")) + _SEP
+                    + _nulsafe(batch["line"].fillna(""))),
+            "_hit": np.ones(len(batch), dtype=np.int8)})
+
+    fkey = freq.map_batches(freq_key, batch_format="pandas")
     marked = hash_join(rows, fkey, "_bk", num_partitions=num_partitions,
                        how="left_outer")
 
-    def reassemble(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("_idx", kind="stable")
-        keep = g["_hit"].isna()
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[id_col, "_line", "_idx", "_hit"]].copy()
+        out["_part"] = pd.util.hash_pandas_object(
+            batch[id_col], index=False).to_numpy() % num_partitions
+        return out
+
+    def reassemble_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "text_clean": pd.Series([], dtype=object),
+                "n_lines": pd.Series([], dtype="int64"),
+                "n_removed": pd.Series([], dtype="int64")})
+        ids = part[id_col].to_numpy()
+        order = np.lexsort((part["_idx"].to_numpy(np.int64), ids))
+        ids = ids[order]
+        keep = part["_hit"].isna().to_numpy()[order]
+        lines = part["_line"].to_numpy(dtype=object)[order]
+        uid, counts = np.unique(ids, return_counts=True)
+        joined = (pd.Series(lines[keep]).groupby(ids[keep], sort=True)
+                  .agg("\n".join).reindex(uid, fill_value=""))
+        rem = pd.Series(np.zeros(len(uid), dtype=np.int64), index=uid)
+        ruid, rcnt = np.unique(ids[~keep], return_counts=True)
+        rem.loc[ruid] = rcnt
         return pd.DataFrame({
-            id_col: [g[id_col].iloc[0]],
-            "text_clean": ["\n".join(g["_line"][keep])],
-            "n_lines": np.array([len(g)], dtype=np.int64),
-            "n_removed": np.array([int((~keep).sum())], dtype=np.int64),
+            id_col: uid,
+            "text_clean": joined.to_numpy(dtype=object),
+            "n_lines": counts.astype(np.int64),
+            "n_removed": rem.to_numpy(),
         })
 
-    cleaned = marked.groupby(id_col,
-                             num_partitions=num_partitions).map_groups(
-        reassemble, batch_format="pandas")
-    base = ds.select_columns([id_col, domain_col])
-    return hash_join(base, cleaned, id_col,
+    cleaned = (marked.map_batches(bucketize, batch_format="pandas")
+               .groupby("_part", num_partitions=num_partitions)
+               .map_groups(reassemble_bucket, batch_format="pandas"))
+    return hash_join(ds, cleaned, id_col,
                      num_partitions=num_partitions, how="inner")

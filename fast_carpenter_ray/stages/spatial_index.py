@@ -28,6 +28,29 @@ __all__ = ["build_spatial_index", "bbox_query",
            "build_time_index", "time_range_query"]
 
 
+def _ts_int_us(t):
+    """Timestamp column -> int64 MICROSECONDS regardless of the stored
+    unit.  A plain ``cast(int64)`` keeps the source unit, so a
+    ``timestamp[ns]`` input would bucket by ``ns // bucket_us`` (~86 s
+    buckets) and compare ns values against microsecond bounds — silently
+    wrong.  Normalising through ``timestamp('us')`` pins the contract."""
+    if pa.types.is_timestamp(t.type):
+        t = t.cast(pa.timestamp("us")).cast(pa.int64())
+    return t
+
+
+def _empty_like(files: Sequence[str], columns) -> "object":
+    """Empty Dataset carrying the index's schema (so callers can chain
+    ``.to_pandas()``/``select_columns`` without a None special case)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    schema = pq.read_schema(files[0])
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.from_arrow(schema.empty_table())
+
+
 def _prefix_xy(lat: np.ndarray, lng: np.ndarray, prefix_res: int):
     """Clamped integer grid coordinates at ``prefix_res`` (the cell_xy
     convention: floor((lat+90)/180 * 2^r), edge-clamped)."""
@@ -69,6 +92,11 @@ def bbox_query(index_dir: str, lat0: float, lat1: float,
     """
     import ray.data as rd
 
+    if lat0 > lat1 or lng0 > lng1:
+        raise ValueError(
+            f"inverted bbox: need lat0 <= lat1 and lng0 <= lng1, got "
+            f"lat [{lat0}, {lat1}], lng [{lng0}, {lng1}] — antimeridian-"
+            "crossing boxes must be issued as two queries")
     n = _n(prefix_res)
     y0, x0 = _prefix_xy(np.array([lat0]), np.array([lng0]), prefix_res)
     y1, x1 = _prefix_xy(np.array([lat1]), np.array([lng1]), prefix_res)
@@ -87,7 +115,11 @@ def bbox_query(index_dir: str, lat0: float, lat1: float,
              "prefixes_read": len(read_dirs),
              "files_total": files_total, "files_read": len(files)}
     if not files:
-        return None, stats
+        all_files = sorted(glob.glob(
+            os.path.join(index_dir, "**", "*.parquet"), recursive=True))
+        if not all_files:
+            raise FileNotFoundError(f"no parquet under {index_dir}")
+        return _empty_like(all_files, columns), stats
 
     read_cols = (list(dict.fromkeys([*columns, lat_col, lng_col]))
                  if columns else None)
@@ -117,9 +149,7 @@ def build_time_index(ds, index_dir: str, ts_col: str = "ts",
     at the read."""
 
     def assign(batch: pa.Table) -> pa.Table:
-        t = batch[ts_col]
-        if pa.types.is_timestamp(t.type):
-            t = t.cast(pa.int64())
+        t = _ts_int_us(batch[ts_col])
         b = t.to_numpy(zero_copy_only=False) // bucket_us
         return batch.append_column("ts_bucket",
                                    pa.array(b.astype(np.int64)))
@@ -138,6 +168,8 @@ def time_range_query(index_dir: str, ts0: int, ts1: int,
     range; same ``(dataset, stats)`` contract as :func:`bbox_query`."""
     import ray.data as rd
 
+    if ts0 > ts1:
+        raise ValueError(f"inverted time range: ts0 {ts0} > ts1 {ts1}")
     b0 = int(ts0) // bucket_us
     b1 = (int(ts1) - 1) // bucket_us
     all_parts = sorted(glob.glob(os.path.join(index_dir, "ts_bucket=*")))
@@ -151,16 +183,17 @@ def time_range_query(index_dir: str, ts0: int, ts1: int,
              "buckets_read": len(read_dirs),
              "files_total": files_total, "files_read": len(files)}
     if not files:
-        return None, stats
+        all_files = sorted(glob.glob(
+            os.path.join(index_dir, "**", "*.parquet"), recursive=True))
+        if not all_files:
+            raise FileNotFoundError(f"no parquet under {index_dir}")
+        return _empty_like(all_files, columns), stats
     read_cols = (list(dict.fromkeys([*columns, ts_col]))
                  if columns else None)
     ds = rd.read_parquet(files, columns=read_cols)
 
     def exact(batch: pa.Table) -> pa.Table:
-        t = batch[ts_col]
-        if pa.types.is_timestamp(t.type):
-            t = t.cast(pa.int64())
-        tv = t.to_numpy(zero_copy_only=False)
+        tv = _ts_int_us(batch[ts_col]).to_numpy(zero_copy_only=False)
         return batch.filter(pa.array((tv >= ts0) & (tv < ts1)))
 
     out = ds.map_batches(exact, batch_format="pyarrow")

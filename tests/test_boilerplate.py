@@ -43,18 +43,50 @@ def test_strip_boilerplate_broadcast(ray_session):
 
 def test_strip_boilerplate_paths_identical(ray_session):
     """budget=0 forces the distributed explode+join+reassemble path; the
-    result must be identical to the broadcast path."""
+    result must be identical to the broadcast path INCLUDING the full
+    schema — the distributed path must keep every input column (text,
+    domain, ...), not just the cleaned slim rows."""
     import ray.data as rd
 
     from fast_carpenter_ray.stages.boilerplate import strip_boilerplate
 
-    cols = ["doc_id", "text_clean", "n_lines", "n_removed"]
     a = (strip_boilerplate(rd.from_arrow(pages()).repartition(3))
-         .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
     b = (strip_boilerplate(rd.from_arrow(pages()).repartition(3),
                            broadcast_budget=0)
-         .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True))
-    pd.testing.assert_frame_equal(a, b)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert set(a.columns) == set(b.columns) == {
+        "doc_id", "domain", "text", "text_clean", "n_lines", "n_removed"}
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_strip_boilerplate_nul_lines_both_paths(ray_session):
+    """A boilerplate line with an embedded NUL must be stripped on BOTH
+    paths — the distributed join escapes NULs out of its key to dodge the
+    Ray Dataset.join dropped-match bug (and \\x1e content is escaped
+    injectively so it can't alias)."""
+    import ray.data as rd
+
+    from fast_carpenter_ray.stages.boilerplate import strip_boilerplate
+
+    nav = "NAV\x00d0"          # embedded NUL in the frequent line
+    esc = "tricky\x1e0line"     # raw text that matches NUL's escape form
+    rows = [(i, "d0", f"{nav}\ncontent {i}\n{esc}") for i in range(5)]
+    tab = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "domain": [r[1] for r in rows],
+        "text": [r[2] for r in rows],
+    })
+    outs = []
+    for budget in (10**6, 0):
+        out = (strip_boilerplate(rd.from_arrow(tab).repartition(2),
+                                 min_docs=3, min_frac=0.5,
+                                 broadcast_budget=budget)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(out["text_clean"]) == [f"content {i}" for i in range(5)]
+        assert all(out["n_removed"] == 2)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1][outs[0].columns])
 
 
 def test_frequent_lines_threshold(ray_session):
