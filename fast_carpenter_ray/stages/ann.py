@@ -103,23 +103,29 @@ class _LocalTopK:
 
 def ann_topk(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
              vec_col: str = "embedding", exclude_self: bool = True,
-             concurrency=(1, 4), batch_size: int = 4096):
+             concurrency=None, batch_size: int = 4096):
     """Exact cosine top-k of each query over the dataset.
 
     ``queries``: {"id": [...], "matrix": 2-D array}.  Returns a Dataset of
     (query_id, neighbor_id, cosine, rank) with exactly k rows per query.
+
+    Default is a TASK pool: per-task setup is one zero-copy ``ray.get``
+    of the broadcast query matrix plus a [Q, d] normalize — too cheap to
+    justify an actor-pool ceiling (the earlier ``(1, 4)`` cap starved the
+    stage at 32 CPUs).  Pass ``concurrency`` to opt into an actor pool
+    when swapping in a real embedding model.
     """
     import ray
 
     ref = ray.put(queries)
-    local = ds.map_batches(
-        _LocalTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col,
-                               "vec_col": vec_col, "exclude_self": exclude_self},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    kw = dict(batch_format="pyarrow", batch_size=batch_size)
+    ctor = {"queries_ref": ref, "k": k, "id_col": id_col,
+            "vec_col": vec_col, "exclude_self": exclude_self}
+    if concurrency is None:
+        local = ds.map_batches(lambda b: _LocalTopK(**ctor)(b), **kw)
+    else:
+        local = ds.map_batches(_LocalTopK, fn_constructor_kwargs=ctor,
+                               concurrency=concurrency, **kw)
 
     # merge partial top-ks: the partials are O(n_batches * n_queries * k)
     # rows — tiny by construction — so the final re-top-k happens ON THE

@@ -30,14 +30,21 @@ __all__ = ["hashed_chunk_retrieval", "bucket_counts"]
 
 
 def bucket_counts(token_lists, dim: int) -> np.ndarray:
-    """[n, dim] int64 token-count histograms over sha256-hashed buckets."""
-    out = np.zeros((len(token_lists), dim), dtype=np.int64)
-    for i, toks in enumerate(token_lists):
-        if toks:
-            b = (_stable_token_hash_np(np.asarray(toks, dtype=object))
-                 % np.uint64(dim)).astype(np.int64)
-            np.add.at(out[i], b, 1)
-    return out
+    """[n, dim] int64 token-count histograms over sha256-hashed buckets.
+
+    Vectorized: ONE explode over all rows, one ``_stable_token_hash_np``
+    over the concatenated token array, one flat bincount on
+    ``row * dim + bucket`` — no per-row Python loop."""
+    n = len(token_lists)
+    s = pd.Series(list(token_lists), dtype=object)
+    ex = s.explode().dropna()
+    if len(ex) == 0:
+        return np.zeros((n, dim), dtype=np.int64)
+    idx = ex.index.to_numpy(np.int64)
+    b = (_stable_token_hash_np(ex.to_numpy(dtype=object))
+         % np.uint64(dim)).astype(np.int64)
+    return (np.bincount(idx * dim + b, minlength=n * dim)
+            .astype(np.int64).reshape(n, dim))
 
 
 def hashed_chunk_retrieval(chunks, queries: pd.DataFrame, dim: int = 64,
@@ -63,20 +70,21 @@ def hashed_chunk_retrieval(chunks, queries: pd.DataFrame, dim: int = 64,
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
         qm = ray.get(qref)
-        toks = [t.split() for t in batch[text_col].fillna("")]
+        toks = batch[text_col].fillna("").str.split()  # vectorized split
         cm = bucket_counts(toks, dim)           # [n, dim]
         dots = cm @ qm.T                        # [n, Q] exact int64
+        idarrs = [batch[c].to_numpy() for c in id_cols]
         outs = []
-        for qi in range(qm.shape[0]):
+        for qi in range(qm.shape[0]):           # Q is small by contract
             d = dots[:, qi]
             hit = np.nonzero(d > 0)[0]
             if len(hit) == 0:
                 continue
-            sub = batch.iloc[hit][id_cols].copy()
-            sub["dot"] = d[hit]
-            sub = sub.sort_values(["dot", *id_cols],
-                                  ascending=[False] + [True] * len(id_cols),
-                                  kind="stable").head(k)
+            # lexsort replay of (dot DESC, *id_cols ASC), then head-k
+            keys = tuple(a[hit] for a in reversed(idarrs)) + (-d[hit],)
+            sel = hit[np.lexsort(keys)[:k]]
+            sub = pd.DataFrame({c: a[sel] for c, a in zip(id_cols, idarrs)})
+            sub["dot"] = d[sel]
             sub.insert(0, "_q", qi)
             outs.append(sub)
         if not outs:

@@ -48,6 +48,36 @@ def test_fingerprint_deterministic_and_order_sensitive():
     assert 0 <= fp("anything") < (1 << 63)
 
 
+def test_fingerprint_vectorized_matches_reference_fold():
+    """The batch path (uint64 power-table fold) must be bit-equal to the
+    per-row sequential reference for every edge shape: empty doc,
+    whitespace-only, single token, repeated tokens, mixed case, long."""
+    texts = ["", "   ", "\t\n", "one", "a b c", "c b a", "A  B\tC",
+             "tok " * 200, "the cat and the dog", None]
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    got = Fingerprint()(tab)["fingerprint"].to_pylist()
+    want = [Fingerprint.fingerprint((t or "").lower()) for t in texts]
+    assert got == want
+    # zero-row batch survives
+    assert Fingerprint()(tab.slice(0, 0)).num_rows == 0
+
+
+def test_fingerprint_fast_mode_self_consistent():
+    """hash_mode='fast' (vectorized siphash) is deterministic across
+    calls, order-sensitive, 63-bit positive, and distinguishes the same
+    cases as the sha256 fold."""
+    texts = ["a b c", "c b a", "a b c", "", "single"]
+    tab = pa.table({"text": pa.array(texts, type=pa.string())})
+    f1 = Fingerprint(hash_mode="fast")(tab)["fingerprint"].to_pylist()
+    f2 = Fingerprint(hash_mode="fast")(tab)["fingerprint"].to_pylist()
+    assert f1 == f2
+    assert f1[0] == f1[2] and f1[0] != f1[1]
+    assert all(0 <= v < (1 << 63) for v in f1)
+    with pytest.raises(ValueError):
+        Fingerprint(hash_mode="nope")
+
+
 def embeddings_table(n=40, dim=8, seed=0):
     rng = np.random.default_rng(seed)
     m = rng.standard_normal((n, dim))
