@@ -134,7 +134,9 @@ def run_bench() -> dict:
                  # round-4 additions: curation + real multimodal decode
                  "text_clean", "strip_boilerplate", "image_features",
                  "audio_features", "video_frames", "winnow_fp",
-                 "chunk_docs", "rag_retrieve", "bbox_query"):
+                 "chunk_docs", "rag_retrieve", "bbox_query",
+                 # round-5: the newly vectorized text stages
+                 "fingerprint", "lang_id"):
         best = float("inf")
         for _ in range(2):
             import gc

@@ -380,29 +380,30 @@ def doc_frequency(ds, text_col: str = "text", id_col: str = "doc_id",
     number of DISTINCT documents containing each token.
 
     Per-batch (token, doc) pair dedup (a doc's repeated token counts
-    once), then one hash shuffle keyed on the token and a per-group
-    distinct-doc count.  Same RE2-compatible tokenizer as
-    :func:`vocab_count`.  Returns ``token, df`` with ``df >= min_df``.
+    once), shrunk in-batch to ``(token, df)`` partial counts, then ONE
+    hash combine keyed on the token.  Each document's text lives in
+    exactly one input row, so the per-batch-deduped pairs are globally
+    unique and the distinct-doc count is a plain sum — no per-token
+    group tasks (the earlier ``map_groups`` spawned one Python call per
+    vocabulary entry).  Assumes ``id_col`` is unique per row (the
+    documents-table contract); pre-dedup upstream if it is not.
+    Same RE2-compatible tokenizer as :func:`vocab_count`.  Returns
+    ``token, df`` with ``df >= min_df``.
     """
-    from ..agg import default_partitions
+    from ..agg import combine_partials
 
     def pairs(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[text_col].fillna("")
         toks = s.str.split(r"[ \t\n\r\f]+", regex=True)
         out = pd.DataFrame({id_col: batch[id_col], "token": toks}).explode("token")
         out = out[(out["token"] != "") & out["token"].notna()]
-        return out.drop_duplicates()
+        out = (out.drop_duplicates()["token"].value_counts()
+               .rename_axis("token").rename("df").reset_index())
+        out["df"] = out["df"].astype(np.int64)
+        return out
 
-    dedup = ds.map_batches(pairs, batch_format="pandas")
-
-    def count(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "token": [g["token"].iloc[0]],
-            "df": np.array([g[id_col].nunique()], dtype=np.int64),
-        })
-
-    out = dedup.groupby("token", num_partitions=default_partitions()).map_groups(
-        count, batch_format="pandas")
+    out = combine_partials(ds.map_batches(pairs, batch_format="pandas"),
+                           keys=["token"], value_cols=["df"], mode="hash")
     if min_df > 1:
         def thresh(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
