@@ -171,6 +171,21 @@ def media_schema() -> pa.Schema:
     ])
 
 
+def _default_pool(concurrency):
+    """CPU-scaled actor-pool bounds: the decode stages are genuinely
+    stateful (codec table / model slot per actor) so they stay actor
+    pools, but a fixed (1, 2) ceiling starved them behind 32 CPUs —
+    default to half the cluster so decode never bottlenecks the stream
+    while leaving room for neighbour stages."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if \
+        ray.is_initialized() else 8
+    return (1, max(2, cpus // 2))
+
+
 class ImageDecode:
     """Actor-pool stage: payload -> fixed-size feature vector.
 
@@ -242,10 +257,11 @@ class ImageDecode:
         return out.append_column("features", col)
 
     @classmethod
-    def apply(cls, ds, concurrency=(1, 2), batch_size: int = 128, **kwargs):
+    def apply(cls, ds, concurrency=None, batch_size: int = 128, **kwargs):
         return ds.map_batches(
             cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
-            batch_size=batch_size, concurrency=concurrency)
+            batch_size=batch_size,
+            concurrency=_default_pool(concurrency))
 
 
 class FrameSample:
@@ -310,10 +326,11 @@ class FrameSample:
                      type=pa.int64()))
 
     @classmethod
-    def apply(cls, ds, concurrency=(1, 2), batch_size: int = 64, **kwargs):
+    def apply(cls, ds, concurrency=None, batch_size: int = 64, **kwargs):
         return ds.map_batches(
             cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
-            batch_size=batch_size, concurrency=concurrency)
+            batch_size=batch_size,
+            concurrency=_default_pool(concurrency))
 
 
 class AudioResample:
@@ -375,7 +392,8 @@ class AudioResample:
         return out.append_column("window_energy", col)
 
     @classmethod
-    def apply(cls, ds, concurrency=(1, 2), batch_size: int = 64, **kwargs):
+    def apply(cls, ds, concurrency=None, batch_size: int = 64, **kwargs):
         return ds.map_batches(
             cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
-            batch_size=batch_size, concurrency=concurrency)
+            batch_size=batch_size,
+            concurrency=_default_pool(concurrency))
