@@ -589,23 +589,49 @@ def term_trends(ds, text_col: str = "text", day_col: str = "day",
         ds.map_batches(partial, batch_format="pandas"),
         keys=["token", "day"], value_cols=["n"], mode=mode)
 
-    def lag_ratio(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.sort_values("day", kind="stable")
-        n = s["n"].to_numpy().astype(np.int64)
-        if len(n) < 2:
+    # lag within token, vectorized per HASH BUCKET: one sorted pandas
+    # pass over each bucket's complete token groups instead of one
+    # Python call per vocabulary entry (the group count here IS the
+    # vocabulary — per-group dispatch would dominate at corpus scale)
+    num_partitions = default_partitions()
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or "token" not in batch.columns:
+            # empty blocks can lose the combine's schema (Ray quirk)
             return pd.DataFrame({"token": pd.Series([], dtype=object),
                                  "day": pd.Series([], dtype=np.int64),
                                  "n": pd.Series([], dtype=np.int64),
-                                 "ratio": pd.Series([], dtype=np.float64)})
-        return pd.DataFrame({
-            "token": s["token"].to_numpy()[1:],
-            "day": s["day"].to_numpy()[1:].astype(np.int64),
-            "n": n[1:],
-            "ratio": n[1:].astype(np.float64) / n[:-1].astype(np.float64),
-        })
+                                 "_part": pd.Series([], dtype=np.uint64)})
+        out = batch[["token", "day", "n"]].copy()
+        out["_part"] = pd.util.hash_pandas_object(
+            batch["token"], index=False).to_numpy() % num_partitions
+        return out
 
-    return counts.groupby("token", num_partitions=default_partitions()).map_groups(
-        lag_ratio, batch_format="pandas")
+    def lag_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"token": pd.Series([], dtype=object),
+                              "day": pd.Series([], dtype=np.int64),
+                              "n": pd.Series([], dtype=np.int64),
+                              "ratio": pd.Series([], dtype=np.float64)})
+        if len(part) == 0:
+            return empty
+        g = part.sort_values(["token", "day"], kind="mergesort")
+        tok = g["token"].to_numpy(dtype=object)
+        day = g["day"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        keep = np.zeros(len(g), dtype=bool)
+        keep[1:] = tok[1:] == tok[:-1]  # has a previous day of same token
+        if not keep.any():
+            return empty
+        prev = np.empty(len(g), dtype=np.int64)
+        prev[1:] = n[:-1]
+        return pd.DataFrame({
+            "token": tok[keep], "day": day[keep], "n": n[keep],
+            "ratio": n[keep].astype(np.float64)
+            / prev[keep].astype(np.float64)})
+
+    return (counts.map_batches(bucketize, batch_format="pandas")
+            .groupby("_part", num_partitions=num_partitions)
+            .map_groups(lag_bucket, batch_format="pandas"))
 
 
 class RepetitionStats:
@@ -835,20 +861,35 @@ def cell_terms(ds, cell_col: str = "cell", text_col: str = "text",
         ds.map_batches(partial, batch_format="pandas"),
         keys=["cell", "tok"], value_cols=["n"], mode="hash")
 
-    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        return (batch.sort_values(["n", "tok"], ascending=[False, True],
-                                  kind="stable")
-                .groupby("cell", sort=False).head(k))
+    num_partitions = default_partitions()
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.sort_values(["n", "tok"], ascending=[False, True],
-                            kind="stable").head(k).copy()
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or "cell" not in batch.columns:
+            return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
+                                 "tok": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.uint64)})
+        out = (batch.sort_values(["n", "tok"], ascending=[False, True],
+                                 kind="stable")
+               .groupby("cell", sort=False).head(k).copy())
+        out["_part"] = pd.util.hash_pandas_object(
+            out["cell"], index=False).to_numpy() % num_partitions
+        return out
+
+    def final_topk_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        # head-k per cell, vectorized over the whole bucket: one sorted
+        # pass + groupby head instead of one Python call per cell
+        g = (part.drop(columns=["_part"])
+             .sort_values(["cell", "n", "tok"],
+                          ascending=[True, False, True], kind="mergesort"))
+        out = g.groupby("cell", sort=False).head(k).copy()
+        out["rank"] = out.groupby("cell", sort=False).cumcount() + 1
+        out["rank"] = out["rank"].astype(np.int64)
         return out
 
     return (counts.map_batches(partial_topk, batch_format="pandas")
-            .groupby("cell", num_partitions=default_partitions())
-            .map_groups(final_topk, batch_format="pandas"))
+            .groupby("_part", num_partitions=num_partitions)
+            .map_groups(final_topk_bucket, batch_format="pandas"))
 
 
 def vocab_drift(ds, text_col: str = "text", period_col: str = "period",
@@ -902,23 +943,52 @@ def vocab_drift(ds, text_col: str = "text", period_col: str = "period",
     na, nb = np.int64(tot["na"]), np.int64(tot["nb"])
     n_total = na + nb
 
-    def chi2(group: pd.DataFrame) -> pd.DataFrame:
-        a = np.int64(group.loc[group["period"] == 0, "n"].sum())
-        b = np.int64(group.loc[group["period"] == 1, "n"].sum())
-        if a + b < min_support or n_total - a - b <= 0:
-            return pd.DataFrame({"token": pd.Series([], dtype=object),
-                                 "a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64),
-                                 "chi2": pd.Series([], dtype=np.float64)})
-        num = a * (nb - b) - b * (na - a)  # exact int64
-        # fixed float chain, mirrored verbatim in the SQL oracle
-        c = (np.float64(n_total) * np.float64(num) * np.float64(num)
-             / (np.float64(na) * np.float64(nb) * np.float64(a + b)
-                * np.float64(n_total - a - b)))
-        return pd.DataFrame({"token": [group["token"].iloc[0]],
-                             "a": np.array([a], dtype=np.int64),
-                             "b": np.array([b], dtype=np.int64),
-                             "chi2": np.array([c], dtype=np.float64)})
+    # per-token pivot + chi2, vectorized per HASH BUCKET (one pandas
+    # groupby-sum per bucket instead of one Python call per vocabulary
+    # entry); the elementwise float chain evaluates in the exact same
+    # left-to-right order as the previous scalar code, so outputs stay
+    # bit-identical under the SQL oracle
+    num_partitions = default_partitions()
 
-    return counts.groupby("token", num_partitions=default_partitions()) \
-        .map_groups(chi2, batch_format="pandas")
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or "token" not in batch.columns:
+            # empty blocks can lose the combine's schema (Ray quirk)
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "period": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.uint64)})
+        out = batch[["token", "period", "n"]].copy()
+        out["_part"] = pd.util.hash_pandas_object(
+            batch["token"], index=False).to_numpy() % num_partitions
+        return out
+
+    def chi2_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"token": pd.Series([], dtype=object),
+                              "a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64),
+                              "chi2": pd.Series([], dtype=np.float64)})
+        if len(part) == 0:
+            return empty
+        piv = (part.assign(
+            a=np.where(part["period"] == 0, part["n"], 0),
+            b=np.where(part["period"] == 1, part["n"], 0))
+            .groupby("token", sort=False)[["a", "b"]].sum())
+        a = piv["a"].to_numpy(np.int64)
+        b = piv["b"].to_numpy(np.int64)
+        keep = (a + b >= min_support) & (n_total - a - b > 0)
+        if not keep.any():
+            return empty
+        a, b = a[keep], b[keep]
+        num = a * (nb - b) - b * (na - a)  # exact int64
+        c = (np.float64(n_total) * num.astype(np.float64)
+             * num.astype(np.float64)
+             / (np.float64(na) * np.float64(nb)
+                * (a + b).astype(np.float64)
+                * (n_total - a - b).astype(np.float64)))
+        return pd.DataFrame({
+            "token": piv.index.to_numpy(dtype=object)[keep],
+            "a": a, "b": b, "chi2": c})
+
+    return (counts.map_batches(bucketize, batch_format="pandas")
+            .groupby("_part", num_partitions=num_partitions)
+            .map_groups(chi2_bucket, batch_format="pandas"))
