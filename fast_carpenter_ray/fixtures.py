@@ -171,8 +171,20 @@ def pages_dataset(sf_dir: str, replicate: int = 1, num_blocks: Optional[int] = N
     """
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         override_num_blocks=num_blocks)
+    if num_blocks:
+        # A single-file read is ONE task; ``override_num_blocks`` splits
+        # its output through the streaming-generator backpressure, which
+        # trickles the 128 blocks out over ~6s and caps the downstream
+        # fused chain at ~4 concurrent tasks (measured: flagship
+        # read+extract 7.1s -> 2.1s with this pre-split).  The base table
+        # is a tiny dimension next to the replicated stream, so
+        # repartition + materialize it first; the map chain then launches
+        # all blocks at once.  (At real 100-TB scale the read has many
+        # files/tasks and needs neither knob.)
+        ds = (rd.read_parquet(f"{sf_dir}/documents.parquet")
+              .repartition(num_blocks).materialize())
+    else:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
 
     def synth_replicated(batch: pa.Table) -> pa.Table:
         tables = [synth_pages_batch(batch, id_offset=r * 10_000_000)
